@@ -1,0 +1,483 @@
+"""Pure-numpy time-series kernels (no pyspark import — keep pytest fast).
+
+These re-express the reference library's DTW machinery vectorized:
+
+- banded DTW distance (Sakoe-Chiba window, max_dist early abandoning,
+  max_step, penalty, psi relaxation, PrunedDTW via the Euclidean upper
+  bound)    — parity surface for ``ref:dtaidistance/dtw.py::distance``
+- warping paths + best path + warp                 — ``ref:dtaidistance/dtw.py::warping_paths/best_path/warp``
+- Euclidean distance / upper bound                 — ``ref:dtaidistance/ed.py::distance``,
+                                                     ``ref:dtaidistance/dtw.py::ub_euclidean``
+- LB_Keogh lower bound + envelopes                 — ``ref:dtaidistance/dtw.py::lb_keogh``
+- LB_Kim first/last/min/max bound                  — UCR suite (Rakthanmanon et al., KDD 2012);
+                                                     not in the reference, mandated by the north rule
+- DBA barycenter averaging                         — ``ref:dtaidistance/dtw_barycenter.py::dba/dba_loop``
+  (Petitjean et al. 2011)
+
+NOTE ON CITATIONS: at build time ``/root/reference`` was an empty mount
+(see SURVEY.md "citation integrity"); ref: paths follow the public
+upstream v2.3.x layout of wannesm/dtaidistance, of which the reference
+repo is a fork. Golden values come from FIXTURES.md §2.
+
+Implementation strategy: the DP is computed along anti-diagonals so each
+step is a handful of numpy ops over a band-width vector — no per-cell
+Python. The batched variant stacks many (center, member) pairs of equal
+padded length into one (B, band) DP for the DBA hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+INF = np.inf
+
+
+def _resolve_psi(psi):
+    """psi -> (psi_1b, psi_1e, psi_2b, psi_2e); int means all four."""
+    if psi is None:
+        return 0, 0, 0, 0
+    if isinstance(psi, (int, np.integer)):
+        p = int(psi)
+        return p, p, p, p
+    t = tuple(int(x) for x in psi)
+    if len(t) != 4:
+        raise ValueError("psi must be an int or a 4-tuple (1b,1e,2b,2e)")
+    return t
+
+
+def _band_params(r, c, window):
+    """Inclusive 0-based band for row i: j in [i - a, i + b] (pre-clip)."""
+    if window is None or window <= 0:
+        window = max(r, c)
+    mrc = max(0, r - c)
+    mcr = max(0, c - r)
+    a = mrc + window - 1
+    b = mcr + window - 1
+    return window, a, b
+
+
+def ed_distance(s1, s2):
+    """Euclidean distance; unequal lengths compare the tail of the longer
+    series against the last element of the shorter (upstream
+    ``ref:dtaidistance/ed.py::distance`` semantics). Doubles as
+    ``ub_euclidean`` — the DTW upper bound driving PrunedDTW."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    n = min(len(s1), len(s2))
+    d = s1[:n] - s2[:n]
+    tot = float(np.dot(d, d))
+    if len(s1) > len(s2):
+        t = s1[n:] - s2[n - 1]
+        tot += float(np.dot(t, t))
+    elif len(s2) > len(s1):
+        t = s2[n:] - s1[n - 1]
+        tot += float(np.dot(t, t))
+    return math.sqrt(tot)
+
+
+ub_euclidean = ed_distance
+
+
+def lb_kim(s1, s2):
+    """LB_Kim: max of |first|, |last|, |min|, |max| point differences.
+    Admissible lower bound for DTW without psi relaxation."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    return float(
+        max(
+            abs(s1[0] - s2[0]),
+            abs(s1[-1] - s2[-1]),
+            abs(s1.min() - s2.min()),
+            abs(s1.max() - s2.max()),
+        )
+    )
+
+
+def lb_keogh_envelope(s, window, r=None):
+    """Rolling min/max envelope of ``s`` for LB_Keogh.
+
+    The j-range for query index i is [i - a, i + b] (inclusive, clipped),
+    matching the DTW band of a pair where the query has length ``r``
+    (defaults to len(s), i.e. the equal-length case). Returns (lo, hi).
+    """
+    s = np.asarray(s, dtype=np.float64)
+    c = len(s)
+    if r is None:
+        r = c
+    _, a, b = _band_params(r, c, window)
+    a = min(a, c)
+    b = min(b, c)
+    pad_lo = np.concatenate([np.full(a, INF), s, np.full(b, INF)])
+    pad_hi = np.concatenate([np.full(a, -INF), s, np.full(b, -INF)])
+    w = a + b + 1
+    lo = np.lib.stride_tricks.sliding_window_view(pad_lo, w).min(axis=1)
+    hi = np.lib.stride_tricks.sliding_window_view(pad_hi, w).max(axis=1)
+    return lo[:c], hi[:c]
+
+
+def lb_keogh(s1, s2, window=None, envelope=None):
+    """LB_Keogh lower bound: sqrt of summed squared exceedances of s1
+    outside s2's band envelope. ``envelope`` lets callers pass a
+    precomputed (lo, hi) — the engine materializes envelopes once per
+    series (an algebraic improvement over the reference, which recomputes
+    them per pair)."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    r, c = len(s1), len(s2)
+    if envelope is None:
+        lo, hi = lb_keogh_envelope(s2, window, r=r)
+    else:
+        lo, hi = envelope
+    n = min(r, len(lo))
+    x = s1[:n]
+    above = np.maximum(x - hi[:n], 0.0)
+    below = np.maximum(lo[:n] - x, 0.0)
+    return math.sqrt(float(np.dot(above, above) + np.dot(below, below)))
+
+
+def dtw_distance(
+    s1,
+    s2,
+    window=None,
+    max_dist=None,
+    max_step=None,
+    max_length_diff=None,
+    penalty=None,
+    psi=None,
+    use_pruning=False,
+    inner_dist="squared euclidean",
+):
+    """Banded DTW distance, semantics of ``ref:dtaidistance/dtw.py::distance``.
+
+    Anti-diagonal numpy DP: O(r+c) vector ops, O(r) memory. Returns inf
+    when abandoned (max_dist / max_length_diff) like the reference.
+    """
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    r, c = len(s1), len(s2)
+    if r == 0 or c == 0:
+        return INF
+    if max_length_diff is not None and abs(r - c) > max_length_diff:
+        return INF
+    squared = inner_dist == "squared euclidean"
+    if use_pruning:
+        ub = ub_euclidean(s1, s2)
+        max_dist = ub * ub if squared else ub
+    md = INF if max_dist is None else (max_dist if squared else max_dist)
+    ms = INF if max_step is None else (max_step * max_step if squared else max_step)
+    pen = 0.0 if penalty is None else (penalty * penalty if squared else penalty)
+    psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
+    window, a, b = _band_params(r, c, window)
+
+    d2, last_row, last_col = _dtw_diag_core(
+        s1, s2, a, b, md, ms, pen, psi_1b, psi_2b, squared
+    )
+    if psi_1e == 0 and psi_2e == 0:
+        best = last_row[c]
+    else:
+        best = min(
+            np.min(last_row[c - psi_2e : c + 1]),
+            np.min(last_col[r - psi_1e : r + 1]),
+        )
+    if best > md:
+        return INF
+    return math.sqrt(best) if squared else float(best)
+
+
+def _dtw_diag_core(s1, s2, a, b, md, ms, pen, psi_1b, psi_2b, squared, matrix=None):
+    """Shared anti-diagonal DP. Returns (D[r,c], last_row, last_col); if
+    ``matrix`` is provided (an (r+1, c+1) float array pre-filled with inf)
+    it is populated with accumulated costs for path backtracking."""
+    r, c = len(s1), len(s2)
+    last_row = np.full(c + 1, INF)
+    last_col = np.full(r + 1, INF)
+    keep = matrix is not None
+
+    d_km2 = np.full(r + 1, INF)  # diag k-2
+    d_km1 = np.full(r + 1, INF)  # diag k-1; at k=1 that is diag 0 = {(0,0)}
+    d_km1[0] = 0.0
+    if keep:
+        matrix[0, 0] = 0.0
+        matrix[0, 1 : psi_2b + 1] = 0.0
+        matrix[1 : psi_1b + 1, 0] = 0.0
+    if r == 0:
+        last_row[0] = 0.0
+    if c == 0:
+        last_col[0] = 0.0
+    # k = 1 boundary cells
+    if 1 <= c:
+        pass
+    d_k = None
+    abandoned = False
+    for k in range(1, r + c + 1):
+        d_k = np.full(r + 1, INF)
+        # boundary cells on this diagonal
+        if k <= c:
+            d_k[0] = 0.0 if k <= psi_2b else INF  # cell (0, k)
+        if k <= r:
+            d_k[k] = 0.0 if k <= psi_1b else INF  # cell (k, 0)
+        # interior band
+        ilo = max(1, k - c, -((-(k - b)) // 2))  # ceil((k - b) / 2)
+        ihi = min(r, k - 1, (k + a) // 2)
+        if ilo <= ihi and not abandoned:
+            I = np.arange(ilo, ihi + 1)
+            x = s1[I - 1]
+            y = s2[k - I - 1]
+            cost = x - y
+            if squared:
+                cost = cost * cost
+            else:
+                cost = np.abs(cost)
+            if ms != INF:
+                cost = np.where(cost > ms, INF, cost)
+            diag = d_km2[I - 1]
+            up = d_km1[I - 1] + pen
+            left = d_km1[I] + pen
+            vals = cost + np.minimum(diag, np.minimum(up, left))
+            d_k[I] = vals
+            if md != INF and np.min(d_k) > md:
+                abandoned = True
+        if keep:
+            I_all = np.arange(max(0, k - c), min(r, k) + 1)
+            matrix[I_all, k - I_all] = d_k[I_all]
+        if 0 <= k - r <= c:
+            last_row[k - r] = d_k[r]
+        if 0 <= k - c <= r:
+            last_col[k - c] = d_k[k - c]
+        d_km2, d_km1 = d_km1, d_k
+    if r + c == 0:
+        last_row[0] = last_col[0] = 0.0
+    return last_row[c], last_row, last_col
+
+
+def warping_paths(
+    s1,
+    s2,
+    window=None,
+    max_dist=None,
+    max_step=None,
+    penalty=None,
+    psi=None,
+    inner_dist="squared euclidean",
+):
+    """Full accumulated-cost matrix (``ref:dtaidistance/dtw.py::warping_paths``).
+
+    Returns (distance, matrix). For the squared-euclidean inner distance
+    the returned matrix holds sqrt of accumulated costs (as upstream).
+    """
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    r, c = len(s1), len(s2)
+    squared = inner_dist == "squared euclidean"
+    md = INF if max_dist is None else (max_dist * max_dist if squared else max_dist)
+    ms = INF if max_step is None else (max_step * max_step if squared else max_step)
+    pen = 0.0 if penalty is None else (penalty * penalty if squared else penalty)
+    psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
+    window, a, b = _band_params(r, c, window)
+    matrix = np.full((r + 1, c + 1), INF)
+    d2, last_row, last_col = _dtw_diag_core(
+        s1, s2, a, b, md, ms, pen, psi_1b, psi_2b, squared, matrix=matrix
+    )
+    if psi_1e == 0 and psi_2e == 0:
+        best = last_row[c]
+    else:
+        best = min(
+            np.min(last_row[c - psi_2e : c + 1]),
+            np.min(last_col[r - psi_1e : r + 1]),
+        )
+    if squared:
+        matrix = np.sqrt(matrix)
+        best = math.sqrt(best) if best != INF else INF
+    return float(best), matrix
+
+
+def best_path(matrix, row=None, col=None):
+    """Backtrack the optimal path from (row, col) (defaults bottom-right)
+    over an accumulated cost matrix from :func:`warping_paths`. Diagonal
+    preferred on ties (upstream behavior). Returns [(i, j), ...] in
+    sequence-index space, ascending."""
+    i = (matrix.shape[0] - 1) if row is None else row
+    j = (matrix.shape[1] - 1) if col is None else col
+    path = []
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        d = matrix[i - 1, j - 1]
+        u = matrix[i - 1, j]
+        l = matrix[i, j - 1]
+        if d <= u and d <= l:
+            i, j = i - 1, j - 1
+        elif u <= l:
+            i = i - 1
+        else:
+            j = j - 1
+    path.reverse()
+    return path
+
+
+def warping_path(from_s, to_s, **kwargs):
+    """Convenience: optimal path between two series
+    (``ref:dtaidistance/dtw.py::warping_path``)."""
+    _, m = warping_paths(from_s, to_s, **kwargs)
+    return best_path(m)
+
+
+def warping_amount(path):
+    """Count of non-diagonal moves along a path
+    (``ref:dtaidistance/dtw.py::warping_amount``)."""
+    amount = 0
+    pi, pj = path[0]
+    for i, j in path[1:]:
+        if i == pi or j == pj:
+            amount += 1
+        pi, pj = i, j
+    return amount
+
+
+def warp(from_s, to_s, path=None, **kwargs):
+    """Warp ``from_s`` onto ``to_s``'s time axis via the optimal path:
+    each target position takes the mean of mapped source values
+    (``ref:dtaidistance/dtw.py::warp``)."""
+    from_s = np.asarray(from_s, dtype=np.float64)
+    to_s = np.asarray(to_s, dtype=np.float64)
+    if path is None:
+        path = warping_path(from_s, to_s, **kwargs)
+    sums = np.zeros(len(to_s))
+    cnts = np.zeros(len(to_s))
+    for i, j in path:
+        sums[j] += from_s[i]
+        cnts[j] += 1
+    cnts[cnts == 0] = 1.0
+    return sums / cnts
+
+
+def dba_update(center, series_list, window=None):
+    """One DBA iteration: align every series onto ``center`` along its
+    optimal warping path, then per-center-position mean of all mapped
+    values (Petitjean 2011; ``ref:dtaidistance/dtw_barycenter.py::dba``)."""
+    center = np.asarray(center, dtype=np.float64)
+    n = len(center)
+    sums = np.zeros(n)
+    cnts = np.zeros(n)
+    for s in series_list:
+        s = np.asarray(s, dtype=np.float64)
+        path = warping_path(center, s, window=window)
+        for i, j in path:
+            sums[i] += s[j]
+            cnts[i] += 1
+    cnts[cnts == 0] = 1.0
+    return sums / cnts
+
+
+def dba(series_list, center=None, max_it=10, thr=1e-5, window=None):
+    """DBA loop (``ref:dtaidistance/dtw_barycenter.py::dba_loop``).
+
+    Deterministic: the caller must pass ``series_list`` in a stable order;
+    the default initial center is the member whose length is the median
+    (ties -> earliest in the list), which is order-stable."""
+    series_list = [np.asarray(s, dtype=np.float64) for s in series_list]
+    if not series_list:
+        raise ValueError("dba needs at least one series")
+    if center is None:
+        lengths = [len(s) for s in series_list]
+        order = sorted(range(len(series_list)), key=lambda i: (lengths[i], i))
+        center = series_list[order[len(order) // 2]]
+    center = np.asarray(center, dtype=np.float64).copy()
+    for _ in range(max_it):
+        new_center = dba_update(center, series_list, window=window)
+        delta = float(np.max(np.abs(new_center - center)))
+        center = new_center
+        if delta <= thr:
+            break
+    return center
+
+
+# ---------------------------------------------------------------------------
+# Batched kernels — the DBA/assignment hot path. One anti-diagonal DP over a
+# (B, r+1) stack computes B alignments at once; per-member band masks keep
+# exact per-pair banded semantics even when members are padded to a common
+# length.
+# ---------------------------------------------------------------------------
+
+
+def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
+    """DTW distance from ``query`` (len r) to each row of ``batch``
+    (shape (B, c_pad), padded), with true lengths ``lengths``.
+
+    Returns float64 array (B,). Matches :func:`dtw_distance` defaults
+    (squared-euclidean inner, sqrt at the end) for each pair.
+    """
+    query = np.asarray(query, dtype=np.float64)
+    batch = np.asarray(batch, dtype=np.float64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    B, c_pad = batch.shape
+    r = len(query)
+    psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
+    if window is None or window <= 0:
+        win = max(r, int(lengths.max()))
+    else:
+        win = window
+    # per-member band params
+    mrc = np.maximum(0, r - lengths)
+    mcr = np.maximum(0, lengths - r)
+    a = mrc + win - 1  # j >= i - a
+    b = mcr + win - 1  # j <= i + b
+
+    d_km2 = np.full((B, r + 1), INF)
+    d_km1 = np.full((B, r + 1), INF)  # diag 0 at k=1
+    d_km1[:, 0] = 0.0
+    last_row = np.full((B, c_pad + 1), INF)  # D[r, j]
+    last_col = np.full((B, r + 1), INF)  # D[i, c_m] per member
+    I_full = np.arange(r + 1)
+    for k in range(1, r + c_pad + 1):
+        d_k = np.full((B, r + 1), INF)
+        if k <= c_pad:
+            d_k[:, 0] = np.where(
+                (k <= lengths) & (k <= psi_2b), 0.0, INF
+            )  # cell (0, k) valid only if k <= c_m
+        if k <= r:
+            d_k[:, k] = 0.0 if k <= psi_1b else INF
+        ilo = max(1, k - c_pad)
+        ihi = min(r, k - 1)
+        if ilo <= ihi:
+            I = I_full[ilo : ihi + 1]
+            x = query[I - 1]  # (n,)
+            y = batch[:, k - I - 1]  # (B, n) ; j = k - I - 1
+            cost = x[None, :] - y
+            cost *= cost
+            diag = d_km2[:, I - 1]
+            up = d_km1[:, I - 1]
+            left = d_km1[:, I]
+            vals = cost + np.minimum(diag, np.minimum(up, left))
+            # mask: j must be within [0, c_m) and within band [i - a, i + b]
+            j = k - I - 1  # (n,)
+            i0 = I - 1
+            valid = (
+                (j[None, :] < lengths[:, None])
+                & (j[None, :] >= (i0[None, :] - a[:, None]))
+                & (j[None, :] <= (i0[None, :] + b[:, None]))
+            )
+            d_k[:, ilo : ihi + 1] = np.where(valid, vals, INF)
+        if 0 <= k - r <= c_pad:
+            last_row[:, k - r] = d_k[:, r]
+        # capture column c_m per member: i = k - c_m in [0, r]
+        im = k - lengths
+        sel = (im >= 0) & (im <= r)
+        if sel.any():
+            bs = np.nonzero(sel)[0]
+            last_col[bs, im[bs]] = d_k[bs, im[bs]]
+        d_km2, d_km1 = d_km1, d_k
+    # final value per member
+    out = np.empty(B)
+    for m in range(B):
+        cm = int(lengths[m])
+        if psi_1e == 0 and psi_2e == 0:
+            best = last_row[m, cm]
+        else:
+            best = min(
+                np.min(last_row[m, max(0, cm - psi_2e) : cm + 1]),
+                np.min(last_col[m, max(0, r - psi_1e) :]),
+            )
+        out[m] = math.sqrt(best) if best != INF else INF
+    return out

@@ -1,0 +1,175 @@
+"""Kernel parity gates — FIXTURES.md §2 golden vectors (G1–G9).
+
+These assert dtaidistance-conformant values/properties with no Spark
+session, so they run fast under `python -m pytest -x -q`.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import kernels as K
+
+S1 = [0.0, 0, 1, 2, 1, 0, 1, 0, 0]
+S2 = [0.0, 1, 2, 0, 0, 0, 0, 0, 0]
+
+
+def test_g1_canonical_distance():
+    assert K.dtw_distance(S1, S2) == pytest.approx(math.sqrt(2), abs=1e-12)
+
+
+def test_g2_euclidean():
+    assert K.ed_distance(S1, S2) == pytest.approx(math.sqrt(8), abs=1e-12)
+
+
+def test_g3_band_monotone():
+    full = K.dtw_distance(S1, S2)
+    for w in (1, 2, 3, 5):
+        assert K.dtw_distance(S1, S2, window=w) >= full - 1e-12
+    # window=1 is the pure diagonal == euclidean on equal lengths
+    assert K.dtw_distance(S1, S2, window=1) == pytest.approx(
+        math.sqrt(8), abs=1e-12
+    )
+
+
+def test_g4_pruning_exact():
+    assert K.dtw_distance(S1, S2, use_pruning=True) == pytest.approx(
+        K.dtw_distance(S1, S2), abs=1e-12
+    )
+
+
+def test_g5_psi_relaxation():
+    x = np.linspace(0, 20, 100)
+    s1 = np.sin(x)
+    s2 = np.sin(x + math.pi / 2)
+    d0 = K.dtw_distance(s1, s2, psi=0)
+    d2 = K.dtw_distance(s1, s2, psi=2)
+    d20 = K.dtw_distance(s1, s2, psi=20)
+    assert d2 <= d0
+    assert d20 < d0 * 0.2  # phase shift absorbed by boundary relaxation
+    # psi must never increase the distance
+    assert d20 <= d2 <= d0 + 1e-12
+
+
+def test_g6_warping_path_properties():
+    d, m = K.warping_paths(S1, S2)
+    assert d == pytest.approx(math.sqrt(2), abs=1e-12)
+    assert m[-1, -1] == pytest.approx(math.sqrt(2), abs=1e-12)
+    path = K.best_path(m)
+    assert path[0] == (0, 0)
+    assert path[-1] == (len(S1) - 1, len(S2) - 1)
+    di = np.diff([p[0] for p in path])
+    dj = np.diff([p[1] for p in path])
+    assert (di >= 0).all() and (dj >= 0).all()
+    assert ((di + dj) >= 1).all() and (di <= 1).all() and (dj <= 1).all()
+    # path cost re-accumulates to the distance
+    cost = sum((S1[i] - S2[j]) ** 2 for i, j in path)
+    assert math.sqrt(cost) == pytest.approx(d, abs=1e-12)
+
+
+def test_g7_dba_fixed_point():
+    s = np.array([0.0, 1, 2, 3, 2, 1, 0])
+    out = K.dba([s], center=s, max_it=5)
+    np.testing.assert_allclose(out, s, atol=1e-12)
+
+
+def _seeded_pairs(n=100, seed=7):
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        la = int(rng.integers(8, 40))
+        lb = int(rng.integers(8, 40))
+        yield rng.normal(size=la), rng.normal(size=lb)
+
+
+def test_g8_lb_keogh_admissible():
+    for a, b in _seeded_pairs():
+        for w in (None, 5, 10):
+            lb = K.lb_keogh(a, b, window=w)
+            d = K.dtw_distance(a, b, window=w)
+            assert lb <= d + 1e-9, (len(a), len(b), w, lb, d)
+
+
+def test_g8b_envelope_precompute_matches():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=30)
+    b = rng.normal(size=30)
+    env = K.lb_keogh_envelope(b, window=5)
+    assert K.lb_keogh(a, b, window=5, envelope=env) == pytest.approx(
+        K.lb_keogh(a, b, window=5), abs=1e-12
+    )
+
+
+def test_g9_lb_kim_admissible():
+    for a, b in _seeded_pairs(seed=11):
+        assert K.lb_kim(a, b) <= K.dtw_distance(a, b) + 1e-9
+
+
+def test_max_dist_abandons():
+    d = K.dtw_distance(S1, S2)
+    assert K.dtw_distance(S1, S2, max_dist=d / 2) == np.inf
+    assert K.dtw_distance(S1, S2, max_dist=d * 2) == pytest.approx(d, abs=1e-12)
+
+
+def test_max_length_diff():
+    assert K.dtw_distance([1.0, 2, 3], [1.0] * 10, max_length_diff=3) == np.inf
+
+
+def test_penalty_increases_warping_cost():
+    d0 = K.dtw_distance(S1, S2)
+    dp = K.dtw_distance(S1, S2, penalty=2)
+    assert dp >= d0
+    # identical series: no warping -> penalty irrelevant
+    assert K.dtw_distance(S1, S1, penalty=2) == 0.0
+
+
+def test_max_step():
+    # all steps cost > max_step**2 -> inf
+    assert K.dtw_distance([0.0, 0, 0], [5.0, 5, 5], max_step=1) == np.inf
+
+
+def test_unequal_lengths():
+    a = [0.0, 1, 2, 3]
+    b = [0.0, 1, 1, 2, 2, 3, 3]
+    d = K.dtw_distance(a, b)
+    assert d == pytest.approx(0.0, abs=1e-12)  # b is a warped copy of a
+
+
+def test_inner_dist_euclidean():
+    # inner 'euclidean': costs are |x-y|, no final sqrt
+    d = K.dtw_distance(S1, S2, inner_dist="euclidean")
+    assert d == pytest.approx(2.0, abs=1e-12)  # two unit mismatches
+
+
+def test_batch_matches_scalar():
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=25)
+    members = [rng.normal(size=int(rng.integers(10, 30))) for _ in range(17)]
+    c_pad = max(len(m) for m in members)
+    batch = np.zeros((len(members), c_pad))
+    lengths = np.array([len(m) for m in members])
+    for i, m in enumerate(members):
+        batch[i, : len(m)] = m
+    for w, psi in ((None, None), (5, None), (None, 2), (8, 1)):
+        got = K.dtw_distance_batch(q, batch, lengths, window=w, psi=psi)
+        want = np.array(
+            [K.dtw_distance(q, m, window=w, psi=psi) for m in members]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_warp_and_amount():
+    path = K.warping_path(S1, S2)
+    assert K.warping_amount(path) >= 0
+    warped = K.warp(S1, S2, path=path)
+    assert len(warped) == len(S2)
+
+
+def test_dba_converges_to_middle():
+    base = np.sin(np.linspace(0, 6, 40))
+    shifted = [np.roll(base, k) for k in (-1, 0, 1)]
+    center = K.dba(shifted, max_it=10, window=5)
+    assert len(center) == 40
+    d_center = np.mean([K.dtw_distance(center, s) for s in shifted])
+    d_raw = np.mean([K.dtw_distance(shifted[0], s) for s in shifted])
+    assert d_center <= d_raw + 1e-9
