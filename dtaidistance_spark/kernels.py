@@ -393,6 +393,23 @@ def dba(series_list, center=None, max_it=10, thr=1e-5, window=None):
     return center
 
 
+def paa(s, m: int):
+    """Piecewise Aggregate Approximation: deterministic resample of ``s``
+    to ``m`` points (segment means when shrinking, index stretch when
+    growing). Classic TS downsample (Keogh et al. 2001, SAX lineage) —
+    the rollup kernel normalizes ragged token arrays onto a fixed
+    barycenter grid with it before DBA."""
+    s = np.asarray(s, dtype=np.float64)
+    n = len(s)
+    if n == m:
+        return s.copy()
+    if n < m:
+        return s[(np.arange(m) * n) // m]
+    bounds = (np.arange(m + 1) * n) // m
+    csum = np.concatenate([[0.0], np.cumsum(s)])
+    return (csum[bounds[1:]] - csum[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
+
+
 # ---------------------------------------------------------------------------
 # Batched kernels — the DBA/assignment hot path. One anti-diagonal DP over a
 # (B, r+1) stack computes B alignments at once; per-member band masks keep

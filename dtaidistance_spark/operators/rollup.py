@@ -1,0 +1,221 @@
+"""Rollup / downsample / retention operators — the engine's flagship.
+
+Downsampling per rollup window is DBA (DTW Barycenter Averaging,
+``ref:dtaidistance/dtw_barycenter.py::dba_loop`` semantics) instead of a
+naive mean: one ``groupBy(key, window).applyInPandas`` where the group's
+token arrays arrive as one Arrow batch and the numpy DBA kernel runs
+vectorized — the only Python on the hot path, Arrow-batched (north rule:
+no per-row Python).
+
+Scale design:
+- windows × keys give high group cardinality, so the hash shuffle spreads
+  evenly; residual source skew is handled upstream by
+  :func:`salted_repartition` (deterministic salt — resume-safe).
+- per-group work is bounded: groups larger than ``max_members`` use a
+  deterministic stride sample (sorted by doc_id) for the barycenter while
+  still counting every row/point. The bound is what keeps a 10^12-row
+  table's worst window from exploding one task.
+- the cascade rolls raw→1m→1h→1d, each tier reading the (much smaller)
+  previous tier — the classic continuous-aggregate tiering.
+
+The exact same group kernel (``rollup_group``) runs inside Spark and in
+the single-process parity pipeline (:func:`rollup_local`), so tier parity
+is exact by construction and verified in tests.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dtaidistance_spark import kernels as K
+
+ROLLUP_SCHEMA = (
+    "key string, window_start timestamp, n_series long, n_points long, "
+    "barycenter array<double>"
+)
+
+TIER_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+
+def rollup_group(
+    arrays: list[np.ndarray],
+    max_members: int = 256,
+    dba_window: int = 16,
+    dba_max_it: int = 2,
+    barycenter_len: int = 128,
+) -> tuple[np.ndarray, int, int]:
+    """Deterministic DBA barycenter of one (key, window) group.
+
+    Ragged members are first PAA-resampled onto the fixed
+    ``barycenter_len`` grid (the tier's output resolution — this is what
+    bounds per-group DTW cost at 10^12-sequence scale: O(members ·
+    barycenter_len · dba_window) regardless of raw token lengths), then
+    banded DBA produces the representative point array.
+
+    ``arrays`` MUST already be in a stable order (sorted by doc_id).
+    Returns (barycenter, n_series, n_points); n_points counts raw tokens.
+    """
+    n_series = len(arrays)
+    n_points = int(sum(len(a) for a in arrays))
+    if n_series > max_members:
+        idx = np.unique(np.linspace(0, n_series - 1, max_members).astype(np.int64))
+        sample = [arrays[i] for i in idx]
+    else:
+        sample = arrays
+    sample = [K.paa(a, barycenter_len) for a in sample]
+    center = K.dba(sample, max_it=dba_max_it, window=dba_window)
+    return center, n_series, n_points
+
+
+def _make_kernel(max_members, dba_window, dba_max_it, barycenter_len):
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_sort_id")
+        arrays = [np.asarray(t, dtype=np.float64) for t in pdf["_value"]]
+        center, n_series, n_points = rollup_group(
+            arrays, max_members=max_members, dba_window=dba_window,
+            dba_max_it=dba_max_it, barycenter_len=barycenter_len,
+        )
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "window_start": [key[1]],
+                "n_series": [n_series],
+                "n_points": [n_points],
+                "barycenter": [center],
+            }
+        )
+
+    return kernel
+
+
+def dba_rollup(
+    df: DataFrame,
+    tier: str = "1 minute",
+    key_col: str = "source",
+    value_col: str = "tokens",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    max_members: int = 256,
+    dba_window: int = 16,
+    dba_max_it: int = 2,
+    barycenter_len: int = 128,
+) -> DataFrame:
+    """Roll ``df`` up to ``tier`` windows: one DBA barycenter per
+    (key, window). Returns ROLLUP_SCHEMA DataFrame."""
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.window(F.col(ts_col), tier)["start"].alias("_w"),
+        F.col(value_col).cast("array<double>").alias("_value"),
+        F.col(id_col).cast("string").alias("_sort_id"),
+    )
+    kernel = _make_kernel(max_members, dba_window, dba_max_it, barycenter_len)
+    return prepared.groupBy("_key", "_w").applyInPandas(kernel, ROLLUP_SCHEMA)
+
+
+def cascade(
+    df: DataFrame,
+    tiers: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    **kw,
+) -> dict[str, DataFrame]:
+    """Tier cascade: raw -> tiers[0]; tiers[i] -> tiers[i+1] re-rolls the
+    previous tier's barycenters (each barycenter is the series payload of
+    its window)."""
+    out: dict[str, DataFrame] = {}
+    cur = df
+    value_col, ts_col, key_col, id_col = kw.pop("value_col", "tokens"), "ts", "source", "doc_id"
+    for i, tier in enumerate(tiers):
+        rolled = dba_rollup(
+            cur, tier=tier, key_col=key_col, value_col=value_col,
+            ts_col=ts_col, id_col=id_col, **kw,
+        )
+        out[tier] = rolled
+        # next tier consumes this tier's output
+        cur = rolled.select(
+            F.col("key").alias("source"),
+            F.col("window_start").alias("ts"),
+            F.col("barycenter").alias("tokens"),
+            F.concat(F.col("key"), F.lit("@"), F.col("window_start").cast("string")).alias("doc_id"),
+        )
+        value_col = "tokens"
+        key_col, ts_col, id_col = "source", "ts", "doc_id"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Single-process parity pipeline (no Spark) — SURVEY §5.2 gate 4
+# ---------------------------------------------------------------------------
+
+
+def rollup_local(
+    pdf: pd.DataFrame,
+    tier_seconds: int,
+    key_col: str = "source",
+    value_col: str = "tokens",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    max_members: int = 256,
+    dba_window: int = 16,
+    dba_max_it: int = 2,
+    barycenter_len: int = 128,
+) -> pd.DataFrame:
+    """Plain-pandas rollup with the identical group kernel; the reference
+    pipeline for the exact-match tier-parity gate."""
+    d = pdf.copy()
+    epoch = d[ts_col].astype("int64") // 10**9
+    d["_w"] = (epoch // tier_seconds) * tier_seconds
+    rows = []
+    for (k, w), g in sorted(
+        d.groupby([key_col, "_w"]), key=lambda kv: (str(kv[0][0]), kv[0][1])
+    ):
+        g = g.sort_values(id_col)
+        arrays = [np.asarray(t, dtype=np.float64) for t in g[value_col]]
+        center, n_series, n_points = rollup_group(
+            arrays, max_members=max_members, dba_window=dba_window,
+            dba_max_it=dba_max_it, barycenter_len=barycenter_len,
+        )
+        rows.append(
+            {
+                "key": str(k),
+                "window_start": pd.Timestamp(w, unit="s"),
+                "n_series": n_series,
+                "n_points": n_points,
+                "barycenter": center,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def cascade_local(pdf: pd.DataFrame, tiers=(60, 3600, 86400), **kw) -> dict[int, pd.DataFrame]:
+    out = {}
+    cur = pdf
+    value_col = kw.pop("value_col", "tokens")
+    key_col, ts_col, id_col = "source", "ts", "doc_id"
+    for sec in tiers:
+        rolled = rollup_local(
+            cur, sec, key_col=key_col, value_col=value_col, ts_col=ts_col,
+            id_col=id_col, **kw,
+        )
+        out[sec] = rolled
+        cur = rolled.rename(
+            columns={"key": "source", "window_start": "ts", "barycenter": "tokens"}
+        )
+        cur["doc_id"] = cur["source"] + "@" + cur["ts"].astype(str)
+        value_col = "tokens"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Skew handling
+# ---------------------------------------------------------------------------
+
+
+def salted_repartition(df: DataFrame, n: int, *cols: str, salt_buckets: int = 16, salt_on: str = "doc_id") -> DataFrame:
+    """Deterministic salted repartition (north rule R15): the salt is
+    ``pmod(xxhash64(salt_on), salt_buckets)`` — never rand(), so a resumed
+    run reproduces the exact same partitioning."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    return df.repartition(n, *[F.col(c) for c in cols], salt)

@@ -1,0 +1,207 @@
+"""Iceberg-contract table layer over partitioned Parquet.
+
+This sandbox has no iceberg-spark-runtime jar (SURVEY.md §1.4), so the
+engine ships a thin layer with the Iceberg *contract*:
+
+- a named table = a directory of immutable Parquet data dirs plus a
+  ``_manifest.json`` recording the current snapshot's file set, schema,
+  partition spec, per-partition lineage (rows, order-insensitive
+  xxhash64 checksum) and arbitrary properties (e.g. the continuous-
+  aggregate watermark);
+- commits are atomic: manifest written to a temp file then ``os.replace``
+  (single-FS rename), so readers always see a consistent snapshot;
+- snapshot history is retained (time travel by snapshot id);
+- partition pruning happens manifest-side: ``read(partition_filter=...)``
+  only hands the matching data paths to Spark.
+
+On a real cluster with the Iceberg runtime present, ``IcebergTableIO``
+(same interface, ``spark.table``/``writeTo`` calls) drops in — nothing
+above this layer changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+class TableIO:
+    def __init__(self, root: str, table: str, partition_by: list[str] | None = None):
+        self.root = root
+        self.table = table
+        self.dir = os.path.join(root, table)
+        self.partition_by = partition_by or []
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self):
+        return os.path.join(self.dir, MANIFEST)
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {
+                "table": self.table,
+                "partition_by": self.partition_by,
+                "current_snapshot": None,
+                "snapshots": [],
+                "entries": [],
+                "properties": {},
+            }
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict):
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path)
+
+    def properties(self) -> dict:
+        return self._load().get("properties", {})
+
+    def set_property(self, key: str, value):
+        m = self._load()
+        m.setdefault("properties", {})[key] = value
+        self._commit(m)
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def entries(self) -> list[dict]:
+        """Current file set: [{path, partition, rows, checksum}]."""
+        return self._load()["entries"]
+
+    # -- write -------------------------------------------------------------
+    def _lineage(self, df: DataFrame) -> list[dict]:
+        """Per-partition (rows, order-insensitive checksum) lineage."""
+        cols = [F.col(c) for c in df.columns]
+        keys = [F.col(c).cast("string").alias(c) for c in self.partition_by]
+        agg = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+            ).alias("checksum"),
+        )
+        out = []
+        for row in agg.collect():
+            part = {c: row[c] for c in self.partition_by}
+            out.append(
+                {"partition": part, "rows": row["rows"], "checksum": str(row["checksum"])}
+            )
+        return out
+
+    def write(self, df: DataFrame, mode: str = "overwrite", schema_ddl: str | None = None):
+        """mode: overwrite | append | dynamic (overwrite only partitions
+        present in ``df`` — Spark's dynamic partitionOverwriteMode,
+        expressed at the manifest level)."""
+        assert mode in ("overwrite", "append", "dynamic")
+        m = self._load()
+        snap_id = (m["current_snapshot"] or 0) + 1
+        data_dir = os.path.join(self.dir, "data", f"s{snap_id:06d}-{uuid.uuid4().hex[:8]}")
+        t0 = time.time()
+        lineage = self._lineage(df)
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(data_dir)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        def part_path(part: dict) -> str:
+            if not part:
+                return data_dir
+            return os.path.join(
+                data_dir, *[f"{k}={v}" for k, v in part.items()]
+            )
+
+        new_entries = [
+            {
+                "path": part_path(e["partition"]),
+                "partition": e["partition"],
+                "rows": e["rows"],
+                "checksum": e["checksum"],
+                "snapshot": snap_id,
+            }
+            for e in lineage
+        ]
+        if not self.partition_by and not new_entries:
+            new_entries = [
+                {"path": data_dir, "partition": {}, "rows": 0, "checksum": "0", "snapshot": snap_id}
+            ]
+        if mode == "overwrite":
+            entries = new_entries
+        elif mode == "append":
+            entries = m["entries"] + new_entries
+        else:  # dynamic
+            replaced = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
+            entries = [
+                e
+                for e in m["entries"]
+                if json.dumps(e["partition"], sort_keys=True) not in replaced
+            ] + new_entries
+        m["entries"] = entries
+        m["current_snapshot"] = snap_id
+        if schema_ddl:
+            m["schema"] = schema_ddl
+        m["partition_by"] = self.partition_by
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": mode,
+                "wall_ms": wall_ms,
+                "ts": time.time(),
+                "added": lineage,
+                "entry_count": len(entries),
+                "entries": entries,
+            }
+        )
+        self._commit(m)
+        return snap_id
+
+    # -- read ---------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        partition_filter=None,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Read the current (or a historic) snapshot. ``partition_filter``
+        is a predicate over the partition-value dict, applied manifest-side
+        — Iceberg-style partition pruning before Spark ever lists a file."""
+        m = self._load()
+        entries = m["entries"]
+        if snapshot is not None:
+            # time travel: each snapshot records its full live entry set
+            hist = [s for s in m["snapshots"] if s["id"] == snapshot]
+            if not hist:
+                raise ValueError(f"unknown snapshot {snapshot}")
+            entries = hist[0]["entries"]
+        if partition_filter is not None:
+            entries = [e for e in entries if partition_filter(e["partition"])]
+        entries = [e for e in entries if os.path.exists(e["path"])]
+        if not entries:
+            raise FileNotFoundError(f"table {self.table}: no data for predicate")
+        if not self.partition_by:
+            return spark.read.parquet(*[e["path"] for e in entries])
+        # partitionBy-written files drop the partition columns; re-attach
+        # them from the manifest (partition values are strings by contract)
+        out = None
+        for e in entries:
+            d = spark.read.parquet(e["path"])
+            for k, v in e["partition"].items():
+                d = d.withColumn(k, F.lit(v))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def total_rows(self) -> int:
+        return sum(e["rows"] for e in self.entries())

@@ -1,0 +1,113 @@
+"""End-to-end gates: tier parity (SURVEY §5.2 #4), token row invariant
+(G11), TableIO round-trip + time travel, salted repartition determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import rollup as R
+from dtaidistance_spark.sources.tableio import TableIO
+
+N = 240  # spans 4 one-minute windows x 3 sources
+
+
+@pytest.fixture(scope="module")
+def seq_pdf():
+    return synth.sequences_local(N)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    return synth.sequences_df(spark, N, partitions=7).cache()
+
+
+def _rolled_to_pdf(df):
+    p = df.toPandas()
+    p["barycenter"] = p["barycenter"].map(np.asarray)
+    return p.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
+def _assert_rollup_equal(got: pd.DataFrame, want: pd.DataFrame):
+    want = want.sort_values(["key", "window_start"]).reset_index(drop=True)
+    assert list(got["key"]) == list(want["key"])
+    assert list(got["window_start"]) == list(want["window_start"])
+    assert list(got["n_series"]) == list(want["n_series"])
+    assert list(got["n_points"]) == list(want["n_points"])
+    for a, b in zip(got["barycenter"], want["barycenter"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_row_invariant_g11(spark, seq_pdf):
+    """tokens bit-exact per doc_id at any partitioning (input_hint)."""
+    for parts in (3, 11):
+        got = (
+            synth.sequences_df(spark, N, partitions=parts)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert list(got["doc_id"]) == list(seq_pdf["doc_id"])
+        for a, b in zip(got["tokens"], seq_pdf["tokens"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert list(got["n_tok"]) == list(seq_pdf["n_tok"])
+        assert list(got["source"]) == list(seq_pdf["source"])
+
+
+def test_tier_parity_1m(spark, seq_df, seq_pdf):
+    got = _rolled_to_pdf(R.dba_rollup(seq_df, tier="1 minute"))
+    want = R.rollup_local(seq_pdf, 60)
+    _assert_rollup_equal(got, want)
+
+
+def test_tier_parity_cascade(spark, seq_df, seq_pdf):
+    spark_tiers = R.cascade(seq_df, tiers=("1 minute", "1 hour", "1 day"))
+    local_tiers = R.cascade_local(seq_pdf, tiers=(60, 3600, 86400))
+    for tier, sec in (("1 minute", 60), ("1 hour", 3600), ("1 day", 86400)):
+        got = _rolled_to_pdf(spark_tiers[tier])
+        _assert_rollup_equal(got, local_tiers[sec])
+
+
+def test_rollup_partitioning_invariant(spark, seq_df):
+    """DBA rollup result identical under different shuffle layouts —
+    required for resume-safety and the N vs 4N scaling claim."""
+    base = _rolled_to_pdf(R.dba_rollup(seq_df, tier="1 minute"))
+    salted = _rolled_to_pdf(
+        R.dba_rollup(R.salted_repartition(seq_df, 13, "source"), tier="1 minute")
+    )
+    _assert_rollup_equal(salted, base)
+
+
+def test_tableio_roundtrip(spark, seq_df, tmp_path):
+    io = TableIO(str(tmp_path), "sequences", partition_by=["source"])
+    io.write(seq_df, mode="overwrite")
+    back = io.read(spark).orderBy("doc_id").toPandas()
+    orig = seq_df.orderBy("doc_id").toPandas()
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    for a, b in zip(back["tokens"], orig["tokens"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert set(back["source"]) == set(orig["source"])
+    assert io.total_rows() == N
+
+
+def test_tableio_dynamic_overwrite_and_time_travel(spark, tmp_path):
+    io = TableIO(str(tmp_path), "t", partition_by=["source"])
+    df1 = spark.createDataFrame(
+        [("a", "web", 1), ("b", "code", 2)], "id string, source string, v int"
+    )
+    s1 = io.write(df1, mode="overwrite")
+    df2 = spark.createDataFrame([("c", "web", 99)], "id string, source string, v int")
+    io.write(df2, mode="dynamic")  # replaces only source=web
+    cur = {r["id"]: r["v"] for r in io.read(spark).collect()}
+    assert cur == {"c": 99, "b": 2}
+    old = {r["id"]: r["v"] for r in io.read(spark, snapshot=s1).collect()}
+    assert old == {"a": 1, "b": 2}
+    # manifest-side partition pruning reads only the matching partition
+    web_only = io.read(spark, partition_filter=lambda p: p["source"] == "web")
+    assert {r["id"] for r in web_only.collect()} == {"c"}
+
+
+def test_no_per_row_python_in_plan(spark, seq_df):
+    """North rule: plan shows only Arrow-vectorized Python nodes."""
+    plan = R.dba_rollup(seq_df, tier="1 hour")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
