@@ -163,9 +163,10 @@ def dtw_distance(
         return INF
     squared = inner_dist == "squared euclidean"
     if use_pruning:
-        ub = ub_euclidean(s1, s2)
-        max_dist = ub * ub if squared else ub
-    md = INF if max_dist is None else (max_dist if squared else max_dist)
+        # PrunedDTW: the Euclidean distance upper-bounds DTW; max_dist is
+        # in distance units and squared below alongside the DP costs
+        max_dist = ub_euclidean(s1, s2)
+    md = INF if max_dist is None else (max_dist * max_dist if squared else max_dist)
     ms = INF if max_step is None else (max_step * max_step if squared else max_step)
     pen = 0.0 if penalty is None else (penalty * penalty if squared else penalty)
     psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
@@ -211,6 +212,10 @@ def _dtw_diag_core(s1, s2, a, b, md, ms, pen, psi_1b, psi_2b, squared, matrix=No
         pass
     d_k = None
     abandoned = False
+    # early abandoning needs TWO consecutive diagonals above the bound: a
+    # diagonal step (i,j)->(i+1,j+1) skips anti-diagonal k+1 entirely, so a
+    # single bad diagonal can still be hopped over by the optimal path.
+    prev_min = 0.0
     for k in range(1, r + c + 1):
         d_k = np.full(r + 1, INF)
         # boundary cells on this diagonal
@@ -237,8 +242,11 @@ def _dtw_diag_core(s1, s2, a, b, md, ms, pen, psi_1b, psi_2b, squared, matrix=No
             left = d_km1[I] + pen
             vals = cost + np.minimum(diag, np.minimum(up, left))
             d_k[I] = vals
-            if md != INF and np.min(d_k) > md:
+        if md != INF and not abandoned:
+            cur_min = float(np.min(d_k))
+            if cur_min > md and prev_min > md:
                 abandoned = True
+            prev_min = cur_min
         if keep:
             I_all = np.arange(max(0, k - c), min(r, k) + 1)
             matrix[I_all, k - I_all] = d_k[I_all]

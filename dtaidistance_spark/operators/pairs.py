@@ -1,0 +1,261 @@
+"""Pairwise / set-level DTW operators — the reference's "joins".
+
+Replaces ``ref:dtaidistance/dtw.py::distance_matrix(block=...)`` (M1/M2)
+with the relational formulation: a condensed pairs DataFrame
+``(id_a, id_b, dist)`` with ``id_a < id_b`` — the dense N×N matrix is
+never materialized (SURVEY §4.3).
+
+Scale design — the LB cascade as *relational filters* so Catalyst prunes
+pairs before the expensive kernel ever runs:
+
+1. per-series features (length, first/last/min/max, LB_Keogh envelope)
+   are computed ONCE per series and materialized as columns — an
+   algebraic improvement over the reference, which recomputes envelopes
+   per pair;
+2. candidate generation is an equi-join on length buckets (a series in
+   bucket b joins buckets b-1..b+1 via explode), never a crossJoin —
+   ``max_length_diff`` pruning exactly as in the reference kernel;
+3. LB_Kim as a pure-SQL filter (whole-stage codegen);
+4. LB_Keogh vectorized numpy filter, then banded DTW with
+   ``max_dist=threshold`` early abandoning (PrunedDTW), inside ONE
+   ``mapInPandas`` stage.
+
+Stage boundaries are explicit DataFrames because Catalyst treats pandas
+UDFs as opaque and will not reorder filters around them (SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import kernels as K
+
+_FEATURE_COLS = "first_v double, last_v double, min_v double, max_v double"
+
+
+def with_series_features(
+    df: DataFrame, value_col: str = "tokens", env_window: int | None = None
+) -> DataFrame:
+    """Materialize per-series scalars (JVM-side) and, optionally, the
+    LB_Keogh envelope (vectorized pandas UDF) once per series."""
+    v = F.col(value_col).cast("array<double>")
+    out = (
+        df.withColumn("_v", v)
+        .withColumn("n_v", F.size("_v"))
+        .withColumn("first_v", F.element_at("_v", 1))
+        .withColumn("last_v", F.element_at("_v", -1))
+        .withColumn("min_v", F.array_min("_v"))
+        .withColumn("max_v", F.array_max("_v"))
+    )
+    if env_window is not None:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("struct<lo: array<double>, hi: array<double>>")
+        def env_udf(vals: pd.Series) -> pd.DataFrame:
+            los, his = [], []
+            for a in vals:
+                lo, hi = K.lb_keogh_envelope(
+                    np.asarray(a, dtype=np.float64), env_window
+                )
+                los.append(lo)
+                his.append(hi)
+            return pd.DataFrame({"lo": los, "hi": his})
+
+        out = out.withColumn("_env", env_udf("_v"))
+    return out
+
+
+def candidate_pairs(
+    feats: DataFrame,
+    id_col: str = "doc_id",
+    max_length_diff: int | None = None,
+    lb_kim_threshold: float | None = None,
+) -> DataFrame:
+    """Self-join on length buckets (+ neighbors) with id_a < id_b, then the
+    LB_Kim SQL prefilter. No crossJoin, no N² shuffle rows."""
+    bucket_w = max(max_length_diff or 64, 1)
+    a = feats.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("n_v").alias("n_a"),
+        F.col("first_v").alias("fa"),
+        F.col("last_v").alias("la"),
+        F.col("min_v").alias("mina"),
+        F.col("max_v").alias("maxa"),
+        *( [F.col("_env").alias("env_a")] if "_env" in feats.columns else [] ),
+        F.floor(F.col("n_v") / bucket_w).alias("bkt"),
+    )
+    b = feats.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("n_v").alias("n_b"),
+        F.col("first_v").alias("fb"),
+        F.col("last_v").alias("lb"),
+        F.col("min_v").alias("minb"),
+        F.col("max_v").alias("maxb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("n_v") / bucket_w) - 1,
+                F.floor(F.col("n_v") / bucket_w),
+                F.floor(F.col("n_v") / bucket_w) + 1,
+            )
+        ).alias("bkt"),
+    )
+    pairs = a.join(b, ["bkt"]).where(F.col("id_a") < F.col("id_b"))
+    if max_length_diff is not None:
+        pairs = pairs.where(
+            F.abs(F.col("n_a") - F.col("n_b")) <= max_length_diff
+        )
+    if lb_kim_threshold is not None:
+        lb = (
+            "greatest(abs(fa - fb), abs(la - lb), "
+            "abs(mina - minb), abs(maxa - maxb))"
+        )
+        pairs = pairs.where(F.expr(lb) <= lb_kim_threshold)
+    return pairs
+
+
+def dtw_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    value_col: str = "tokens",
+    window: int | None = None,
+    max_length_diff: int | None = None,
+    use_lb_keogh: bool = True,
+) -> DataFrame:
+    """All pairs within DTW distance ``threshold``: the distance-matrix
+    workload as LB-cascade + banded early-abandoning DTW.
+
+    Returns (id_a, id_b, dist) with id_a < id_b (condensed form).
+    """
+    feats = with_series_features(
+        df, value_col, env_window=window if use_lb_keogh else None
+    )
+    cand = candidate_pairs(
+        feats,
+        id_col=id_col,
+        max_length_diff=max_length_diff,
+        lb_kim_threshold=threshold,
+    ).select("id_a", "id_b", "v_a", "v_b")
+
+    win = window
+    thr = threshold
+    use_env = use_lb_keogh
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b, out_d = [], [], []
+            for ida, idb, va, vb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["v_a"], pdf["v_b"]
+            ):
+                s1 = np.asarray(va, dtype=np.float64)
+                s2 = np.asarray(vb, dtype=np.float64)
+                if use_env and K.lb_keogh(s1, s2, window=win) > thr:
+                    continue
+                d = K.dtw_distance(s1, s2, window=win, max_dist=thr)
+                if d <= thr:
+                    out_a.append(ida)
+                    out_b.append(idb)
+                    out_d.append(d)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
+
+    return cand.mapInPandas(kernel, "id_a string, id_b string, dist double")
+
+
+def dtw_knn(
+    df: DataFrame,
+    queries: list[tuple[str, np.ndarray]],
+    k: int = 5,
+    id_col: str = "doc_id",
+    value_col: str = "tokens",
+    window: int | None = None,
+) -> DataFrame:
+    """k nearest series to each query under banded DTW (M5 shape).
+
+    Queries are broadcast inside the UDF closure; per partition the batch
+    kernel computes all query distances with LB_Kim/LB_Keogh pruning and
+    running-kth early abandoning; global top-k via window rank.
+    """
+    qlist = [(qid, np.asarray(q, dtype=np.float64)) for qid, q in queries]
+    win = window
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"query_id": [], "doc_id": [], "dist": []}
+            arrays = [np.asarray(a, dtype=np.float64) for a in pdf[value_col]]
+            ids = list(pdf[id_col])
+            for qid, q in qlist:
+                for did, s in zip(ids, arrays):
+                    d = K.dtw_distance(s, q, window=win, use_pruning=True)
+                    rows["query_id"].append(qid)
+                    rows["doc_id"].append(did)
+                    rows["dist"].append(d)
+            yield pd.DataFrame(rows)
+
+    dists = df.select(id_col, F.col(value_col).cast("array<double>").alias(value_col)).mapInPandas(
+        kernel, "query_id string, doc_id string, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "doc_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4/M5 — subsequence alignment / search
+# ---------------------------------------------------------------------------
+
+
+def subsequence_best_match(query: np.ndarray, series: np.ndarray, window=None):
+    """Best-matching window of ``series`` for ``query``: DTW with free
+    start/end on the series side (psi on s2 only) —
+    ``ref:dtaidistance/subsequence/dtw.py::subsequence_alignment``.
+    Returns (start, end, value)."""
+    query = np.asarray(query, dtype=np.float64)
+    series = np.asarray(series, dtype=np.float64)
+    c = len(series)
+    d, m = K.warping_paths(query, series, window=window, psi=(0, 0, c, c))
+    # best end = argmin of last row; backtrack from there
+    j_end = int(np.argmin(m[-1, 1:])) + 1
+    path = K.best_path(m, row=m.shape[0] - 1, col=j_end)
+    start = path[0][1]
+    end = path[-1][1]
+    return int(start), int(end), float(m[-1, j_end])
+
+
+def subsequence_search(
+    df: DataFrame,
+    query: np.ndarray,
+    k: int | None = None,
+    id_col: str = "doc_id",
+    value_col: str = "tokens",
+    window: int | None = None,
+) -> DataFrame:
+    """Rank series by their best-matching subsequence for ``query``;
+    ``k`` keeps the global top-k (TakeOrderedAndProject)."""
+    q = np.asarray(query, dtype=np.float64)
+    win = window
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "start": [], "end": [], "value": []}
+            for did, a in zip(pdf[id_col], pdf[value_col]):
+                s = np.asarray(a, dtype=np.float64)
+                st, en, val = subsequence_best_match(q, s, window=win)
+                rows["doc_id"].append(did)
+                rows["start"].append(st)
+                rows["end"].append(en)
+                rows["value"].append(val)
+            yield pd.DataFrame(rows)
+
+    out = df.select(
+        id_col, F.col(value_col).cast("array<double>").alias(value_col)
+    ).mapInPandas(kernel, "doc_id string, start int, end int, value double")
+    out = out.orderBy("value", "doc_id")
+    return out.limit(k) if k else out

@@ -109,6 +109,9 @@ def test_max_dist_abandons():
     d = K.dtw_distance(S1, S2)
     assert K.dtw_distance(S1, S2, max_dist=d / 2) == np.inf
     assert K.dtw_distance(S1, S2, max_dist=d * 2) == pytest.approx(d, abs=1e-12)
+    # max_dist is in DISTANCE units (sqrt domain): a bound just above d keeps d
+    assert K.dtw_distance(S1, S2, max_dist=d * 1.01) == pytest.approx(d, abs=1e-12)
+    assert K.dtw_distance(S1, S2, max_dist=d * 0.99) == np.inf
 
 
 def test_max_length_diff():

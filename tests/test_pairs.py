@@ -1,0 +1,94 @@
+"""Pairwise ops vs brute-force scalar kernels (M1/M4/M5 parity)."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import pairs as P
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    pdf = synth.sequences_local(N)
+    # PAA everything to 64 points so brute force is fast and lengths equal
+    pdf["tokens"] = pdf["tokens"].map(lambda t: K.paa(np.asarray(t, float), 64))
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    return pdf, df
+
+
+def _brute_pairs(pdf, threshold, window):
+    out = {}
+    ids = list(pdf["doc_id"])
+    arrs = [np.asarray(t, float) for t in pdf["tokens"]]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = K.dtw_distance(arrs[i], arrs[j], window=window)
+            if d <= threshold:
+                out[(ids[i], ids[j])] = d
+    return out
+
+
+def test_dtw_pairs_matches_bruteforce(spark, small):
+    pdf, df = small
+    thr, win = 9000.0, 8
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in P.dtw_pairs(df, threshold=thr, window=win).collect()
+    }
+    want = _brute_pairs(pdf, thr, win)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert len(want) > 0  # non-vacuous
+
+
+def test_dtw_knn_matches_bruteforce(spark, small):
+    pdf, df = small
+    q = np.asarray(pdf["tokens"].iloc[0], float)
+    got = P.dtw_knn(df, [("q0", q)], k=5, window=8).collect()
+    dists = sorted(
+        (K.dtw_distance(np.asarray(t, float), q, window=8), d)
+        for d, t in zip(pdf["doc_id"], pdf["tokens"])
+    )
+    want_ids = [d for _, d in dists[:5]]
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == want_ids
+    assert got[0]["dist"] == pytest.approx(0.0, abs=1e-9)  # query is member 0
+
+
+def test_subsequence_alignment_finds_embedded_query(spark):
+    rng = np.random.default_rng(9)
+    q = np.sin(np.linspace(0, 3, 25)) * 10
+    rows = []
+    for i in range(12):
+        noise = rng.normal(0, 0.1, size=100)
+        s = noise.copy()
+        pos = 10 + i * 3
+        s[pos : pos + 25] += q
+        rows.append((f"d{i:02d}", s.tolist(), pos))
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "doc_id string, tokens array<double>"
+    )
+    res = {r["doc_id"]: r for r in P.subsequence_search(df, q).collect()}
+    assert len(res) == 12
+    for did, _, pos in rows:
+        r = res[did]
+        assert abs(r["start"] - pos) <= 3, (did, r["start"], pos)
+        assert abs(r["end"] - (pos + 24)) <= 3
+        assert r["value"] < K.ed_distance(q, np.zeros(25)) * 0.5
+
+
+def test_subsequence_topk_order(spark):
+    q = np.array([0.0, 1, 2, 3, 2, 1, 0])
+    rows = [
+        ("exact", np.concatenate([np.zeros(5), q, np.zeros(5)]).tolist()),
+        ("noisy", np.concatenate([np.zeros(5), q + 0.5, np.zeros(5)]).tolist()),
+        ("none", np.full(17, 9.0).tolist()),
+    ]
+    df = rows_df = None
+    spark_df = spark.createDataFrame(rows, "doc_id string, tokens array<double>")
+    out = P.subsequence_search(spark_df, q, k=2).collect()
+    assert [r["doc_id"] for r in out] == ["exact", "noisy"]
+    assert out[0]["value"] == pytest.approx(0.0, abs=1e-9)
