@@ -1,0 +1,135 @@
+"""Flagship DTW/DBA queries for the driver registry.
+
+The barycenter kernels are not SQL-expressible, so most entries are
+rows-only checks (the pytest tier-parity + golden-vector gates carry
+their correctness); ``events_profile_counts`` projects the flagship
+rollup's group cardinalities, which ARE SQL-expressible, giving the
+DuckDB oracle a direct check that the applyInPandas grouping is right.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import pairs as P
+from dtaidistance_spark.operators import rollup as R
+from dtaidistance_spark.operators.queries import T, register
+
+
+def _seq_n() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SEQ_N", "1200"))
+
+
+def _round_arr(df, col, nd=4):
+    return df.withColumn(
+        col, F.transform(F.col(col), lambda x: F.round(x, nd))
+    )
+
+
+@register("seq_rollup_1m")
+def seq_rollup_1m(spark, sf_dir):
+    """North-rule flagship: 1-minute DBA rollup of the synthetic
+    pre-tokenized sequence table (rows-only; exact parity vs the local
+    reference pipeline is gated in tests/test_rollup_e2e.py)."""
+    df = synth.sequences_df(spark, _seq_n())
+    return _round_arr(R.dba_rollup(df, tier="1 minute"), "barycenter")
+
+
+@register("seq_cascade_1d")
+def seq_cascade_1d(spark, sf_dir):
+    df = synth.sequences_df(spark, _seq_n())
+    tiers = R.cascade(df, tiers=("1 minute", "1 hour", "1 day"))
+    return _round_arr(tiers["1 day"], "barycenter")
+
+
+@register("dtw_pairs_threshold")
+def dtw_pairs_threshold(spark, sf_dir):
+    """Distance-matrix workload (M1) with the LB cascade, on PAA-64
+    synthetic series."""
+    pdf = synth.sequences_local(160)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
+    )
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    out = P.dtw_pairs(df, threshold=8000.0, window=8)
+    return out.select("id_a", "id_b", F.round("dist", 4).alias("dist"))
+
+
+@register("dtw_knn_seq")
+def dtw_knn_seq(spark, sf_dir):
+    pdf = synth.sequences_local(160)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
+    )
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    qs = [
+        ("q0", np.asarray(pdf["tokens"].iloc[0], dtype=np.float64)),
+        ("q1", np.asarray(pdf["tokens"].iloc[7], dtype=np.float64)),
+    ]
+    out = P.dtw_knn(df, qs, k=5, window=8)
+    return out.select("query_id", "doc_id", "rank", F.round("dist", 4).alias("dist"))
+
+
+@register("subsequence_search_seq")
+def subsequence_search_seq(spark, sf_dir):
+    pdf = synth.sequences_local(60)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 96)
+    )
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    q = np.asarray(pdf["tokens"].iloc[3], dtype=np.float64)[20:52]
+    out = P.subsequence_search(df, q, k=10, window=16)
+    return out.select("doc_id", "start", "end", F.round("value", 4).alias("value"))
+
+
+def _event_series(spark, sf_dir):
+    """events -> one value-series per (user_id, day): the per-user daily
+    activity curve, built JVM-side (array_sort(collect_list(struct)))."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat(F.col("user_id").cast("string"), F.lit("@"), F.col("day").cast("string")).alias("doc_id"),
+            F.transform("evs", lambda e: e["value"]).alias("tokens"),
+            F.lit("all").alias("source"),
+            F.col("day").alias("ts"),
+        )
+    )
+
+
+@register("events_daily_profile")
+def events_daily_profile(spark, sf_dir):
+    """Flagship on the shared tables: DBA barycenter of all users' daily
+    activity curves, per day — the 'representative daily profile'."""
+    series = _event_series(spark, sf_dir)
+    out = R.dba_rollup(series, tier="1 day", barycenter_len=48, dba_window=8)
+    return _round_arr(out, "barycenter")
+
+
+@register(
+    "events_profile_counts",
+    oracle="""
+    SELECT 'all' AS key, date_trunc('day', ts) AS window_start,
+           count(DISTINCT user_id) AS n_series,
+           count(*)                AS n_points
+    FROM events GROUP BY 2
+    """,
+)
+def events_profile_counts(spark, sf_dir):
+    """Oracle-checkable projection of the flagship rollup: group
+    cardinalities (n_series/n_points) must equal plain SQL over events."""
+    series = _event_series(spark, sf_dir)
+    out = R.dba_rollup(series, tier="1 day", barycenter_len=48, dba_window=8)
+    return out.select("key", "window_start", "n_series", "n_points")
