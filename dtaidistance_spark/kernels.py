@@ -426,6 +426,182 @@ def paa(s, m: int):
 # ---------------------------------------------------------------------------
 
 
+def _dba_paths_batch(center, batch, window=None):
+    """Forward DP for all members at once (uniform length, penalty 0,
+    squared-euclidean inner — the DBA configuration). Returns the step-code
+    tensor steps[k, b, i] ∈ {0 diag, 1 up, 2 left} for backtracking.
+
+    Tie preference diag > up > left matches :func:`best_path` exactly, so
+    per-member results are identical to the scalar pipeline's paths."""
+    r = len(center)
+    B, c = batch.shape
+    if window is None or window <= 0:
+        window = max(r, c)
+    a = max(0, r - c) + window - 1
+    b_ = max(0, c - r) + window - 1
+    steps = np.zeros((r + c + 1, B, r + 1), dtype=np.uint8)
+    d_km2 = np.full((B, r + 1), INF)
+    d_km1 = np.full((B, r + 1), INF)
+    d_km1[:, 0] = 0.0
+    for k in range(1, r + c + 1):
+        d_k = np.full((B, r + 1), INF)
+        ilo = max(1, k - c, -((-(k - b_)) // 2))
+        ihi = min(r, k - 1, (k + a) // 2)
+        if ilo <= ihi:
+            I = np.arange(ilo, ihi + 1)
+            cost = center[I - 1][None, :] - batch[:, k - I - 1]
+            cost *= cost
+            diag = d_km2[:, I - 1]
+            up = d_km1[:, I - 1]
+            left = d_km1[:, I]
+            take_diag = (diag <= up) & (diag <= left)
+            take_up = ~take_diag & (up <= left)
+            best = np.where(take_diag, diag, np.where(take_up, up, left))
+            d_k[:, ilo : ihi + 1] = cost + best
+            steps[k, :, ilo : ihi + 1] = np.where(
+                take_diag, 0, np.where(take_up, 1, 2)
+            )
+        d_km2, d_km1 = d_km1, d_k
+    return steps
+
+
+def dba_update_batch(center, batch, window=None):
+    """One DBA iteration over a uniform-length member matrix: batched
+    forward DP + lockstep vectorized backtrack. Numerically equivalent to
+    :func:`dba_update` member-by-member (accumulation order differs only
+    across members, verified ~1e-9 in tests)."""
+    center = np.asarray(center, dtype=np.float64)
+    batch = np.asarray(batch, dtype=np.float64)
+    r = len(center)
+    B, c = batch.shape
+    steps = _dba_paths_batch(center, batch, window=window)
+    sums = np.zeros(r)
+    cnts = np.zeros(r)
+    i = np.full(B, r, dtype=np.int64)
+    j = np.full(B, c, dtype=np.int64)
+    brange = np.arange(B)
+    active = (i > 0) & (j > 0)
+    while active.any():
+        ia, ja, ba = i[active], j[active], brange[active]
+        np.add.at(sums, ia - 1, batch[ba, ja - 1])
+        np.add.at(cnts, ia - 1, 1.0)
+        code = steps[ia + ja, ba, ia]
+        i[active] = ia - (code != 2)
+        j[active] = ja - (code != 1)
+        active = (i > 0) & (j > 0)
+    cnts[cnts == 0] = 1.0
+    return sums / cnts
+
+
+def dba_batch(members, center=None, max_it=10, thr=1e-5, window=None):
+    """DBA loop over a (B, L) uniform-length member matrix — the rollup
+    hot path. Same center-init rule as :func:`dba` (median length == the
+    middle member by stable order when lengths are uniform)."""
+    members = np.asarray(members, dtype=np.float64)
+    B = members.shape[0]
+    if center is None:
+        center = members[B // 2]
+    center = np.asarray(center, dtype=np.float64).copy()
+    for _ in range(max_it):
+        new_center = dba_update_batch(center, members, window=window)
+        delta = float(np.max(np.abs(new_center - center)))
+        center = new_center
+        if delta <= thr:
+            break
+    return center
+
+
+def _dba_paths_batch_multi(centers_per_row, batch, window=None):
+    """Forward DP where each row has its own alignment target (used to
+    run many groups' DBA in ONE DP — centers_per_row[b] is row b's group
+    center). Same step-code semantics as :func:`_dba_paths_batch`."""
+    B, r = centers_per_row.shape
+    c = batch.shape[1]
+    if window is None or window <= 0:
+        window = max(r, c)
+    a = max(0, r - c) + window - 1
+    b_ = max(0, c - r) + window - 1
+    steps = np.zeros((r + c + 1, B, r + 1), dtype=np.uint8)
+    d_km2 = np.full((B, r + 1), INF)
+    d_km1 = np.full((B, r + 1), INF)
+    d_km1[:, 0] = 0.0
+    for k in range(1, r + c + 1):
+        d_k = np.full((B, r + 1), INF)
+        ilo = max(1, k - c, -((-(k - b_)) // 2))
+        ihi = min(r, k - 1, (k + a) // 2)
+        if ilo <= ihi:
+            I = np.arange(ilo, ihi + 1)
+            cost = centers_per_row[:, I - 1] - batch[:, k - I - 1]
+            cost *= cost
+            diag = d_km2[:, I - 1]
+            up = d_km1[:, I - 1]
+            left = d_km1[:, I]
+            take_diag = (diag <= up) & (diag <= left)
+            take_up = ~take_diag & (up <= left)
+            best = np.where(take_diag, diag, np.where(take_up, up, left))
+            d_k[:, ilo : ihi + 1] = cost + best
+            steps[k, :, ilo : ihi + 1] = np.where(
+                take_diag, 0, np.where(take_up, 1, 2)
+            )
+        d_km2, d_km1 = d_km1, d_k
+    return steps
+
+
+def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=None):
+    """DBA for MANY groups in one shared DP: ``members`` is the (B, L)
+    stack of all groups' members (groups contiguous, stable member order),
+    ``group_idx`` maps each row to its group. Returns (n_groups, L)
+    centers.
+
+    Bit-identical to running :func:`dba_batch` per group (per-(group,
+    position) accumulation order is preserved), but the anti-diagonal loop
+    overhead is paid once per chunk instead of once per group — this is
+    the rollup hot-path kernel.
+    """
+    members = np.asarray(members, dtype=np.float64)
+    group_idx = np.asarray(group_idx, dtype=np.int64)
+    B, L = members.shape
+    # per-group init: middle member by stable order
+    centers = np.empty((n_groups, L))
+    starts = np.searchsorted(group_idx, np.arange(n_groups), side="left")
+    ends = np.searchsorted(group_idx, np.arange(n_groups), side="right")
+    sizes = ends - starts
+    centers[:] = members[starts + sizes // 2]
+    active = np.ones(n_groups, dtype=bool)
+    brange = np.arange(B)
+    for _ in range(max_it):
+        row_active = active[group_idx]
+        mb = members[row_active]
+        gb = group_idx[row_active]
+        steps = _dba_paths_batch_multi(centers[gb], mb, window=window)
+        sums = np.zeros((n_groups, L))
+        cnts = np.zeros((n_groups, L))
+        nb = mb.shape[0]
+        i = np.full(nb, L, dtype=np.int64)
+        j = np.full(nb, L, dtype=np.int64)
+        rrange = np.arange(nb)
+        alive = (i > 0) & (j > 0)
+        while alive.any():
+            ia, ja, ra = i[alive], j[alive], rrange[alive]
+            ga = gb[ra]
+            np.add.at(sums, (ga, ia - 1), mb[ra, ja - 1])
+            np.add.at(cnts, (ga, ia - 1), 1.0)
+            code = steps[ia + ja, ra, ia]
+            i[alive] = ia - (code != 2)
+            j[alive] = ja - (code != 1)
+            alive = (i > 0) & (j > 0)
+        cnts[cnts == 0] = 1.0
+        new_centers = sums / cnts
+        for g in np.nonzero(active)[0]:
+            delta = float(np.max(np.abs(new_centers[g] - centers[g])))
+            centers[g] = new_centers[g]
+            if delta <= thr:
+                active[g] = False
+        if not active.any():
+            break
+    return centers
+
+
 def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
     """DTW distance from ``query`` (len r) to each row of ``batch``
     (shape (B, c_pad), padded), with true lengths ``lengths``.

@@ -61,33 +61,62 @@ def rollup_group(
     """
     n_series = len(arrays)
     n_points = int(sum(len(a) for a in arrays))
-    if n_series > max_members:
-        idx = np.unique(np.linspace(0, n_series - 1, max_members).astype(np.int64))
-        sample = [arrays[i] for i in idx]
-    else:
-        sample = arrays
-    sample = [K.paa(a, barycenter_len) for a in sample]
-    center = K.dba(sample, max_it=dba_max_it, window=dba_window)
+    sample = sample_members(arrays, max_members)
+    mat = np.stack([K.paa(a, barycenter_len) for a in sample])
+    center = K.dba_batch(mat, max_it=dba_max_it, window=dba_window)
     return center, n_series, n_points
 
 
-def _make_kernel(max_members, dba_window, dba_max_it, barycenter_len):
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_sort_id")
-        arrays = [np.asarray(t, dtype=np.float64) for t in pdf["_value"]]
-        center, n_series, n_points = rollup_group(
-            arrays, max_members=max_members, dba_window=dba_window,
-            dba_max_it=dba_max_it, barycenter_len=barycenter_len,
-        )
-        return pd.DataFrame(
-            {
-                "key": [key[0]],
-                "window_start": [key[1]],
-                "n_series": [n_series],
-                "n_points": [n_points],
-                "barycenter": [center],
+def sample_members(arrays, max_members: int):
+    """Deterministic stride sample: indexes (j*n)//m for j in 0..m-1 —
+    strictly increasing when n >= m, and exactly replicated JVM-side by
+    the SQL sampling expression in :func:`dba_rollup`."""
+    n = len(arrays)
+    if n <= max_members:
+        return arrays
+    return [arrays[(j * n) // max_members] for j in range(max_members)]
+
+
+def _make_mega_kernel(dba_window, dba_max_it, barycenter_len, max_rows=4096):
+    """mapInPandas kernel over pre-aggregated group rows
+    (key, w, n_series, n_points, members). Many groups share ONE
+    anti-diagonal DP via kernels.dba_batch_groups; chunks are cut at
+    group boundaries so results are independent of chunking."""
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "key": [], "window_start": [], "n_series": [],
+                "n_points": [], "barycenter": [],
             }
-        )
+            start = 0
+            while start < n:
+                end = start
+                rows = 0
+                while end < n:
+                    m = len(pdf["members"].iloc[end])
+                    if rows and rows + m > max_rows:
+                        break
+                    rows += m
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                mats, gidx = [], []
+                for g, membs in enumerate(chunk["members"]):
+                    for a in membs:
+                        mats.append(K.paa(np.asarray(a, dtype=np.float64), barycenter_len))
+                        gidx.append(g)
+                centers = K.dba_batch_groups(
+                    np.stack(mats), np.asarray(gidx), len(chunk),
+                    max_it=dba_max_it, window=dba_window,
+                )
+                out["key"].extend(chunk["_key"])
+                out["window_start"].extend(chunk["_w"])
+                out["n_series"].extend(int(x) for x in chunk["n_series"])
+                out["n_points"].extend(int(x) for x in chunk["n_points"])
+                out["barycenter"].extend(list(centers))
+                start = end
+            yield pd.DataFrame(out)
 
     return kernel
 
@@ -105,15 +134,43 @@ def dba_rollup(
     barycenter_len: int = 128,
 ) -> DataFrame:
     """Roll ``df`` up to ``tier`` windows: one DBA barycenter per
-    (key, window). Returns ROLLUP_SCHEMA DataFrame."""
+    (key, window). Returns ROLLUP_SCHEMA DataFrame.
+
+    Scale shape: ONE hash shuffle on (key, window); counts, member
+    ordering and the deterministic stride sample all happen JVM-side in
+    the aggregate, so only <= max_members arrays per group ever cross the
+    Arrow boundary into Python."""
     prepared = df.select(
         F.col(key_col).cast("string").alias("_key"),
         F.window(F.col(ts_col), tier)["start"].alias("_w"),
         F.col(value_col).cast("array<double>").alias("_value"),
         F.col(id_col).cast("string").alias("_sort_id"),
     )
-    kernel = _make_kernel(max_members, dba_window, dba_max_it, barycenter_len)
-    return prepared.groupBy("_key", "_w").applyInPandas(kernel, ROLLUP_SCHEMA)
+    m = max_members
+    grouped = (
+        prepared.groupBy("_key", "_w")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_sort_id", "_value"))
+            ).alias("_sorted"),
+            F.count(F.lit(1)).alias("n_series"),
+            F.sum(F.size("_value")).alias("n_points"),
+        )
+        .select(
+            "_key",
+            "_w",
+            "n_series",
+            "n_points",
+            F.expr(
+                f"""CASE WHEN size(_sorted) <= {m} THEN transform(_sorted, s -> s._value)
+                ELSE transform(sequence(0, {m} - 1),
+                     j -> element_at(_sorted, cast((cast(j AS BIGINT) * size(_sorted)) div {m} AS INT) + 1)._value)
+                END"""
+            ).alias("members"),
+        )
+    )
+    kernel = _make_mega_kernel(dba_window, dba_max_it, barycenter_len)
+    return grouped.mapInPandas(kernel, ROLLUP_SCHEMA)
 
 
 def cascade(

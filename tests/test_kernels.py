@@ -168,6 +168,24 @@ def test_warp_and_amount():
     assert len(warped) == len(S2)
 
 
+def test_dba_batch_matches_scalar():
+    rng = np.random.default_rng(21)
+    members = rng.normal(size=(13, 40))
+    for w in (None, 6, 12):
+        got = K.dba_batch(members, max_it=3, window=w)
+        want = K.dba(list(members), max_it=3, window=w)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_dba_update_batch_matches_update():
+    rng = np.random.default_rng(22)
+    members = rng.normal(size=(7, 32))
+    center = rng.normal(size=32)
+    got = K.dba_update_batch(center, members, window=5)
+    want = K.dba_update(center, list(members), window=5)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_dba_converges_to_middle():
     base = np.sin(np.linspace(0, 6, 40))
     shifted = [np.roll(base, k) for k in (-1, 0, 1)]

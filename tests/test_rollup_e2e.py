@@ -109,5 +109,5 @@ def test_tableio_dynamic_overwrite_and_time_travel(spark, tmp_path):
 def test_no_per_row_python_in_plan(spark, seq_df):
     """North rule: plan shows only Arrow-vectorized Python nodes."""
     plan = R.dba_rollup(seq_df, tier="1 hour")._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
-    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan  # Arrow-vectorized kernel stage
+    assert "BatchEvalPython" not in plan  # zero per-row Python
