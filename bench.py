@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Extras carry the north-rule headline numbers: rolled-up points/sec and
+sequences/sec ingested for the DBA tier rollup on the synthetic
+pre-tokenized token table (BASELINE.json ``metric``).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``scripts/scale_bench.py`` and recorded in BASELINE.md — this script
+keeps the per-round timing fast and single-config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_SEQ_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_N", "20000"))
+
+# Registry queries timed at SF_DIR — a representative slice of the
+# operator surface (relational aggs, joins, gap-fill, as-of, kNN, and
+# the flagship DBA profile rollup over events).
+REGISTRY_QUERIES = [
+    "pricing_summary",
+    "revenue_per_nation",
+    "events_hourly",
+    "gapfill_locf",
+    "gapfill_linear",
+    "asof_join",
+    "euclidean_knn",
+    "events_daily_profile",
+]
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators import rollup as R
+    from dtaidistance_spark.session import get_spark
+    from __spark_entry__ import queries
+
+    spark = get_spark(app="bench")
+    registry = queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Python workers once (not timed)
+    synth.sequences_df(spark, 256).count()
+
+    for name in REGISTRY_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        n = _count(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    # --- headline: DBA tier rollup throughput on the token table -------
+    # ingest rate: distributed generation + materialization into cache
+    t0 = time.perf_counter()
+    seq = synth.sequences_df(spark, BENCH_SEQ_N).persist()
+    stats = seq.selectExpr(
+        "count(*) AS n_series", "sum(n_tok) AS n_points"
+    ).collect()[0]
+    ingest_sec = time.perf_counter() - t0
+    timings["seq_ingest_bench"] = round(ingest_sec, 3)
+
+    t0 = time.perf_counter()
+    rolled = R.dba_rollup(seq, tier="1 minute")
+    out_points = rolled.selectExpr("sum(size(barycenter))").collect()[0][0]
+    rollup_sec = time.perf_counter() - t0
+    timings["seq_rollup_1m_bench"] = round(rollup_sec, 3)
+
+    # cascade 1m->1h->1d on the same table (tiers persisted so each is
+    # computed once, as the materialized production path does)
+    t0 = time.perf_counter()
+    tiers = R.cascade(seq, persist=True)
+    cascade_points = sum(
+        df.selectExpr("sum(size(barycenter))").collect()[0][0]
+        for df in tiers.values()
+    )
+    cascade_sec = time.perf_counter() - t0
+    timings["seq_cascade_bench"] = round(cascade_sec, 3)
+    for df in tiers.values():
+        df.unpersist()
+    seq.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline query wall time (sf bench suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "rollup_input_points": int(stats["n_points"]),
+        "rollup_input_sequences": int(stats["n_series"]),
+        "rollup_output_points": int(out_points),
+        "rolled_points_per_sec": round(stats["n_points"] / rollup_sec, 1),
+        "sequences_per_sec": round(stats["n_series"] / rollup_sec, 1),
+        "ingest_sequences_per_sec": round(stats["n_series"] / ingest_sec, 1),
+        "ingest_points_per_sec": round(stats["n_points"] / ingest_sec, 1),
+        "cascade_points_per_sec": round(stats["n_points"] / cascade_sec, 1),
+        "cascade_output_points": int(cascade_points),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -176,11 +176,18 @@ def dba_rollup(
 def cascade(
     df: DataFrame,
     tiers: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    persist: bool = False,
     **kw,
 ) -> dict[str, DataFrame]:
     """Tier cascade: raw -> tiers[0]; tiers[i] -> tiers[i+1] re-rolls the
     previous tier's barycenters (each barycenter is the series payload of
-    its window)."""
+    its window).
+
+    ``persist=True`` caches each tier before the next consumes it —
+    otherwise Spark's lazy lineage recomputes tier i for every downstream
+    tier (on a cluster the production path is the materialized
+    continuous-aggregate tables in :mod:`..plans.continuous`, which write
+    each tier to storage and read it back)."""
     out: dict[str, DataFrame] = {}
     cur = df
     value_col, ts_col, key_col, id_col = kw.pop("value_col", "tokens"), "ts", "source", "doc_id"
@@ -189,6 +196,8 @@ def cascade(
             cur, tier=tier, key_col=key_col, value_col=value_col,
             ts_col=ts_col, id_col=id_col, **kw,
         )
+        if persist:
+            rolled = rolled.persist()
         out[tier] = rolled
         # next tier consumes this tier's output
         cur = rolled.select(
