@@ -19,7 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _registry():
     # importing the operator modules populates the registry
-    from dtaidistance_spark.operators import flagship, queries  # noqa: F401
+    from dtaidistance_spark.operators import (  # noqa: F401
+        encoding_q,
+        flagship,
+        queries,
+    )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 
     return REGISTRY, ORACLE

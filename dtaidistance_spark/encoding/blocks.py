@@ -1,0 +1,140 @@
+"""Spark operators for Gorilla-encoded retention-tier blocks (E3).
+
+Scale shape: ONE hash shuffle on the block key; member sort happens
+JVM-side (``array_sort(collect_list(struct(ts, val)))``) so rows cross
+the Arrow boundary exactly once, already grouped and ordered, and the
+vectorized numpy bit-packer runs per block — no per-row Python
+(north rule). Each (key, block_window) is one block, so block size is
+bounded regardless of total table size and blocks parallelize across
+executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dtaidistance_spark.encoding import gorilla as G
+
+
+def encode_blocks(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+    block_window: str | None = "1 day",
+) -> DataFrame:
+    """Encode (ts, value) points into Gorilla blocks per
+    (key_cols..., block_start). ``ts_col`` may be a timestamp (encoded
+    at µs resolution) or an integral epoch column."""
+    ts_expr = F.col(ts_col)
+    # session TZ is UTC, so TIMESTAMP_NTZ -> TIMESTAMP is the identity map
+    ts_us = (
+        F.unix_micros(ts_expr.cast("timestamp"))
+        if dict(df.dtypes)[ts_col] in ("timestamp", "timestamp_ntz")
+        else ts_expr.cast("long")
+    )
+    keyed = df.select(
+        *[F.col(k) for k in key_cols],
+        ts_us.alias("_ts_us"),
+        F.col(val_col).cast("double").alias("_val"),
+    )
+    group = list(key_cols)
+    if block_window is not None:
+        keyed = keyed.withColumn(
+            "block_start",
+            F.window(F.timestamp_micros(F.col("_ts_us")), block_window)["start"],
+        )
+        group = group + ["block_start"]
+    grouped = keyed.groupBy(*group).agg(
+        F.array_sort(F.collect_list(F.struct("_ts_us", "_val"))).alias("_pts")
+    )
+
+    key_fields = [f"{k} {t}" for k, t in df.select(*key_cols).dtypes]
+    if block_window is not None:
+        key_fields.append("block_start timestamp")
+    out_schema = ", ".join(
+        key_fields
+        + [
+            "count long",
+            "first_ts long",
+            "first_val double",
+            "ts_block binary",
+            "val_block binary",
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                pts = row["_pts"]
+                ts = np.asarray([p["_ts_us"] for p in pts], dtype=np.int64)
+                vals = np.asarray([p["_val"] for p in pts], dtype=np.float64)
+                blk = G.encode_block(ts, vals)
+                rec = {k: row[k] for k in group}
+                rec.update(blk)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return grouped.mapInPandas(kernel, out_schema)
+
+
+def decode_blocks(df: DataFrame, key_cols: list[str], ts_as_timestamp: bool = True) -> DataFrame:
+    """Decode Gorilla blocks back to (key_cols..., ts, value) points.
+
+    Note: NaN values come back as NULL — the bitstream preserves the NaN
+    bit pattern exactly (see kernel round-trip tests), but the
+    pandas→Arrow boundary of ``mapInPandas`` maps NaN to null, matching
+    the usual TSDB convention that NaN is a missing point."""
+    key_fields = [f"{k} {t}" for k, t in df.select(*key_cols).dtypes]
+    out_schema = ", ".join(key_fields + ["ts_us long", "value double"])
+
+    def kernel(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in key_cols}
+            cols["ts_us"], cols["value"] = [], []
+            for _, row in pdf.iterrows():
+                ts, vals = G.decode_block(
+                    {
+                        "count": row["count"],
+                        "first_ts": row["first_ts"],
+                        "first_val": row["first_val"],
+                        "ts_block": bytes(row["ts_block"] or b""),
+                        "val_block": bytes(row["val_block"] or b""),
+                    }
+                )
+                n = len(ts)
+                for k in key_cols:
+                    cols[k].extend([row[k]] * n)
+                cols["ts_us"].extend(ts.tolist())
+                cols["value"].extend(vals.tolist())
+            yield pd.DataFrame(cols)
+
+    out = df.mapInPandas(kernel, out_schema)
+    if ts_as_timestamp:
+        out = out.select(
+            *key_cols,
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "value",
+        )
+    return out
+
+
+def compression_stats(blocks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key compression metrics for the encoded blocks table."""
+    return (
+        blocks.groupBy(*key_cols)
+        .agg(
+            F.sum("count").alias("n_points"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            (F.sum("count") * 16).alias("raw_bytes"),
+            F.sum(
+                F.length("ts_block") + F.length("val_block") + F.lit(20)
+            ).alias("enc_bytes"),
+        )
+        .withColumn(
+            "ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3)
+        )
+    )

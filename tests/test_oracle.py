@@ -3,7 +3,7 @@ the local replica of the driver's CORRECTNESS gate."""
 
 import pytest
 
-from dtaidistance_spark.operators import flagship  # noqa: F401 — registers
+from dtaidistance_spark.operators import encoding_q, flagship  # noqa: F401 — registers
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con
 
