@@ -1,0 +1,115 @@
+"""Continuous-aggregate gates (SURVEY §5.2 gates 4+5): incremental
+refresh == from-scratch rollup exactly; crash-injected runs resume to
+the identical result; lineage + metrics recorded."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.plans.continuous import ContinuousAggregate, ingest
+from dtaidistance_spark.sources.tableio import TableIO
+
+TIERS = ("1 minute", "1 hour", "1 day")
+
+
+def _batch(spark, ids, day):
+    """Synthetic token rows pinned to a given day (controlled p_day)."""
+    pdf = synth.gen_pdf(ids)
+    pdf["ts"] = pd.Timestamp(f"2026-01-0{day}") + pd.to_timedelta(
+        [int(i) % 86400 for i in ids], unit="s"
+    )
+    return spark.createDataFrame(pdf[["doc_id", "tokens", "n_tok", "source", "ts"]])
+
+
+def _tier_rows(spark, ca, tier):
+    df = ca.read_tier(spark, tier)
+    rows = df.select(
+        "key", "window_start", "n_series", "n_points", "barycenter"
+    ).collect()
+    return sorted(
+        (r.key, str(r.window_start), r.n_series, r.n_points,
+         tuple(np.round(r.barycenter, 9)))
+        for r in rows
+    )
+
+
+@pytest.fixture()
+def batches(spark):
+    b1 = _batch(spark, range(0, 120), day=1).union(_batch(spark, range(200, 260), day=2))
+    b2 = _batch(spark, range(300, 360), day=2).union(_batch(spark, range(400, 450), day=3))
+    return b1, b2
+
+
+def _run_clean(spark, root, b1, b2):
+    """From-scratch oracle: everything ingested, one full refresh."""
+    src = TableIO(str(root), "tokens", partition_by=["p_day"])
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    ca = ContinuousAggregate(str(root), tiers=TIERS)
+    ca.refresh(spark, src)
+    return ca
+
+
+def test_incremental_matches_full(spark, tmp_path, batches):
+    b1, b2 = batches
+    # incremental: refresh after each ingest
+    src = TableIO(str(tmp_path / "inc"), "tokens", partition_by=["p_day"])
+    ca = ContinuousAggregate(str(tmp_path / "inc"), tiers=TIERS)
+    ingest(b1, src, mode="overwrite")
+    r1 = ca.refresh(spark, src)
+    assert all(v["status"] == "refreshed" for v in r1.values())
+    ingest(b2, src, mode="append")
+    r2 = ca.refresh(spark, src)
+    # batch2 touched days 2 and 3 only — day 1 must NOT be recomputed
+    assert sorted(r2["1 minute"]["days"]) == ["2026-01-02", "2026-01-03"]
+
+    full = _run_clean(spark, tmp_path / "full", b1, b2)
+    for tier in TIERS:
+        assert _tier_rows(spark, ca, tier) == _tier_rows(spark, full, tier), tier
+
+
+def test_refresh_is_noop_when_no_new_data(spark, tmp_path, batches):
+    b1, _ = batches
+    src = TableIO(str(tmp_path), "tokens", partition_by=["p_day"])
+    ca = ContinuousAggregate(str(tmp_path), tiers=TIERS)
+    ingest(b1, src, mode="overwrite")
+    ca.refresh(spark, src)
+    again = ca.refresh(spark, src)
+    assert all(v["status"] == "noop" for v in again.values())
+
+
+def test_crash_resume_converges(spark, tmp_path, batches):
+    b1, b2 = batches
+    src = TableIO(str(tmp_path / "r"), "tokens", partition_by=["p_day"])
+    ca = ContinuousAggregate(str(tmp_path / "r"), tiers=TIERS)
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ca.refresh(spark, src, fail_after_tier=0)
+    # resume: tier 0 already committed -> noop; downstream tiers complete
+    resumed = ContinuousAggregate(str(tmp_path / "r"), tiers=TIERS)
+    rep = resumed.refresh(spark, src)
+    assert rep["1 minute"]["status"] == "noop"
+    assert rep["1 hour"]["status"] == "refreshed"
+    assert rep["1 day"]["status"] == "refreshed"
+
+    full = _run_clean(spark, tmp_path / "full2", b1, b2)
+    for tier in TIERS:
+        assert _tier_rows(spark, resumed, tier) == _tier_rows(spark, full, tier), tier
+
+
+def test_lineage_and_metrics_recorded(spark, tmp_path, batches):
+    b1, _ = batches
+    src = TableIO(str(tmp_path), "tokens", partition_by=["p_day"])
+    ca = ContinuousAggregate(str(tmp_path), tiers=TIERS)
+    ingest(b1, src, mode="overwrite")
+    ca.refresh(spark, src)
+    for tier in TIERS:
+        entries = ca.tier_io[tier].entries()
+        assert entries and all(
+            e["rows"] > 0 and e["checksum"] not in (None, "") for e in entries
+        )
+    m = ca.metrics_io.read(spark).toPandas()
+    assert set(m["tier"]) == set(TIERS)
+    assert (m["input_rows"] > 0).all() and (m["output_rows"] > 0).all()

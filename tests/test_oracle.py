@@ -3,7 +3,11 @@ the local replica of the driver's CORRECTNESS gate."""
 
 import pytest
 
-from dtaidistance_spark.operators import encoding_q, flagship  # noqa: F401 — registers
+from dtaidistance_spark.operators import (  # noqa: F401 — registers
+    continuous_q,
+    encoding_q,
+    flagship,
+)
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con
 
