@@ -20,10 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _registry():
     # importing the operator modules populates the registry
     from dtaidistance_spark.operators import (  # noqa: F401
+        ann_q,
         continuous_q,
+        dedup_q,
         encoding_q,
         flagship,
+        multimodal_q,
         queries,
+        text_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 

@@ -1,0 +1,67 @@
+"""Registry queries for ANN search. ``ann_brute_topk`` carries a full
+DuckDB oracle (exact math both sides); the LSH tier is evaluated by its
+measured recall against the exact tier — a self-checking approximate
+operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators import ann as A
+from dtaidistance_spark.operators.queries import T, register
+
+_NQ = 8  # queries = vec_id < _NQ
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN v c ON q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nn_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, nn_id, rank, round(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_brute_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    return A.brute_cosine_topk(emb, qs, k=10)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-k (rows-only; recall measured by
+    ann_lsh_recall)."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    return A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=16, n_planes=4)
+
+
+@register("ann_lsh_recall")
+def ann_lsh_recall(spark, sf_dir):
+    """Measured recall@10 of the LSH tier vs the exact tier.
+
+    Note: the synthetic embeddings are near-uniform on the sphere (top
+    neighbours sit at cosine ~0.3–0.5, i.e. ~60–70 deg) — the
+    theoretical worst case for hyperplane LSH, so bands are kept short
+    (4 bits x 16 tables). On real, clustered embedding corpora the same
+    operator runs with longer bands (smaller buckets) at high recall."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    approx = A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=16, n_planes=4)
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    return A.recall_at_k(approx, exact, k=10)

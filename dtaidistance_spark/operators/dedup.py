@@ -1,0 +1,267 @@
+"""Training-data deduplication operators over the ``documents`` table.
+
+Scale-first design notes (the point of each op at 100 TB):
+
+- ``exact_dedup``: one hash-shuffle on md5(text); Catalyst does a
+  partial (map-side) aggregation first, so the shuffle carries one row
+  per distinct digest per task, not one per document.
+- ``minhash_lsh_pairs``: the scalable near-dup join. Candidate
+  generation NEVER goes N²: shingles -> 64-permutation minhash
+  signature computed as 64 ``min()`` aggregates (map-side combine; no
+  row blowup) -> banded bucket hashes -> self-join on (band, hash) --
+  the shuffle key is the bucket, so work scales with bucket sizes, not
+  with N². Candidates are then verified with exact shingle Jaccard, so
+  the OUTPUT is exact (and DuckDB-oracle-checkable) while the JOIN is
+  sub-quadratic. Banding b=32, r=2 => P(candidate | j) = 1-(1-j²)^32:
+  ~1.0 at j>=0.8, 0.27 at j=0.1 — tune per corpus.
+- ``simhash64``: 64-bit SimHash (Charikar 2002) computed JVM-side with
+  bit_count/bitwise SQL over word hashes; hamming-distance candidates
+  via 4x16-bit band buckets (any pair within hamming<=3 shares >=1 of
+  4 bands by pigeonhole).
+- ``cosine_neardup_pairs``: brute-force exact pairs at small N /
+  verification tier; the ANN scale path is in :mod:`.ann`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 64
+N_BANDS = 32  # r = N_MINHASH // N_BANDS = 2 rows per band
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens of lowercased text — the shared tokenization
+    contract with the DuckDB oracles (string_split(lower(text), ' '))."""
+    return df.withColumn("_ws", F.split(F.lower(F.col(text_col)), " "))
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word k-gram shingles per document (docs with < k words
+    are dropped — no shingle set)."""
+    d = tokenize(df, text_col)
+    d = d.where(F.size("_ws") >= k)
+    idx = F.sequence(F.lit(0), F.size("_ws") - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_ws", (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return d.withColumn("_sh", F.array_distinct(grams)).drop("_ws")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one row per distinct text with the
+    canonical keeper (min id) and the duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-permutation minhash signature, computed as 64 ``min()``
+    aggregates over the exploded (doc, shingle) rows — map-side combine
+    keeps the shuffle at one row per doc."""
+    ex = sh.select(id_col, F.explode("_sh").alias("_g"))
+    hashes = [
+        F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("_g"))).alias(f"_h{i}")
+        for i in range(N_MINHASH)
+    ]
+    ex = ex.select(id_col, *hashes)
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(N_MINHASH)]
+    )
+    return sig
+
+
+def lsh_candidates(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket, emit
+    (band, bucket) keys, self-join. Returns distinct (id_a, id_b)."""
+    r = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    *[F.col(f"_m{b * r + j}").cast("string") for j in range(r)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    keyed = sig.select(
+        F.col(id_col).alias("_id"), F.posexplode(bands).alias("_band", "_bucket")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (stage 2 of
+    the LSH cascade — makes the output exact regardless of banding)."""
+    sets = sh.select(F.col(id_col).alias("_sid"), F.col("_sh"))
+    out = (
+        cands.join(sets.withColumnRenamed("_sh", "_sa"), F.col("id_a") == F.col("_sid"))
+        .drop("_sid")
+        .join(sets.withColumnRenamed("_sh", "_sb"), F.col("id_b") == F.col("_sid"))
+        .drop("_sid")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs at shingle-Jaccard >= threshold via
+    MinHash+LSH candidates, exactly verified."""
+    sh = shingles(docs, k=k, text_col=text_col)
+    sig = minhash_signature(sh, id_col=id_col)
+    cands = lsh_candidates(sig, id_col=id_col)
+    return verify_jaccard(cands, sh, threshold, id_col=id_col)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Brute-force exact shingle-Jaccard pairs (the small-N oracle twin
+    of minhash_lsh_pairs; also the verification tier on samples)."""
+    sh = shingles(docs, k=k, text_col=text_col).select(
+        F.col(id_col).alias("_id"), "_sh"
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002) — 64-bit fingerprint, JVM-side
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: sign-sum of word-hash bits, entirely
+    in Spark SQL (explode words -> per-bit +/-1 sums -> reassemble)."""
+    d = tokenize(docs, text_col).select(
+        id_col, F.explode("_ws").alias("_w")
+    )
+    d = d.withColumn("_h", F.xxhash64(F.concat(F.lit("sim|"), F.col("_w"))))
+    # per bit: contribution +1 if bit set else -1 => sum = 2*ones - n
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
+    fp = None
+    for i in range(64):
+        bit = (F.col(f"_b{i}") * 2 > F.col("_n")).cast("long")
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_candidates(
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs within hamming distance <= max_hamming of their simhash.
+    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair
+    with <= 3 differing bits agrees on >= 1 band, so the bucket join
+    finds every such pair, then bit_count verifies exactly."""
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("long")
+            .alias(f"band{b}")
+            for b in range(4)
+        ]
+    )
+    keyed = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_fp"),
+        F.posexplode(bands).alias("_band", "_bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs via JVM-side array lambdas
+    (zip_with dot product) — the brute-force tier; see :mod:`.ann` for
+    the LSH-bucketed scale path."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("_n"),
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

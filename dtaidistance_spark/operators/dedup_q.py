@@ -1,0 +1,95 @@
+"""Registry queries for the dedup operators (documents/embeddings
+tables), each with a DuckDB oracle where SQL-expressible.
+
+The tokenization contract shared with every oracle:
+``string_split(lower(text), ' ')`` == Spark ``split(lower(text), ' ')``;
+shingles are word trigrams, deduped (list_distinct/array_distinct);
+docs with < 3 words drop out of shingle ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators import dedup as D
+from dtaidistance_spark.operators.queries import T, register
+
+_SHINGLE_CTE = """
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS s
+        FROM w WHERE len(ws) >= 3
+    ),
+    j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+"""
+
+_JACCARD_ORACLE = (
+    _SHINGLE_CTE
+    + """
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.8
+"""
+)
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    return D.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_neardups", oracle=_JACCARD_ORACLE)
+def minhash_lsh_neardups(spark, sf_dir):
+    """Sub-quadratic MinHash+LSH candidates, exactly verified — output
+    must equal the brute-force SQL pairs at jaccard >= 0.8 (banding
+    b=32, r=2 makes the miss probability ~6e-15 at j=0.8)."""
+    return D.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Brute-force exact trigram-shingle Jaccard pairs (small-N tier)."""
+    return D.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("simhash_neardups")
+def simhash_neardups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints);
+    rows-only — xxhash64 has no DuckDB twin, the SimHash kernel is
+    gated against a plain-Python oracle in tests/test_dedup.py."""
+    fps = D.simhash64(T(spark, sf_dir, "documents"))
+    return D.simhash_candidates(fps, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "cosine_neardup_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e))
+                    * sqrt(list_inner_product(b.e, b.e))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+          / (sqrt(list_inner_product(a.e, a.e))
+             * sqrt(list_inner_product(b.e, b.e))) >= 0.4
+    """,
+)
+def cosine_neardup_pairs_q(spark, sf_dir):
+    return D.cosine_neardup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)

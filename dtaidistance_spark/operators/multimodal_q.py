@@ -1,0 +1,54 @@
+"""Registry queries for the multimodal plumbing. ``multimodal_assets``
+is fully SQL-oracled (payload construction and sizes are portable md5
+expressions); the feature/frame kernels are rows-only with pytest
+gates against local numpy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators import multimodal as M
+from dtaidistance_spark.operators.queries import T, register
+
+
+@register(
+    "multimodal_assets",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           octet_length(unhex(repeat(md5(text), 8))) AS n_bytes,
+           md5(lower(hex(unhex(repeat(md5(text), 8))))) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_assets(spark, sf_dir):
+    """Asset synthesis + binary column round-trip: byte length and the
+    md5 of the hex of the payload must match DuckDB exactly."""
+    assets = M.make_assets(T(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Byte-histogram features through the Arrow-batched kernel
+    (rows-only; kernel gated vs local numpy in tests)."""
+    assets = M.make_assets(T(spark, sf_dir, "documents"))
+    out = M.extract_features(assets)
+    return out.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    ).orderBy("asset_id")
+
+
+@register("video_frame_sample")
+def video_frame_sample(spark, sf_dir):
+    """Strided frame sampling on video assets, pure SQL on binary."""
+    assets = M.make_assets(T(spark, sf_dir, "documents"))
+    return M.frame_sample(assets).orderBy("asset_id")

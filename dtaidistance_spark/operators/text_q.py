@@ -1,0 +1,155 @@
+"""Text-analysis operators over the ``documents`` table: language-ID
+heuristic, quality scoring, token counting, fingerprinting. All hot
+paths are JVM-side SQL expressions (whole-stage codegen); the winnowing
+fingerprint is the one Arrow-batched kernel.
+
+Note on ``lang_id``: the synthetic corpus's ``lang`` column is a label,
+not a property of the text (every doc is the same English-ish word
+soup), so the heuristic's *output* is the contract — the oracle
+recomputes the identical stopword-ratio rule in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.functions import fingerprint as FP
+from dtaidistance_spark.operators.queries import T, register
+
+_STOP = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOP)
+
+# BPE-ish token pattern: letter runs, digit runs, or single punctuation
+_TOK_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round(len(list_filter(ws, x -> x IN ({_STOP_SQL})))::DOUBLE
+                 / len(ws), 4) AS stop_ratio,
+           CASE WHEN len(list_filter(ws, x -> x IN ({_STOP_SQL})))::DOUBLE
+                     / len(ws) >= 0.05
+                THEN 'en' ELSE 'und' END AS pred_lang
+    FROM w
+    """,
+)
+def lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic, pure SQL."""
+    d = T(spark, sf_dir, "documents").withColumn(
+        "_ws", F.split(F.lower("text"), " ")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    ratio = F.size(
+        F.filter("_ws", lambda x: F.array_contains(stop_arr, x))
+    ) / F.size("_ws")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, n_chars, string_split(lower(text), ' ') AS ws,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(n_chars::DOUBLE / len(ws), 4) AS avg_word_len,
+           round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+           round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS uniq_ratio,
+           round(least(1.0, len(ws) / 64.0)
+                 * (len(list_distinct(ws))::DOUBLE / len(ws)), 4) AS quality
+    FROM w
+    """,
+)
+def doc_quality(spark, sf_dir):
+    """Quality scoring: length, punctuation ratio, vocabulary diversity
+    — the standard cheap pre-training filters, pure SQL."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.split(F.lower("text"), " ").alias("_ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))).alias(
+            "_n_punct"
+        ),
+    )
+    n_words = F.size("_ws")
+    uniq = F.size(F.array_distinct("_ws")) / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars") / n_words, 4).alias("avg_word_len"),
+        F.round(F.col("_n_punct") / F.col("n_chars"), 4).alias("punct_ratio"),
+        F.round(uniq, 4).alias("uniq_ratio"),
+        F.round(F.least(F.lit(1.0), n_words / F.lit(64.0)) * uniq, 4).alias(
+            "quality"
+        ),
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_TOK_PAT}')) AS re_tokens,
+           md5(lower(text)) AS fp_md5
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) and md5 content
+    fingerprint, pure SQL in both engines."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOK_PAT), F.lit(0))).alias(
+            "re_tokens"
+        ),
+        F.md5(F.lower("text")).alias("fp_md5"),
+    )
+
+
+@register("winnowing_overlap")
+def winnowing_overlap(spark, sf_dir):
+    """Copy-detection via winnowing fingerprints: pairs of docs sharing
+    >= 8 rolling-hash fingerprints (rows-only; the kernel is gated
+    against a plain-Python oracle in tests/test_text.py). The join is
+    the scalable shape: explode fingerprints -> bucket join on the
+    fingerprint value -> count shared per pair."""
+    docs = T(spark, sf_dir, "documents")
+    fps = FP.fingerprint_docs(docs)
+    ex = fps.select("doc_id", "n_fp", F.explode("fingerprints").alias("fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.least("a.n_fp", "b.n_fp").alias("_min_fp"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .withColumn(
+            "overlap", F.round(F.col("shared_fp") / F.col("_min_fp"), 4)
+        )
+        .where(F.col("overlap") >= 0.8)
+        .select("id_a", "id_b", "shared_fp", "overlap")
+        .orderBy("id_a", "id_b")
+    )

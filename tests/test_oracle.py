@@ -4,9 +4,13 @@ the local replica of the driver's CORRECTNESS gate."""
 import pytest
 
 from dtaidistance_spark.operators import (  # noqa: F401 — registers
+    ann_q,
     continuous_q,
+    dedup_q,
     encoding_q,
     flagship,
+    multimodal_q,
+    text_q,
 )
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con

@@ -1,0 +1,153 @@
+"""Kernel gates for the training-data pipeline ops that have no SQL
+oracle: SimHash vs a plain-Python oracle, winnowing fingerprints vs a
+naive implementation, byte-histogram features vs numpy, LSH ANN recall
+floor."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark.functions import fingerprint as FP
+from dtaidistance_spark.operators import ann as A
+from dtaidistance_spark.operators import dedup as D
+from dtaidistance_spark.operators import multimodal as M
+
+
+# ---------------------------------------------------------------------------
+# winnowing: kernel vs naive reference
+# ---------------------------------------------------------------------------
+
+
+def naive_rolling(text: str, k: int):
+    """O(n·k) reference Rabin-Karp."""
+    b = text.encode("utf-8", "ignore")
+    out = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for c in b[i : i + k]:
+            h = (h * FP.BASE + c) % FP.MOD
+        out.append(h)
+    return np.asarray(out, dtype=np.int64)
+
+
+def naive_winnow(hashes, w):
+    if len(hashes) == 0:
+        return np.asarray(hashes)
+    if len(hashes) <= w:
+        return np.unique([min(hashes)])
+    return np.unique(
+        [min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)]
+    )
+
+
+@pytest.mark.parametrize(
+    "text", ["the quick brown fox jumps over the lazy dog", "aaaaaaaaaaaa", "ab", ""]
+)
+def test_winnowing_matches_naive(text):
+    k, w = 8, 4
+    fast = FP.rolling_hashes(text, k)
+    slow = naive_rolling(text, k)
+    assert np.array_equal(fast, slow)
+    assert np.array_equal(FP.winnow(fast, w), naive_winnow(slow, w))
+
+
+def test_fingerprint_detects_copies():
+    base = "spark rolls up windows with barycenters " * 6
+    near = base + "and a small suffix edit"
+    other = "completely different content about nothing shared at all here"
+    f1, f2, f3 = (FP.fingerprint(t) for t in (base, near, other))
+    shared_near = len(np.intersect1d(f1, f2)) / min(len(f1), len(f2))
+    shared_other = len(np.intersect1d(f1, f3)) / min(len(f1), len(f3))
+    assert shared_near > 0.8 > shared_other
+
+
+# ---------------------------------------------------------------------------
+# simhash: Spark op vs plain-Python oracle (same xxhash via Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_spark_matches_python(spark):
+    import pandas as pd
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "one two three four five six",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": texts})
+    )
+    got = {
+        r.doc_id: r.simhash for r in D.simhash64(docs).collect()
+    }
+    # python oracle using Spark's own xxhash64 for the word hashes
+    wh = {}
+    rows = spark.createDataFrame(
+        pd.DataFrame({"w": sorted({w for t in texts for w in t.split()})})
+    ).selectExpr("w", "xxhash64(concat('sim|', w)) AS h").collect()
+    wh = {r.w: r.h for r in rows}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        bits = 0
+        for b in range(64):
+            ones = sum((wh[w] >> b) & 1 for w in ws)
+            if 2 * ones > len(ws):
+                bits |= 1 << b
+        want = bits - (1 << 64) if bits >= 1 << 63 else bits
+        assert got[i] == want, i
+    # near-dup texts differ in few bits, unrelated in many
+    h01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    h02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert h01 < h02
+
+
+def test_simhash_candidates_complete(spark):
+    """Banding must find EVERY pair within hamming<=3 (pigeonhole)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 1 << 62))
+    fps = [base]
+    for nbits in (1, 2, 3, 4, 17):  # flips spread across bands
+        x = base
+        for b in rng.choice(64, nbits, replace=False):
+            x ^= 1 << int(b)
+        fps.append(x)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(fps)), "simhash": fps})
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_candidates(df, max_hamming=3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (0, 2) in got and got[(0, 2)] == 2
+    assert (0, 3) in got and got[(0, 3)] == 3
+    assert (0, 4) not in got  # hamming 4: allowed to miss, must not pass filter
+    assert (0, 5) not in got
+
+
+# ---------------------------------------------------------------------------
+# multimodal kernel vs numpy; ANN recall floor
+# ---------------------------------------------------------------------------
+
+
+def test_byte_histogram_matches_numpy():
+    payload = hashlib.md5(b"x").digest() * 8
+    h = M.byte_histogram(payload, bins=16)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    want = np.bincount(arr // 16, minlength=16) / len(arr)
+    assert np.allclose(h, want)
+    assert abs(h.sum() - 1.0) < 1e-12
+
+
+def test_ann_lsh_recall_floor(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8)
+    approx = A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=16, n_planes=4)
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    rec = A.recall_at_k(approx, exact, k=10).collect()[0][0]
+    assert rec >= 0.6, rec  # worst-case corpus; documented in ann_q
