@@ -418,6 +418,29 @@ def paa(s, m: int):
     return (csum[bounds[1:]] - csum[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
 
 
+def paa_fold(s, m: int):
+    """PAA twin of the engine's JVM-side SQL expression
+    (:data:`dtaidistance_spark.operators.rollup.PAA_SQL`): per-segment
+    strictly-sequential left-fold sums (np.cumsum is sequential, and
+    SQL ``aggregate(..., 0D, (acc,x) -> acc+x)`` is a left fold), so the
+    two are bit-identical — the exact-parity contract between the Spark
+    rollup (PAA evaluated JVM-side before the Arrow crossing) and the
+    single-process reference pipeline. :func:`paa` (prefix-sum variant)
+    differs in the last ulp and stays for the non-gated pair ops."""
+    s = np.asarray(s, dtype=np.float64)
+    n = len(s)
+    if n == m:
+        return s.copy()
+    if n < m:
+        return s[(np.arange(m) * n) // m]
+    bounds = (np.arange(m + 1) * n) // m
+    out = np.empty(m)
+    for j in range(m):
+        seg = s[bounds[j] : bounds[j + 1]]
+        out[j] = seg.cumsum()[-1] / (bounds[j + 1] - bounds[j])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Batched kernels — the DBA/assignment hot path. One anti-diagonal DP over a
 # (B, r+1) stack computes B alignments at once; per-member band masks keep

@@ -41,6 +41,27 @@ ROLLUP_SCHEMA = (
 TIER_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
 
 
+def paa_sql(col: str, m: int) -> str:
+    """JVM-side PAA: SQL expression bit-identical to
+    :func:`dtaidistance_spark.kernels.paa_fold` (strict left-fold
+    segment sums). NOT on the default hot path: measured slower than
+    kernel-side PAA because Spark evaluates higher-order-function
+    lambdas interpreted (no codegen) — kept as the option for clusters
+    where the Python worker pool, not the JVM, is the constrained
+    resource."""
+    j64 = "cast(j AS BIGINT)"
+    lo = f"(({j64} * size({col})) div {m})"
+    hi = f"((({j64} + 1) * size({col})) div {m})"
+    return (
+        f"CASE WHEN size({col}) = {m} THEN {col} "
+        f"WHEN size({col}) < {m} THEN transform(sequence(0, {m}-1), "
+        f"j -> element_at({col}, cast({lo} AS INT) + 1)) "
+        f"ELSE transform(sequence(0, {m}-1), j -> "
+        f"aggregate(slice({col}, cast({lo} AS INT) + 1, cast({hi} - {lo} AS INT)), "
+        f"0D, (acc, x) -> acc + x) / cast({hi} - {lo} AS DOUBLE)) END"
+    )
+
+
 def rollup_group(
     arrays: list[np.ndarray],
     max_members: int = 256,

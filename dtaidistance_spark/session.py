@@ -31,7 +31,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing collapses the parallelism of the grouped-rollup
+        # shuffle feeding the Arrow/Python stage (measured 3-4x slower
+        # at local[32]): AQE sizes partitions by JVM shuffle bytes, but
+        # the Python stage's cost per byte is far higher, so merged
+        # partitions serialize the UDF work. Keep AQE (skew-join,
+        # runtime re-plan) but pin post-shuffle partition count.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
