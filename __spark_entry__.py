@@ -27,6 +27,7 @@ def _registry():
         flagship,
         multimodal_q,
         queries,
+        streaming_q,
         text_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

@@ -1,0 +1,72 @@
+"""Registry query for Structured Streaming (R13): run the watermarked
+streaming tier aggregation over the events table replayed as a file
+stream, drain with availableNow, and return the emitted windows.
+
+Oracle note: append mode only emits watermark-closed windows, so a
+far-future closing row is streamed last to flush everything; the
+result then equals the batch GROUP BY exactly (DuckDB oracle)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators.queries import T, register
+
+
+@register(
+    "stream_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type AS key,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_q_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                F.col("event_type").alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w")["start"].alias("window_start"),
+                "key", "n_events", "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        # closing row far past every event, in its OWN micro-batch (the
+        # watermark only advances between batches): flushes all windows
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "'__closer__' AS event_type, 0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(F.col("key") != "__closer__")
+        return spark.createDataFrame(out.toPandas())  # detach from temp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

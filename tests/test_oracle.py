@@ -10,6 +10,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     encoding_q,
     flagship,
     multimodal_q,
+    streaming_q,
     text_q,
 )
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

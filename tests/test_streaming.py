@@ -1,0 +1,129 @@
+"""Structured Streaming gates (R13): streaming tier stats equal the
+batch aggregation of the same files; late data beyond the watermark is
+dropped; session windows close on gaps."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.streaming import continuous as S
+
+
+def _write_batch(spark, path, ids, ts_offset_s=0, batch_id=0):
+    pdf = synth.gen_pdf(ids)
+    if ts_offset_s:
+        pdf["ts"] = pdf["ts"] + pd.to_timedelta(ts_offset_s, unit="s")
+    df = spark.createDataFrame(pdf[["doc_id", "tokens", "n_tok", "source", "ts"]])
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_stats_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _write_batch(spark, src, range(0, 200))
+    _write_batch(spark, src, range(300, 450))
+    batch = spark.read.parquet(src)  # snapshot BEFORE the closing batch
+
+    stream = S.read_token_stream(spark, src, max_files_per_trigger=1)
+    assert stream.isStreaming
+    ckpt = str(tmp_path / "ckpt_stats")
+    sink = str(tmp_path / "sink_stats")
+
+    def drain():
+        q = (
+            S.stream_tier_stats(
+                S.read_token_stream(spark, src, max_files_per_trigger=1),
+                tier="1 minute",
+            )
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # append-mode emits a window only once the watermark passes it; push
+    # the watermark with a far-future closing batch and drain again
+    _write_batch(spark, src, range(900, 902), ts_offset_s=10 * 86400)
+    drain()
+    got = spark.read.parquet(sink).toPandas()
+    got = got[got["window_start"] < pd.Timestamp("2026-01-05")]  # drop closer
+
+    # batch twin: same aggregation, batch DataFrame
+    from pyspark.sql import functions as F
+
+    want = (
+        batch.groupBy(F.window("ts", "1 minute").alias("w"), F.col("source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_series"),
+            F.sum("n_tok").alias("n_points"),
+            F.round(F.avg("n_tok"), 4).alias("avg_len"),
+            F.min("n_tok").alias("min_len"),
+            F.max("n_tok").alias("max_len"),
+        )
+        .select(F.col("w")["start"].alias("window_start"), "key", "n_series",
+                "n_points", "avg_len", "min_len", "max_len")
+        .toPandas()
+    )
+    key = ["window_start", "key"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Micro-batch 1 advances the watermark far ahead; micro-batch 2's
+    rows (1 hour older) land beyond the watermark and must be absent
+    from the appended output."""
+    src = str(tmp_path / "late_src")
+    on_time = str(tmp_path / "b1")
+    _write_batch(spark, src, range(0, 100), ts_offset_s=7200)  # t+2h
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink_late")
+
+    def drain():
+        q = (
+            S.stream_tier_stats(
+                S.read_token_stream(spark, src, max_files_per_trigger=1),
+                tier="1 minute", watermark="2 minutes",
+            )
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(sink).count()
+
+    # late batch: original timestamps, 2h older than the watermark
+    _write_batch(spark, src, range(500, 600), ts_offset_s=0)
+    # push watermark further so any (wrongly accepted) late windows would flush
+    _write_batch(spark, src, range(910, 912), ts_offset_s=4 * 3600)
+    drain()
+    got = spark.read.parquet(sink).toPandas()
+    # no window from the late batch's hour may appear
+    late_min = pd.Timestamp("2026-01-01 00:00:00")
+    late_max = pd.Timestamp("2026-01-01 00:10:00")
+    late_rows = got[(got["window_start"] >= late_min) & (got["window_start"] < late_max)]
+    assert len(late_rows) == 0, late_rows
+    assert len(got) >= n1
+
+
+def test_session_windows_close_on_gap(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    # two bursts 30 min apart -> two sessions per key
+    _write_batch(spark, src, range(0, 60))
+    _write_batch(spark, src, range(0, 60), ts_offset_s=1800, batch_id=1)
+
+    stream = S.read_token_stream(spark, src)
+    S.run_to_memory(
+        S.stream_session_windows(stream, gap="5 minutes", watermark="1 hour"),
+        "t_sess",
+    )
+    got = spark.table("t_sess").toPandas()
+    per_key = got.groupby("key").size()
+    assert (per_key >= 2).all(), per_key
