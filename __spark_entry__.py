@@ -21,6 +21,7 @@ def _registry():
     # importing the operator modules populates the registry
     from dtaidistance_spark.operators import (  # noqa: F401
         ann_q,
+        clustering_q,
         continuous_q,
         dedup_q,
         encoding_q,

@@ -1,0 +1,108 @@
+"""Agglomerative clustering + medoids (SURVEY §2 C2/A3/C4;
+``ref:dtaidistance/clustering/hierarchical.py::Hierarchical`` and
+``ref:dtaidistance/clustering/medoids.py`` semantics).
+
+Division of labor at scale (the design the reference's N² loop can't
+reach): the PAIRS DataFrame is produced distributed by the LB-cascade
+join (:func:`dtaidistance_spark.operators.pairs.dtw_pairs` — length
+bucketing, LB_Kim/LB_Keogh pruning, banded DTW only on survivors), and
+only the surviving sparse pair list is collected for the driver-side
+union-find — single-linkage agglomeration below ``max_dist`` needs
+exactly those pairs and nothing else (merging in ascending-distance
+order over the sparse edge set is Kruskal's algorithm: components at
+threshold tau equal single-linkage clusters at tau).
+
+Medoid: argmin over row-sums of the (sparse-or-dense) distance matrix,
+as a pure DataFrame aggregation (``min_by`` over the union of both
+pair directions) — no driver-side matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def medoids(pairs: DataFrame, by: DataFrame | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Medoid = id minimizing the sum of distances to all others.
+
+    ``pairs``: (id_a, id_b, dist) condensed pairs (id_a < id_b).
+    ``by``: optional (id, group) assignment — one medoid per group,
+    else one global medoid. Pure Spark SQL (union both directions,
+    sum, min_by)."""
+    both = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_other"), "dist"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("_id"), F.col("id_a").alias("_other"), "dist"
+        )
+    )
+    if by is not None:
+        byr = by.select(F.col(id_col).alias("_id"), "cluster")
+        both = both.join(byr, "_id").join(
+            byr.withColumnRenamed("_id", "_other").withColumnRenamed(
+                "cluster", "_oc"
+            ),
+            "_other",
+        ).where(F.col("cluster") == F.col("_oc"))
+        sums = both.groupBy("cluster", "_id").agg(F.sum("dist").alias("_total"))
+        return sums.groupBy("cluster").agg(
+            F.min_by("_id", F.struct("_total", "_id")).alias("medoid"),
+            F.min("_total").alias("sum_dist"),
+        )
+    sums = both.groupBy("_id").agg(F.sum("dist").alias("_total"))
+    return sums.agg(
+        F.min_by("_id", F.struct("_total", "_id")).alias("medoid"),
+        F.min("_total").alias("sum_dist"),
+    )
+
+
+def single_linkage(pairs_rows, max_dist: float) -> dict:
+    """Driver-side Kruskal/union-find over collected sparse pairs:
+    merge ascending by (dist, id_a, id_b) while dist <= max_dist.
+    Returns {id: cluster_root} with the root = min id in the cluster
+    (canonical, deterministic)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+        parent[hi] = lo
+
+    for r in sorted(pairs_rows, key=lambda r: (r["dist"], str(r["id_a"]), str(r["id_b"]))):
+        if r["dist"] > max_dist:
+            break
+        union(r["id_a"], r["id_b"])
+    return {x: find(x) for x in list(parent)}
+
+
+def hierarchical_clusters(
+    pairs: DataFrame, all_ids: DataFrame, max_dist: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, cluster) at threshold ``max_dist``; singletons are their own
+    cluster. The pairs side is distributed; only surviving pairs cross
+    to the driver."""
+    rows = pairs.select("id_a", "id_b", "dist").collect()
+    roots = single_linkage(rows, max_dist)
+    spark = pairs.sparkSession
+    if roots:
+        mapping = spark.createDataFrame(
+            [(str(k), str(v)) for k, v in roots.items()], f"{id_col} string, cluster string"
+        )
+    else:
+        mapping = spark.createDataFrame([], f"{id_col} string, cluster string")
+    return (
+        all_ids.select(F.col(id_col).cast("string").alias(id_col))
+        .join(mapping, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""DTW k-means with DBA means (SURVEY §2 C1;
+``ref:dtaidistance/clustering/kmeans.py::KMeans`` semantics, re-expressed
+Spark-first).
+
+Driver-side loop; per iteration:
+
+- **assign** (``mapInPandas``): every Arrow batch of series is scored
+  against the k broadcast centers with the batched anti-diagonal DTW
+  kernel (:func:`dtaidistance_spark.kernels.dtw_distance_batch`) — one
+  DP per center over the whole batch, argmin per row. No shuffle.
+- **update**: one hash shuffle on cluster id — literally
+  :func:`dtaidistance_spark.operators.rollup.dba_rollup` with the
+  cluster as the key and a constant timestamp (one rollup window per
+  cluster), so the tested JVM-side sort/sample/Arrow path and the
+  mega-batched DBA kernel are reused verbatim.
+
+Determinism (resume/parity contract): centers are initialized from the
+k docs with the smallest ``xxhash64(doc_id)`` (seeded, data-independent
+of partitioning), iteration count is fixed, ties in argmin go to the
+lowest cluster index, and DBA members are sorted by doc_id — the
+single-process twin (:func:`dtw_kmeans_local`) reproduces the Spark
+result exactly (gated in tests).
+
+Empty clusters keep their previous center (the reference drops or
+reseeds depending on options; keeping is deterministic and mask-safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark.operators import rollup as R
+
+_EPOCH = "2026-01-01 00:00:00"
+
+
+def _prep_local(tokens, length: int) -> np.ndarray:
+    return K.paa(np.asarray(tokens, dtype=np.float64), length)
+
+
+def init_centers(df: DataFrame, k: int, length: int,
+                 id_col: str = "doc_id", value_col: str = "tokens") -> np.ndarray:
+    """k seed centers: the k docs with smallest xxhash64(doc_id)."""
+    rows = (
+        df.select(id_col, value_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return np.stack([_prep_local(r[value_col], length) for r in rows])
+
+
+def assign_step(
+    df: DataFrame, centers: np.ndarray, length: int, window: int,
+    id_col: str = "doc_id", value_col: str = "tokens",
+) -> DataFrame:
+    """(doc_id, cluster, dist): argmin over k batched DTW evaluations."""
+    k = len(centers)
+    bc = centers.copy()
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack([_prep_local(t, length) for t in pdf[value_col]])
+            lens = np.full(len(mat), length, dtype=np.int64)
+            dists = np.stack(
+                [K.dtw_distance_batch(bc[c], mat, lens, window=window) for c in range(k)]
+            )  # (k, B)
+            cl = np.argmin(dists, axis=0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype(np.int32),
+                    "dist": dists[cl, np.arange(len(mat))],
+                }
+            )
+
+    return df.select(id_col, value_col).mapInPandas(
+        kernel, f"{id_col} string, cluster int, dist double"
+    )
+
+
+def dtw_kmeans(
+    df: DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
+    window: int = 8, max_members: int = 256, dba_max_it: int = 2,
+    id_col: str = "doc_id", value_col: str = "tokens",
+) -> tuple[DataFrame, np.ndarray]:
+    """Returns (assignments DataFrame, centers (k, length))."""
+    df = df.select(id_col, value_col).persist()
+    centers = init_centers(df, k, length, id_col, value_col)
+    assigned = None
+    for _ in range(max_it):
+        assigned = assign_step(df, centers, length, window, id_col, value_col)
+        members = df.join(assigned.select(id_col, "cluster"), id_col)
+        rolled = R.dba_rollup(
+            members.withColumn("_ts", F.lit(_EPOCH).cast("timestamp")),
+            tier="1 day", key_col="cluster", value_col=value_col,
+            ts_col="_ts", id_col=id_col, max_members=max_members,
+            dba_window=window, dba_max_it=dba_max_it,
+            barycenter_len=length,
+        )
+        new = {int(r["key"]): np.asarray(r["barycenter"]) for r in rolled.collect()}
+        centers = np.stack([new.get(c, centers[c]) for c in range(k)])
+    final = assign_step(df, centers, length, window, id_col, value_col)
+    df.unpersist()
+    return final, centers
+
+
+def dtw_kmeans_local(
+    pdf: pd.DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
+    window: int = 8, max_members: int = 256, dba_max_it: int = 2,
+    id_col: str = "doc_id", value_col: str = "tokens",
+    hash_fn=None,
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Single-process exact twin (the parity oracle). ``hash_fn`` maps
+    doc_id -> the same value Spark's xxhash64 produces (pass a dict
+    built once via Spark, or any deterministic surrogate for pure-local
+    experiments)."""
+    d = pdf.copy()
+    mats = np.stack([_prep_local(t, length) for t in d[value_col]])
+    lens = np.full(len(mats), length, dtype=np.int64)
+    order = sorted(range(len(d)), key=lambda i: (hash_fn(d[id_col].iloc[i]), d[id_col].iloc[i]))
+    centers = mats[order[:k]].copy()
+
+    def assign(centers):
+        dists = np.stack(
+            [K.dtw_distance_batch(centers[c], mats, lens, window=window) for c in range(k)]
+        )
+        cl = np.argmin(dists, axis=0)
+        return cl, dists[cl, np.arange(len(mats))]
+
+    for _ in range(max_it):
+        cl, _dist = assign(centers)
+        new_centers = centers.copy()
+        for c in range(k):
+            idx = [i for i in sorted(range(len(d)), key=lambda i: d[id_col].iloc[i]) if cl[i] == c]
+            if not idx:
+                continue
+            arrays = [np.asarray(d[value_col].iloc[i], dtype=np.float64) for i in idx]
+            center, _, _ = R.rollup_group(
+                arrays, max_members=max_members, dba_window=window,
+                dba_max_it=dba_max_it, barycenter_len=length,
+            )
+            new_centers[c] = center
+        centers = new_centers
+    cl, dist = assign(centers)
+    out = pd.DataFrame({id_col: d[id_col].values, "cluster": cl.astype(np.int32), "dist": dist})
+    return out, centers

@@ -1,0 +1,116 @@
+"""Clustering gates (C1/C2/A3): Spark k-means == single-process twin
+exactly; medoids == brute numpy; single-linkage == naive agglomerative
+reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark import synth
+from dtaidistance_spark.clustering import hierarchical as H
+from dtaidistance_spark.clustering import kmeans as KM
+
+
+@pytest.fixture(scope="module")
+def series_pdf():
+    pdf = synth.sequences_local(80)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
+    )
+    return pdf[["doc_id", "tokens", "source"]]
+
+
+def test_kmeans_spark_matches_local_exactly(spark, series_pdf):
+    df = spark.createDataFrame(series_pdf)
+    assigned, centers = KM.dtw_kmeans(df, k=3, max_it=2, length=64, window=8)
+    got = assigned.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    hashes = {
+        r.doc_id: r.h
+        for r in spark.createDataFrame(series_pdf[["doc_id"]])
+        .selectExpr("doc_id", "xxhash64(doc_id) AS h")
+        .collect()
+    }
+    want, centers_l = KM.dtw_kmeans_local(
+        series_pdf, k=3, max_it=2, length=64, window=8,
+        hash_fn=lambda d: hashes[d],
+    )
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["cluster"]) == list(want["cluster"])
+    assert np.allclose(got["dist"], want["dist"], rtol=0, atol=0)
+    assert np.array_equal(centers, centers_l)
+    assert got["cluster"].nunique() > 1  # non-degenerate
+
+
+def test_medoids_match_numpy(spark, series_pdf):
+    from dtaidistance_spark.operators import pairs as P
+
+    sub = series_pdf.head(40)
+    df = spark.createDataFrame(sub)
+    prs = P.dtw_pairs(df, threshold=1e12, window=8)
+    got = H.medoids(prs).collect()[0]
+
+    mats = np.stack([np.asarray(t) for t in sub["tokens"]])
+    lens = np.full(len(mats), 64, dtype=np.int64)
+    D = np.zeros((len(mats), len(mats)))
+    for i in range(len(mats)):
+        D[i] = K.dtw_distance_batch(mats[i], mats, lens, window=8)
+    sums = D.sum(axis=1)
+    want_idx = int(np.argmin(sums))
+    assert got["medoid"] == sub["doc_id"].iloc[want_idx]
+    assert abs(got["sum_dist"] - sums[want_idx]) < 1e-6
+
+
+def naive_single_linkage(ids, dist, max_dist):
+    clusters = [{i} for i in range(len(ids))]
+    while True:
+        best = None
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                d = min(dist[i][j] for i in clusters[a] for j in clusters[b])
+                if d <= max_dist and (best is None or d < best[0]):
+                    best = (d, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        clusters[a] |= clusters[b]
+        del clusters[b]
+    out = {}
+    for c in clusters:
+        root = min(ids[i] for i in c)
+        for i in c:
+            out[ids[i]] = root
+    return out
+
+
+def test_single_linkage_matches_naive():
+    rng = np.random.default_rng(11)
+    n = 18
+    ids = [f"d{i:02d}" for i in range(n)]
+    D = rng.uniform(1, 10, (n, n))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    rows = [
+        {"id_a": ids[i], "id_b": ids[j], "dist": float(D[i, j])}
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    for tau in (2.0, 3.5, 6.0):
+        roots = H.single_linkage(rows, tau)
+        got = {i: roots.get(i, i) for i in ids}
+        want = naive_single_linkage(ids, D, tau)
+        assert got == want, tau
+
+
+def test_hierarchical_spark_end_to_end(spark, series_pdf):
+    from dtaidistance_spark.operators import pairs as P
+
+    df = spark.createDataFrame(series_pdf)
+    prs = P.dtw_pairs(df, threshold=6000.0, window=8)
+    out = H.hierarchical_clusters(prs, df.select("doc_id"), max_dist=6000.0)
+    pdf = out.toPandas()
+    assert len(pdf) == len(series_pdf)  # every doc assigned
+    # cluster label is the min doc_id of the cluster
+    for c, grp in pdf.groupby("cluster"):
+        assert c == grp["doc_id"].min()

@@ -5,6 +5,7 @@ import pytest
 
 from dtaidistance_spark.operators import (  # noqa: F401 — registers
     ann_q,
+    clustering_q,
     continuous_q,
     dedup_q,
     encoding_q,
