@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _registry():
     # importing the operator modules populates the registry
     from dtaidistance_spark.operators import (  # noqa: F401
+        alignment_q,
         ann_q,
         clustering_q,
         continuous_q,

@@ -705,3 +705,136 @@ def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
             )
         out[m] = math.sqrt(best) if best != INF else INF
     return out
+
+
+# ---------------------------------------------------------------------------
+# K7 — dependent multivariate DTW (ref:dtaidistance/dtw_ndim.py::distance)
+# ---------------------------------------------------------------------------
+
+
+def dtw_ndim_distance(s1, s2, window=None, max_dist=None, psi=None):
+    """Dependent multivariate DTW: inner cost of cell (i, j) is the sum
+    over dimensions of squared differences (one warping path shared by
+    all dimensions), sqrt at the end — the semantics of
+    ``ref:dtaidistance/dtw_ndim.py::distance``.
+
+    ``s1``/``s2``: (n, d) arrays. Plain two-row DP (clarity over speed:
+    the batched hot paths are univariate; ndim is an API-parity op).
+    """
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    if s1.ndim == 1:
+        s1 = s1[:, None]
+    if s2.ndim == 1:
+        s2 = s2[:, None]
+    r, c = len(s1), len(s2)
+    if r == 0 or c == 0:
+        return INF
+    md = INF if max_dist is None else max_dist * max_dist
+    psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
+    window, a, b = _band_params(r, c, window)
+    prev = np.full(c + 1, INF)
+    prev[0] = 0.0
+    prev[1 : psi_2b + 1] = 0.0
+    last_col = np.full(r + 1, INF)
+    last_col[0] = prev[c]
+    for i in range(1, r + 1):
+        cur = np.full(c + 1, INF)
+        if i <= psi_1b:
+            cur[0] = 0.0
+        jlo = max(1, i - a)
+        jhi = min(c, i + b)
+        if jlo <= jhi:
+            J = np.arange(jlo, jhi + 1)
+            diff = s1[i - 1][None, :] - s2[J - 1]
+            cost = np.einsum("ij,ij->i", diff, diff)
+            # left neighbor depends on the current row: sequential inner loop
+            for idx, j in enumerate(J):
+                v = cost[idx] + min(prev[j - 1], prev[j], cur[j - 1])
+                if v <= md:
+                    cur[j] = v
+        prev = cur
+        last_col[i] = cur[c]
+    if psi_1e == 0 and psi_2e == 0:
+        best = prev[c]
+    else:
+        best = min(
+            np.min(prev[c - psi_2e : c + 1]),
+            np.min(last_col[r - psi_1e : r + 1]),
+        )
+    return math.sqrt(best) if best <= md else INF
+
+
+# ---------------------------------------------------------------------------
+# P6 — Needleman-Wunsch global alignment for discrete token sequences
+# (ref:dtaidistance/alignment.py::needleman_wunsch / ::best_alignment)
+# ---------------------------------------------------------------------------
+
+
+def needleman_wunsch(s1, s2, match=1.0, mismatch=-1.0, gap=-1.0):
+    """Global alignment score matrix for two discrete sequences.
+
+    Returns (score, matrix). The reference builds this on its
+    warping-paths machinery with a substitution function; semantics here
+    are the classic NW recurrence (maximize), which is what its default
+    substitution reduces to.
+    """
+    s1 = list(s1)
+    s2 = list(s2)
+    r, c = len(s1), len(s2)
+    m = np.zeros((r + 1, c + 1))
+    m[:, 0] = np.arange(r + 1) * gap
+    m[0, :] = np.arange(c + 1) * gap
+    for i in range(1, r + 1):
+        sub = np.where(
+            np.asarray([x == s1[i - 1] for x in s2]), match, mismatch
+        )
+        for j in range(1, c + 1):
+            m[i, j] = max(
+                m[i - 1, j - 1] + sub[j - 1],
+                m[i - 1, j] + gap,
+                m[i, j - 1] + gap,
+            )
+    return float(m[r, c]), m
+
+
+def best_alignment(matrix, s1, s2, match=1.0, mismatch=-1.0, gap=-1.0):
+    """Backtrack one optimal NW alignment: list of (i, j) pairs with -1
+    marking a gap on that side. Diagonal preferred on ties."""
+    i, j = len(s1), len(s2)
+    path = []
+    while i > 0 or j > 0:
+        if i > 0 and j > 0:
+            sub = match if s1[i - 1] == s2[j - 1] else mismatch
+            if matrix[i, j] == matrix[i - 1, j - 1] + sub:
+                path.append((i - 1, j - 1))
+                i, j = i - 1, j - 1
+                continue
+        if i > 0 and matrix[i, j] == matrix[i - 1, j] + gap:
+            path.append((i - 1, -1))
+            i -= 1
+            continue
+        path.append((-1, j - 1))
+        j -= 1
+    path.reverse()
+    return path
+
+
+# ---------------------------------------------------------------------------
+# S2 — smoothing (ref:dtaidistance/preprocessing.py::smoothing); the
+# reference uses a scipy Butterworth low-pass — scipy isn't a dependency
+# here, so the engine ships the centered-moving-average low-pass, which
+# is SQL-expressible (window AVG) and therefore oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def smoothing(s, window: int = 5):
+    """Centered moving average with shrinking edges (matches SQL
+    ``AVG() OVER (ROWS BETWEEN w PRECEDING AND w FOLLOWING)``)."""
+    s = np.asarray(s, dtype=np.float64)
+    n = len(s)
+    half = window // 2
+    csum = np.concatenate([[0.0], np.cumsum(s)])
+    lo = np.maximum(0, np.arange(n) - half)
+    hi = np.minimum(n, np.arange(n) + half + 1)
+    return (csum[hi] - csum[lo]) / (hi - lo)

@@ -1,0 +1,161 @@
+"""Registry queries for the path/alignment/preprocessing parity surface
+(P1–P6, K7, S2): warping paths, warp, Needleman-Wunsch token alignment,
+multivariate DTW, smoothing. Kernel values are gated in
+tests/test_alignment.py; ``smoothing_events`` carries a DuckDB oracle
+(the moving-average low-pass is window SQL in both engines)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window, functions as F
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import T, register
+
+
+def _paa_series(spark, n, length):
+    pdf = synth.sequences_local(n)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), length)
+    )
+    return pdf
+
+
+@register("warping_paths_demo")
+def warping_paths_demo(spark, sf_dir):
+    """P1–P5 over consecutive synthetic series pairs: distance, path
+    length, warping amount (non-diagonal moves), path endpoints — the
+    debug/explain surface of the path machinery, Arrow-batched."""
+    pdf = _paa_series(spark, 24, 48)
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    rows = df.collect()
+
+    def kernel(batches):
+        for b in batches:
+            out = {"id_a": [], "id_b": [], "dist": [], "path_len": [],
+                   "warping_amount": [], "path_head": []}
+            docs = list(zip(b["doc_id"], b["tokens"]))
+            for (ia, ta), (ib, tb) in zip(docs[:-1], docs[1:]):
+                d, m = K.warping_paths(
+                    np.asarray(ta, dtype=np.float64),
+                    np.asarray(tb, dtype=np.float64),
+                    window=8,
+                )
+                path = K.best_path(m)
+                out["id_a"].append(ia)
+                out["id_b"].append(ib)
+                out["dist"].append(round(d, 4))
+                out["path_len"].append(len(path))
+                out["warping_amount"].append(K.warping_amount(path))
+                out["path_head"].append([list(p) for p in path[:4]])
+            yield pd.DataFrame(out)
+
+    return (
+        df.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            kernel,
+            "id_a string, id_b string, dist double, path_len int, "
+            "warping_amount int, path_head array<array<int>>",
+        )
+    )
+
+
+@register("needleman_wunsch_docs")
+def needleman_wunsch_docs(spark, sf_dir):
+    """P6: global alignment of consecutive documents' first 24 words
+    (discrete token sequences; candidate for exact-dup diffing)."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 12)
+        .select("doc_id", F.slice(F.split(F.lower("text"), " "), 1, 24).alias("w"))
+    )
+
+    def kernel(batches):
+        for b in batches:
+            out = {"id_a": [], "id_b": [], "score": [], "n_gaps": []}
+            rows = list(zip(b["doc_id"], b["w"]))
+            for (ia, wa), (ib, wb) in zip(rows[:-1], rows[1:]):
+                score, m = K.needleman_wunsch(list(wa), list(wb))
+                al = K.best_alignment(m, list(wa), list(wb))
+                out["id_a"].append(int(ia))
+                out["id_b"].append(int(ib))
+                out["score"].append(float(score))
+                out["n_gaps"].append(sum(1 for i, j in al if i < 0 or j < 0))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(kernel, "id_a long, id_b long, score double, n_gaps int")
+    )
+
+
+@register("dtw_ndim_pairs")
+def dtw_ndim_pairs(spark, sf_dir):
+    """K7: dependent 2-dim DTW over (value, lagged value) event series
+    per type — one shared warping path across dimensions."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    series = (
+        ev.withColumn("value2", F.lag("value", 1, 0.0).over(w))
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value", "value2"))
+            ).alias("evs")
+        )
+        .select(
+            "event_type",
+            F.slice(F.transform("evs", lambda e: e["value"]), 1, 200).alias("v1"),
+            F.slice(F.transform("evs", lambda e: e["value2"]), 1, 200).alias("v2"),
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            rows = sorted(zip(b["event_type"], b["v1"], b["v2"]))
+            out = {"type_a": [], "type_b": [], "dist_ndim": []}
+            for (ta, a1, a2), (tb, b1, b2) in [
+                (x, y) for x in rows for y in rows if x[0] < y[0]
+            ]:
+                sa = np.stack([a1, a2], axis=1)
+                sb = np.stack([b1, b2], axis=1)
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["dist_ndim"].append(
+                    round(K.dtw_ndim_distance(sa, sb, window=16), 4)
+                )
+            yield pd.DataFrame(out)
+
+    return series.coalesce(1).mapInPandas(
+        kernel, "type_a string, type_b string, dist_ndim double"
+    )
+
+
+@register(
+    "smoothing_events",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ), 4) AS smoothed
+    FROM events
+    """,
+)
+def smoothing_events(spark, sf_dir):
+    """S2 as window SQL: centered moving-average low-pass per series
+    (identical frame semantics in Spark and DuckDB — the kernel twin
+    :func:`kernels.smoothing` is gated in tests)."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("smoothed")
+    )

@@ -1,0 +1,99 @@
+"""Kernel gates for K7 (ndim DTW), P6 (Needleman-Wunsch), S2
+(smoothing) — reference-semantics checks without Spark."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import kernels as K
+
+
+# --- K7 ---------------------------------------------------------------
+
+
+def test_ndim_duplicated_dims_scale():
+    """Dependent DTW with d identical dims = sqrt(d) * univariate DTW
+    (cost per cell scales by d, one shared path)."""
+    s1 = np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0])
+    s2 = np.array([0.0, 1, 2, 0, 0, 0, 0, 0, 0])
+    d1 = K.dtw_distance(s1, s2)
+    for d in (2, 3):
+        dn = K.dtw_ndim_distance(
+            np.stack([s1] * d, axis=1), np.stack([s2] * d, axis=1)
+        )
+        assert abs(dn - d1 * np.sqrt(d)) < 1e-12
+
+
+def test_ndim_1dim_equals_univariate():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        a, b = rng.normal(0, 1, 30), rng.normal(0, 1, 26)
+        assert abs(
+            K.dtw_ndim_distance(a[:, None], b[:, None], window=6)
+            - K.dtw_distance(a, b, window=6)
+        ) < 1e-12
+
+
+def test_ndim_psi_relaxation_not_larger():
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, (20, 2))
+    b = rng.normal(0, 1, (20, 2))
+    assert K.dtw_ndim_distance(a, b, psi=3) <= K.dtw_ndim_distance(a, b) + 1e-12
+
+
+# --- P6 ---------------------------------------------------------------
+
+
+def test_nw_identical_and_disjoint():
+    s = list("GATTACA")
+    score, _ = K.needleman_wunsch(s, s)
+    assert score == len(s)  # all matches
+    score2, _ = K.needleman_wunsch(list("AAAA"), list("BBBB"))
+    assert score2 == -4.0  # 4 mismatches beat 8 gaps
+
+
+def test_nw_classic_example():
+    """GATTACA vs GCATGCU, match=1 mismatch=-1 gap=-1 -> score 0
+    (the canonical textbook value)."""
+    score, m = K.needleman_wunsch(list("GATTACA"), list("GCATGCU"))
+    assert score == 0.0
+    al = K.best_alignment(m, list("GATTACA"), list("GCATGCU"))
+    # alignment covers both sequences fully and in order
+    ai = [i for i, _ in al if i >= 0]
+    aj = [j for _, j in al if j >= 0]
+    assert ai == list(range(7)) and aj == list(range(7))
+    # score reconstructable from the alignment
+    s1, s2 = "GATTACA", "GCATGCU"
+    rescore = sum(
+        -1 if (i < 0 or j < 0) else (1 if s1[i] == s2[j] else -1)
+        for i, j in al
+    )
+    assert rescore == 0
+
+
+def test_nw_gap_recovery():
+    score, m = K.needleman_wunsch(list("ABCDE"), list("ABDE"))
+    al = K.best_alignment(m, list("ABCDE"), list("ABDE"))
+    assert score == 3.0  # 4 matches - 1 gap
+    assert (2, -1) in al  # 'C' aligned to a gap
+
+
+# --- S2 ---------------------------------------------------------------
+
+
+def test_smoothing_matches_naive():
+    rng = np.random.default_rng(5)
+    s = rng.normal(0, 1, 40)
+    for w in (3, 5, 9):
+        half = w // 2
+        want = np.array(
+            [s[max(0, i - half) : i + half + 1].mean() for i in range(len(s))]
+        )
+        assert np.allclose(K.smoothing(s, w), want, atol=1e-12)
+
+
+def test_smoothing_flattens_noise():
+    rng = np.random.default_rng(6)
+    base = np.sin(np.linspace(0, 6, 200))
+    noisy = base + rng.normal(0, 0.3, 200)
+    sm = K.smoothing(noisy, 9)
+    assert np.std(sm - base) < np.std(noisy - base) * 0.6

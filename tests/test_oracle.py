@@ -4,6 +4,7 @@ the local replica of the driver's CORRECTNESS gate."""
 import pytest
 
 from dtaidistance_spark.operators import (  # noqa: F401 — registers
+    alignment_q,
     ann_q,
     clustering_q,
     continuous_q,
