@@ -106,3 +106,54 @@ def hierarchical_clusters(
             F.coalesce("cluster", F.col(id_col)).alias("cluster"),
         )
     )
+
+
+def kmedoids(pairs_rows, ids, k: int = 3, max_it: int = 10):
+    """Full PAM iterate (SURVEY C4,
+    ``ref:dtaidistance/clustering/kmedoids.py::KMedoids`` semantics) over
+    a collected sparse/dense condensed pair list — the post-rollup
+    small-N regime, like the agglomerative driver. Missing pairs are
+    treated as infinitely far (they were pruned by the LB cascade).
+
+    Deterministic: seeds = k ids with smallest (id) after sorting by a
+    stable key; ties in assignment go to the lowest medoid id.
+    Returns (assignment dict id->medoid, total cost).
+    """
+    import math
+
+    ids = sorted(str(i) for i in ids)
+    D: dict = {}
+    for r in pairs_rows:
+        a, b = str(r["id_a"]), str(r["id_b"])
+        D[(a, b)] = D[(b, a)] = float(r["dist"])
+
+    def dist(a, b):
+        if a == b:
+            return 0.0
+        return D.get((a, b), math.inf)
+
+    medoids_ = ids[:k]
+    for _ in range(max_it):
+        # assign
+        assign = {
+            i: min(medoids_, key=lambda m: (dist(i, m), m)) for i in ids
+        }
+        # update: per cluster, the member minimizing summed in-cluster dist
+        new = []
+        for m in medoids_:
+            members = [i for i in ids if assign[i] == m]
+            if not members:
+                new.append(m)
+                continue
+            best = min(
+                members,
+                key=lambda c: (sum(dist(c, x) for x in members), c),
+            )
+            new.append(best)
+        new = sorted(new)
+        if new == medoids_:
+            break
+        medoids_ = new
+    assign = {i: min(medoids_, key=lambda m: (dist(i, m), m)) for i in ids}
+    cost = sum(dist(i, assign[i]) for i in ids if math.isfinite(dist(i, assign[i])))
+    return assign, cost

@@ -838,3 +838,103 @@ def smoothing(s, window: int = 5):
     lo = np.maximum(0, np.arange(n) - half)
     hi = np.minimum(n, np.arange(n) + half + 1)
     return (csum[hi] - csum[lo]) / (hi - lo)
+
+
+# ---------------------------------------------------------------------------
+# M6 — local concurrences (ref:dtaidistance/subsequence/dtw.py::
+# local_concurrences / ref:dtaidistance/dtw.py::warping_paths_affinity).
+# LoCo-style: exponential affinity rewards, Smith-Waterman-style local
+# accumulation (floor at 0), greedy extraction of non-overlapping paths.
+# Parameterization follows the public upstream surface (gamma, tau,
+# delta, delta_factor, penalty); exact upstream DP constants are
+# [VERIFY]-gated on a populated reference mount (SURVEY citation note).
+# ---------------------------------------------------------------------------
+
+
+def warping_paths_affinity(
+    s1, s2, gamma=1.0, tau=0.0, delta=0.0, delta_factor=1.0, penalty=0.0,
+    diag_band=0,
+):
+    """Accumulated affinity matrix A (r+1, c+1): cell reward is
+    exp(-(x-y)^2/gamma) when >= tau else the (negative) ``delta``
+    scaled contribution; accumulation is local (floored at 0) with
+    ``penalty`` on non-diagonal moves.
+
+    ``diag_band`` > 0 zeroes cells with |i-j| < diag_band INSIDE the
+    recurrence — required for self-similarity, where the trivial main
+    diagonal would otherwise accumulate max affinity and leak into
+    nearby lags through warp moves."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    r, c = len(s1), len(s2)
+    A = np.zeros((r + 1, c + 1))
+    for i in range(1, r + 1):
+        d = s1[i - 1] - s2
+        sim = np.exp(-(d * d) / gamma)
+        prev = np.maximum(
+            A[i - 1, :-1], np.maximum(A[i - 1, 1:] - penalty, 0.0)
+        )
+        # left-neighbor in the same row: sequential
+        row = A[i]
+        for j in range(1, c + 1):
+            if diag_band and abs(i - j) < diag_band:
+                row[j] = 0.0
+                continue
+            best = max(prev[j - 1], row[j - 1] - penalty)
+            if sim[j - 1] >= tau:
+                row[j] = best + sim[j - 1]
+            else:
+                row[j] = max(0.0, delta_factor * best + delta)
+    return A
+
+
+def local_concurrences(
+    s1, s2=None, gamma=1.0, tau=0.5, delta=-1.0, delta_factor=0.5,
+    penalty=0.0, min_len=3, k=5, diag_band=None,
+):
+    """Best non-overlapping local alignment paths between ``s1`` and
+    ``s2`` (self-similarity / motif discovery when s2 is None — a band
+    around the trivial main diagonal is excluded inside the DP then).
+    Returns a list of dicts (score, path) strongest first; rows/cols of
+    an extracted path are masked before the next extraction
+    (endpoint-level non-overlap)."""
+    self_mode = s2 is None
+    if diag_band is None:
+        diag_band = 5 if self_mode else 0
+    s2v = s1 if self_mode else s2
+    A = warping_paths_affinity(
+        s1, s2v, gamma=gamma, tau=tau, delta=delta,
+        delta_factor=delta_factor, penalty=penalty, diag_band=diag_band,
+    )
+    r, c = len(np.asarray(s1)), len(np.asarray(s2v))
+    out = []
+    used_r = np.zeros(r + 1, dtype=bool)
+    used_c = np.zeros(c + 1, dtype=bool)
+    work = A.copy()
+    if self_mode:
+        work[np.tril_indices(min(work.shape[0], work.shape[1]))] = 0.0
+    for _ in range(k):
+        idx = np.unravel_index(np.argmax(work), work.shape)
+        score = work[idx]
+        if score <= 0:
+            break
+        i, j = idx
+        path = []
+        while i > 0 and j > 0 and A[i, j] > 0:
+            path.append((i - 1, j - 1))
+            d, u, l = A[i - 1, j - 1], A[i - 1, j], A[i, j - 1]
+            if d >= u and d >= l:
+                i, j = i - 1, j - 1
+            elif u >= l:
+                i -= 1
+            else:
+                j -= 1
+        path.reverse()
+        if len(path) >= min_len:
+            out.append({"score": float(score), "path": path})
+        for pi, pj in path:
+            used_r[pi + 1] = True
+            used_c[pj + 1] = True
+        work[used_r, :] = 0.0
+        work[:, used_c] = 0.0
+    return out

@@ -64,3 +64,51 @@ def medoid_per_source(spark, sf_dir):
     return H.medoids(prs, by=by).withColumn(
         "sum_dist", F.round("sum_dist", 4)
     ).orderBy("cluster")
+
+
+@register("kmedoids_dtw")
+def kmedoids_dtw(spark, sf_dir):
+    """C4 full PAM: k-medoids over the distributed DTW pair list
+    (assign/update iterate driver-side on the collected sparse pairs)."""
+    df = _series(spark, 90)
+    prs = P.dtw_pairs(df, threshold=1e12, window=8)
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    assign, cost = H.kmedoids(prs.collect(), ids, k=3)
+    rows = sorted(assign.items())
+    out = spark.createDataFrame(rows, "doc_id string, medoid string")
+    return out.orderBy("doc_id")
+
+
+@register("local_concurrences_seq")
+def local_concurrences_seq(spark, sf_dir):
+    """M6: motif discovery — strongest non-trivial self-similarity paths
+    per synthetic series (Arrow-batched affinity DP per row)."""
+    import pandas as pd
+
+    df = _series(spark, 12).select("doc_id", "tokens")
+
+    def kernel(batches):
+        for b in batches:
+            out = {"doc_id": [], "rank": [], "score": [], "i0": [],
+                   "j0": [], "i1": [], "j1": [], "path_len": []}
+            for doc, toks in zip(b["doc_id"], b["tokens"]):
+                s = np.asarray(toks, dtype=np.float64)
+                s = (s - s.mean()) / (s.std() + 1e-9)
+                lcs = K.local_concurrences(
+                    s, gamma=0.5, tau=0.6, penalty=1.0, min_len=8, k=2,
+                )
+                for rank, lc in enumerate(lcs):
+                    (i0, j0), (i1, j1) = lc["path"][0], lc["path"][-1]
+                    out["doc_id"].append(doc)
+                    out["rank"].append(rank)
+                    out["score"].append(round(lc["score"], 4))
+                    out["i0"].append(i0); out["j0"].append(j0)
+                    out["i1"].append(i1); out["j1"].append(j1)
+                    out["path_len"].append(len(lc["path"]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id string, rank int, score double, i0 int, j0 int, "
+        "i1 int, j1 int, path_len int",
+    ).orderBy("doc_id", "rank")

@@ -97,3 +97,76 @@ def test_smoothing_flattens_noise():
     noisy = base + rng.normal(0, 0.3, 200)
     sm = K.smoothing(noisy, 9)
     assert np.std(sm - base) < np.std(noisy - base) * 0.6
+
+
+# --- M6 ---------------------------------------------------------------
+
+
+def test_local_concurrences_finds_planted_motif():
+    rng = np.random.default_rng(2)
+    motif = 3 * np.sin(np.linspace(0, 3 * np.pi, 12))
+    s = rng.normal(0, 1, 60)
+    s[5:17] = motif + rng.normal(0, 0.1, 12)
+    s[35:47] = motif + rng.normal(0, 0.1, 12)
+    lcs = K.local_concurrences(s, gamma=0.5, tau=0.6, penalty=1.0, min_len=6, k=3)
+    assert lcs, "no concurrences found"
+    top = lcs[0]
+    (i0, j0), (i1, j1) = top["path"][0], top["path"][-1]
+    # the top concurrence links the two planted motif windows
+    assert 3 <= i0 <= 7 and 33 <= j0 <= 37, (i0, j0)
+    assert 14 <= i1 <= 19 and 44 <= j1 <= 48, (i1, j1)
+    # and clearly beats anything in pure noise
+    noise = rng.normal(0, 1, 60)
+    lcn = K.local_concurrences(noise, gamma=0.5, tau=0.6, penalty=1.0, min_len=6, k=1)
+    noise_top = lcn[0]["score"] if lcn else 0.0
+    assert top["score"] > 1.5 * noise_top
+
+
+def test_local_concurrences_cross_series():
+    rng = np.random.default_rng(2)
+    motif = 3 * np.sin(np.linspace(0, 3 * np.pi, 12))
+    s1 = rng.normal(0, 1, 60)
+    s1[5:17] = motif
+    s2 = rng.normal(0, 1, 50)
+    s2[10:22] = motif
+    lcs = K.local_concurrences(s1, s2, gamma=0.5, tau=0.6, penalty=1.0, min_len=6, k=1)
+    (i0, j0), (i1, j1) = lcs[0]["path"][0], lcs[0]["path"][-1]
+    assert abs(i0 - 5) <= 2 and abs(j0 - 10) <= 2
+    assert abs(i1 - 16) <= 2 and abs(j1 - 21) <= 2
+
+
+def test_affinity_diag_band_blocks_trivial_diagonal():
+    s = np.sin(np.linspace(0, 10, 40))
+    A = K.warping_paths_affinity(s, s, gamma=0.5, diag_band=5)
+    for i in range(1, 41):
+        for off in range(-4, 5):
+            j = i + off
+            if 1 <= j <= 40:
+                assert A[i, j] == 0.0
+
+
+# --- C4 (PAM k-medoids over pair lists) -------------------------------
+
+
+def test_kmedoids_separates_blobs():
+    from dtaidistance_spark.clustering.hierarchical import kmedoids
+
+    rng = np.random.default_rng(1)
+    pts = {f"a{i}": rng.normal(0, 1) for i in range(6)}
+    pts |= {f"b{i}": rng.normal(100, 1) for i in range(6)}
+    rows = [
+        {"id_a": x, "id_b": y, "dist": abs(pts[x] - pts[y])}
+        for x in pts
+        for y in pts
+        if x < y
+    ]
+    assign, cost = kmedoids(rows, pts.keys(), k=2)
+    groups = {}
+    for i, m in assign.items():
+        groups.setdefault(m, set()).add(i)
+    assert sorted(map(sorted, groups.values())) == [
+        sorted(f"a{i}" for i in range(6)),
+        sorted(f"b{i}" for i in range(6)),
+    ]
+    # run twice -> identical (deterministic)
+    assert kmedoids(rows, pts.keys(), k=2) == (assign, cost)
