@@ -56,7 +56,7 @@ def exact_dedup(spark, sf_dir):
 def minhash_lsh_neardups(spark, sf_dir):
     """Sub-quadratic MinHash+LSH candidates, exactly verified — output
     must equal the brute-force SQL pairs at jaccard >= 0.8 (banding
-    b=32, r=2 makes the miss probability ~6e-15 at j=0.8)."""
+    b=21, r=3 makes the miss probability ~3e-7 at j=0.8)."""
     return D.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
 
 
