@@ -108,6 +108,25 @@ def main() -> None:
         df.unpersist()
     seq.unpersist()
 
+    # --- distance-matrix workload (M1): LB-cascade pair join ------------
+    import numpy as np
+
+    from dtaidistance_spark import kernels as KK
+    from dtaidistance_spark.operators import pairs as P
+
+    n_pairs_series = 2000
+    ppdf = synth.sequences_local(n_pairs_series)
+    ppdf["tokens"] = ppdf["tokens"].map(
+        lambda t: KK.paa(np.asarray(t, dtype=np.float64), 64)
+    )
+    pairs_df = spark.createDataFrame(ppdf[["doc_id", "tokens"]]).persist()
+    pairs_df.count()
+    t0 = time.perf_counter()
+    n_found = P.dtw_pairs(pairs_df, threshold=4000.0, window=8).count()
+    pairs_sec = time.perf_counter() - t0
+    timings["dtw_pairs_bench"] = round(pairs_sec, 3)
+    pairs_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline query wall time (sf bench suite)",
@@ -124,6 +143,11 @@ def main() -> None:
         "ingest_points_per_sec": round(stats["n_points"] / ingest_sec, 1),
         "cascade_points_per_sec": round(stats["n_points"] / cascade_sec, 1),
         "cascade_output_points": int(cascade_points),
+        "dtw_pairs_series": n_pairs_series,
+        "dtw_pairs_found": int(n_found),
+        "dtw_candidate_pairs_per_sec": round(
+            n_pairs_series * (n_pairs_series - 1) / 2 / pairs_sec, 1
+        ),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     print(json.dumps(result))
