@@ -205,12 +205,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         for i in range(64)
     ]
     agg = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
-    fp = None
-    for i in range(64):
-        bit = (F.col(f"_b{i}") * 2 > F.col("_n")).cast("long")
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select(id_col, fp.alias("simhash"))
+    # balanced OR-reduction: a 64-deep left chain makes Catalyst
+    # analysis quadratic (measured ~27s per query); depth log2(64)=6
+    terms = [
+        F.shiftleft((F.col(f"_b{i}") * 2 > F.col("_n")).cast("long"), i)
+        for i in range(64)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return agg.select(id_col, terms[0].alias("simhash"))
 
 
 def simhash_candidates(
