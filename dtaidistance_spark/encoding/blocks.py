@@ -47,8 +47,15 @@ def encode_blocks(
             F.window(F.timestamp_micros(F.col("_ts_us")), block_window)["start"],
         )
         group = group + ["block_start"]
+    # sort JVM-side, then split the struct array into two primitive
+    # arrays (array<long>, array<double>) so the Arrow transfer hands
+    # the kernel numpy-ready buffers — no per-point Python conversion
     grouped = keyed.groupBy(*group).agg(
         F.array_sort(F.collect_list(F.struct("_ts_us", "_val"))).alias("_pts")
+    ).select(
+        *group,
+        F.col("_pts._ts_us").alias("_ts"),
+        F.col("_pts._val").alias("_vals"),
     )
 
     key_fields = [f"{k} {t}" for k, t in df.select(*key_cols).dtypes]
@@ -68,14 +75,15 @@ def encode_blocks(
     def kernel(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                pts = row["_pts"]
-                ts = np.asarray([p["_ts_us"] for p in pts], dtype=np.int64)
-                vals = np.asarray([p["_val"] for p in pts], dtype=np.float64)
-                blk = G.encode_block(ts, vals)
-                rec = {k: row[k] for k in group}
-                rec.update(blk)
-                rows.append(rec)
+            cols = [pdf[k] for k in group]
+            for i, (ts_arr, val_arr) in enumerate(zip(pdf["_ts"], pdf["_vals"])):
+                blk = G.encode_block(
+                    np.asarray(ts_arr, dtype=np.int64),
+                    np.asarray(val_arr, dtype=np.float64),
+                )
+                for k, c in zip(group, cols):
+                    blk[k] = c.iloc[i]
+                rows.append(blk)
             yield pd.DataFrame(rows)
 
     return grouped.mapInPandas(kernel, out_schema)
@@ -93,23 +101,33 @@ def decode_blocks(df: DataFrame, key_cols: list[str], ts_as_timestamp: bool = Tr
 
     def kernel(batches):
         for pdf in batches:
-            cols: dict[str, list] = {k: [] for k in key_cols}
-            cols["ts_us"], cols["value"] = [], []
-            for _, row in pdf.iterrows():
+            ts_list, val_list, counts = [], [], np.zeros(len(pdf), dtype=np.int64)
+            it = zip(
+                pdf["count"], pdf["first_ts"], pdf["first_val"],
+                pdf["ts_block"], pdf["val_block"],
+            )
+            for i, (cnt, fts, fval, tsb, valb) in enumerate(it):
                 ts, vals = G.decode_block(
                     {
-                        "count": row["count"],
-                        "first_ts": row["first_ts"],
-                        "first_val": row["first_val"],
-                        "ts_block": bytes(row["ts_block"] or b""),
-                        "val_block": bytes(row["val_block"] or b""),
+                        "count": cnt,
+                        "first_ts": fts,
+                        "first_val": fval,
+                        "ts_block": bytes(tsb or b""),
+                        "val_block": bytes(valb or b""),
                     }
                 )
-                n = len(ts)
-                for k in key_cols:
-                    cols[k].extend([row[k]] * n)
-                cols["ts_us"].extend(ts.tolist())
-                cols["value"].extend(vals.tolist())
+                ts_list.append(ts)
+                val_list.append(vals)
+                counts[i] = len(ts)
+            cols = {
+                k: np.repeat(pdf[k].to_numpy(), counts) for k in key_cols
+            }
+            cols["ts_us"] = (
+                np.concatenate(ts_list) if ts_list else np.empty(0, np.int64)
+            )
+            cols["value"] = (
+                np.concatenate(val_list) if val_list else np.empty(0, np.float64)
+            )
             yield pd.DataFrame(cols)
 
     out = df.mapInPandas(kernel, out_schema)

@@ -63,18 +63,24 @@ def pack_fragments(vals: np.ndarray, lens: np.ndarray) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-def _bit_reader(buf: bytes):
-    """Return (bits uint8 array, cursor list) — decode helper."""
-    return np.unpackbits(np.frombuffer(buf, dtype=np.uint8)), [0]
+class _Reader:
+    """Sequential MSB-first bit reader with O(1) field reads.
 
+    Each ``read(n)`` (n ≤ 64) slices a 9-byte window around the cursor
+    and shifts — small-int arithmetic only, no per-bit Python loop.
+    (72 window bits − 7 max offset = 65 ≥ 64 available.)"""
 
-def _read(bits: np.ndarray, cur: list, n: int) -> int:
-    i = cur[0]
-    v = 0
-    for b in bits[i : i + n]:
-        v = (v << 1) | int(b)
-    cur[0] = i + n
-    return v
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf + b"\x00" * 9
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        self.pos = p + n
+        chunk = int.from_bytes(self.buf[p >> 3 : (p >> 3) + 9], "big")
+        return (chunk >> (72 - (p & 7) - n)) & ((1 << n) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -127,23 +133,23 @@ def decode_timestamps(buf: bytes, first_ts: int, count: int) -> np.ndarray:
     out[0] = first_ts
     if count == 1:
         return out
-    bits, cur = _bit_reader(buf)
-    t, delta = first_ts, 0
-    for i in range(1, count):
-        if _read(bits, cur, 1) == 0:
-            dod = 0
-        elif _read(bits, cur, 1) == 0:  # '10'
-            dod = _read(bits, cur, 7) - 63
-        elif _read(bits, cur, 1) == 0:  # '110'
-            dod = _read(bits, cur, 9) - 255
-        elif _read(bits, cur, 1) == 0:  # '1110'
-            dod = _read(bits, cur, 12) - 2047
+    r = _Reader(buf)
+    read = r.read
+    dod = np.zeros(count - 1, dtype=np.int64)
+    for i in range(count - 1):
+        if read(1) == 0:
+            continue
+        elif read(1) == 0:  # '10'
+            dod[i] = read(7) - 63
+        elif read(1) == 0:  # '110'
+            dod[i] = read(9) - 255
+        elif read(1) == 0:  # '1110'
+            dod[i] = read(12) - 2047
         else:  # '1111' + 64
-            u = _read(bits, cur, 64)
-            dod = u - (1 << 64) if u >= (1 << 63) else u
-        delta += dod
-        t += delta
-        out[i] = t
+            u = read(64)
+            dod[i] = u - (1 << 64) if u >= (1 << 63) else u
+    # delta_i = Σ dod, t_i = first + Σ delta — both vectorized
+    out[1:] = first_ts + np.cumsum(np.cumsum(dod))
     return out
 
 
@@ -248,29 +254,27 @@ def encode_values_ref(vals: np.ndarray) -> bytes:
 
 
 def decode_values(buf: bytes, first_val: float, count: int) -> np.ndarray:
-    out = np.empty(count, dtype=np.float64)
     if count == 0:
-        return out
-    out[0] = first_val
+        return np.empty(0, dtype=np.float64)
     if count == 1:
-        return out
-    bits, cur = _bit_reader(buf)
-    prev = int(np.float64(first_val).view(np.uint64))
+        return np.asarray([first_val], dtype=np.float64)
+    r = _Reader(buf)
+    read = r.read
+    xors = np.zeros(count, dtype=np.uint64)
+    xors[0] = np.float64(first_val).view(np.uint64)
     lz = tz = 0
     for i in range(1, count):
-        if _read(bits, cur, 1) == 0:
-            x = 0
-        elif _read(bits, cur, 1) == 0:  # '10' reuse window
-            wlen = 64 - lz - tz
-            x = _read(bits, cur, wlen) << tz
+        if read(1) == 0:
+            continue
+        elif read(1) == 0:  # '10' reuse window
+            xors[i] = read(64 - lz - tz) << tz
         else:  # '11' explicit window
-            lz = _read(bits, cur, 5)
-            siglen = _read(bits, cur, 6) + 1
+            lz = read(5)
+            siglen = read(6) + 1
             tz = 64 - lz - siglen
-            x = _read(bits, cur, siglen) << tz
-        prev ^= x
-        out[i] = np.uint64(prev).view(np.float64)
-    return out
+            xors[i] = read(siglen) << tz
+    # prev ^= x chain — vectorized running XOR
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
 
 
 # ---------------------------------------------------------------------------
