@@ -20,7 +20,7 @@ from dtaidistance_spark.sources.tableio import TableIO
 @register(
     "continuous_agg_counts",
     oracle="""
-    SELECT 'all' AS key, date_trunc('day', ts) AS window_start,
+    SELECT 'all' AS key, date_trunc('day', ts)::TIMESTAMP AS window_start,
            count(DISTINCT user_id) AS n_series,
            count(*)                AS n_points
     FROM events GROUP BY 2

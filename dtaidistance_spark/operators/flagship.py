@@ -121,7 +121,7 @@ def events_daily_profile(spark, sf_dir):
 @register(
     "events_profile_counts",
     oracle="""
-    SELECT 'all' AS key, date_trunc('day', ts) AS window_start,
+    SELECT 'all' AS key, date_trunc('day', ts)::TIMESTAMP AS window_start,
            count(DISTINCT user_id) AS n_series,
            count(*)                AS n_points
     FROM events GROUP BY 2
