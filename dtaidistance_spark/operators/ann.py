@@ -1,6 +1,6 @@
 """Approximate nearest neighbour search over embedding columns.
 
-Two tiers (SURVEY-style cascade, same pattern as the DTW LB cascade):
+Three tiers (SURVEY-style cascade, same pattern as the DTW LB cascade):
 
 - :func:`brute_cosine_topk` — exact, JVM-side ``zip_with``/``aggregate``
   dot products + a top-k window; the baseline and the verification tier.
@@ -11,6 +11,11 @@ Two tiers (SURVEY-style cascade, same pattern as the DTW LB cascade):
   keyed on (table, bucket) — never N²), then exact cosine ranks the
   candidates. Recall is tunable with n_tables/n_planes and measured by
   the ``ann_lsh_recall`` registry query.
+- :func:`ivf_cosine_topk` — IVF-Flat (the FAISS coarse-quantizer
+  layout): spherical-k-means centroids trained driver-side on a
+  deterministic sample, corpus shuffled once onto inverted lists,
+  queries probe their ``n_probe`` nearest lists. Recall measured by
+  ``ann_ivf_recall``.
 
 Hyperplanes are seeded deterministically — same buckets every run and
 every partitioning (resume-safe, like every kernel in this engine).
@@ -113,6 +118,102 @@ def lsh_cosine_topk(
         .where(F.col("query_id") != F.col("nn_id"))
         .select("query_id", "_q", "nn_id", "_c")
         .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        cands.withColumn("cosine", _norm_dot("_q", "_c"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, dim: int, n_list: int = 16, sample: int = 4096,
+    max_it: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means (cosine
+    geometry — vectors and centroids unit-normalized) on a
+    deterministic hash-ordered sample, Lloyd-iterated in numpy on the
+    driver.
+
+    Scale shape (the FAISS-IVF recipe): the TRAINED object is tiny
+    (n_list x dim floats — a few MB even at n_list=2^16), so training
+    on a bounded sample driver-side and broadcasting the centroids into
+    the assignment UDF is the production pattern; only assignment and
+    search are distributed. Sample order is ``xxhash64(id)`` — same
+    centroids every run and every partitioning (resume-safe)."""
+    rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(SEED)
+    C = X[rng.choice(len(X), size=min(n_list, len(X)), replace=False)]
+    for _ in range(max_it):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def add_ivf_lists(
+    emb: DataFrame, centroids: np.ndarray, n_probe: int = 1,
+    vec_col: str = "embedding", out_col: str = "list_ids",
+) -> DataFrame:
+    """Append ``list_ids array<int>``: the ``n_probe`` nearest coarse
+    centroids per vector (one BLAS matmul per Arrow batch). Corpus
+    vectors use n_probe=1 (their inverted list); queries probe several."""
+    C = centroids
+
+    @pandas_udf("array<int>")
+    def lists(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ C.T
+        p = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return emb.withColumn(out_col, lists(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_list: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the second scale path next to LSH):
+    corpus vectors shuffle once onto their inverted list; each query
+    probes its ``n_probe`` closest lists; candidates are exact-cosine
+    ranked. Work per query scales with n_probe/n_list of the corpus,
+    never N². Imbalanced lists (clustered corpora) are AQE-skew-join
+    territory — same mitigation as every bucket join in this engine."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, dim, n_list=n_list, id_col=id_col, vec_col=vec_col
+        )
+    corpus = add_ivf_lists(emb, centroids, 1, vec_col).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).cast("array<double>").alias("_c"),
+        F.explode("list_ids").alias("_list"),
+    )
+    qs = add_ivf_lists(queries, centroids, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+        F.explode("list_ids").alias("_list"),
+    )
+    cands = (
+        corpus.join(qs, on="_list")
+        .where(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "_q", "nn_id", "_c")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
     return (

@@ -51,6 +51,29 @@ def ann_lsh_topk(spark, sf_dir):
     return A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=16, n_planes=4)
 
 
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat bucketed top-k (rows-only; recall measured by
+    ann_ivf_recall)."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    return A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=6)
+
+
+@register("ann_ivf_recall")
+def ann_ivf_recall(spark, sf_dir):
+    """Measured recall@10 of the IVF tier vs the exact tier (same
+    worst-case-corpus caveat as ann_lsh_recall: near-uniform synthetic
+    embeddings blunt every space-partitioning index; n_probe=6 of
+    n_list=16 trades a 2.7x candidate cut for high recall here, while
+    clustered real corpora run n_probe/n_list ~ 1/100)."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    approx = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=6)
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    return A.recall_at_k(approx, exact, k=10)
+
+
 @register("ann_lsh_recall")
 def ann_lsh_recall(spark, sf_dir):
     """Measured recall@10 of the LSH tier vs the exact tier.
