@@ -1,0 +1,89 @@
+"""Physical-plan inspection gates (SURVEY §4 / BASELINE.md):
+
+- predicate pushdown + column pruning reach the parquet scan
+  (``PushedFilters`` populated, ``ReadSchema`` pruned to the projection);
+- dimension joins broadcast (no shuffle of the small side);
+- whole-stage codegen spans exist on SQL stages;
+- zero row-wise Python anywhere: every Python boundary is an Arrow
+  batch node (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas),
+  never ``BatchEvalPython``.
+
+These are the properties that decide whether the same plan survives a
+100x scale-up — asserted, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # ReadSchema pruned: payload columns we did not select must be absent
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["revenue_per_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    # the small sides must not hash-shuffle
+    assert "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_spans(spark, sf_dir):
+    from __spark_entry__ import queries
+
+    df = queries()["pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans; both agg stages
+    # (partial + final) must be inside codegen
+    assert "*(1)" in executed and "*(2)" in executed, executed
+
+
+def test_no_rowwise_python_across_pipelines(spark, sf_dir):
+    """Every Python-touching pipeline crosses the JVM boundary only via
+    Arrow-batched nodes (north rule)."""
+    from __spark_entry__ import queries
+
+    reg = queries()
+    for name in [
+        "events_daily_profile",  # DBA rollup (applyInPandas-equivalent)
+        "dtw_pairs_threshold",   # pair join + batched kernel
+        "gorilla_roundtrip",     # encode/decode mapInPandas
+        "minhash_lsh_neardups",  # pure SQL — no Python at all
+        "ann_ivf_topk",          # pandas_udf assignment
+    ]:
+        plan = _plan(reg[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_rollup_shuffle_is_single_exchange(spark):
+    """The 1-minute DBA rollup plan contains exactly ONE hash exchange
+    (the groupBy key shuffle) before the Arrow kernel — no accidental
+    extra repartition/sort shuffles on the hot path."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators import rollup as R
+
+    import re
+
+    seq = synth.sequences_df(spark, 64)
+    plan = _plan(R.dba_rollup(seq, tier="1 minute"))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan
