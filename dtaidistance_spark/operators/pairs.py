@@ -135,68 +135,70 @@ def dtw_pairs(
     feats = with_series_features(
         df, value_col, env_window=window if use_lb_keogh else None
     )
+    # candidates carry ONLY v_b: v_a is constant per id_a group, so it
+    # crosses the shuffle + Arrow boundary once per SERIES (cogroup
+    # side 2) instead of once per PAIR — halves candidate shuffle bytes
     cand = candidate_pairs(
         feats,
         id_col=id_col,
         max_length_diff=max_length_diff,
         lb_kim_threshold=threshold,
-    ).select("id_a", "id_b", "v_a", "v_b")
-    # the bucket join keys on length buckets; near-uniform lengths (e.g.
-    # PAA'd corpora) collapse to ONE bucket, serializing the kernel
-    # stage in a single task — rebalance on id_a (high cardinality) so
-    # the per-group batched kernel parallelizes
-    cand = cand.repartition("id_a")
+    ).select("id_a", "id_b", "v_b")
+    series_a = feats.select(F.col(id_col).alias("id_a"), "_v")
 
     win = window
     thr = threshold
     use_env = use_lb_keogh
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
 
-    def kernel(batches):
-        # batched per id_a group: ONE vectorized LB_Keogh pass against
-        # env(a) (direction-swapped vs the per-pair form — both
-        # directions are admissible lower bounds, and env(a) is computed
-        # once per group instead of env(b) once per pair), then ONE
-        # anti-diagonal DP over all surviving candidates of the group.
-        # Exactness is unchanged: the final filter is the true DTW.
-        for pdf in batches:
-            out_a, out_b, out_d = [], [], []
-            for ida, grp in pdf.groupby("id_a", sort=False):
-                a = np.asarray(grp["v_a"].iloc[0], dtype=np.float64)
-                arrs = [np.asarray(v, dtype=np.float64) for v in grp["v_b"]]
-                ids_b = list(grp["id_b"])
-                lengths = np.asarray([len(x) for x in arrs], dtype=np.int64)
-                L = int(lengths.max())
-                M = np.zeros((len(arrs), L))
-                for i, x in enumerate(arrs):
-                    M[i, : len(x)] = x
-                keep = np.ones(len(arrs), dtype=bool)
-                if use_env:
-                    # widest band over the group's lengths -> loosest
-                    # (still admissible) bound, one envelope for all;
-                    # only the first min(len(b_i), len(a)) positions
-                    # contribute (as in the per-pair kernel)
-                    lo, hi = K.lb_keogh_envelope(a, win, r=L)
-                    n = min(L, len(a))
-                    above = np.maximum(M[:, :n] - hi[None, :n], 0.0)
-                    below = np.maximum(lo[None, :n] - M[:, :n], 0.0)
-                    pad = np.arange(n)[None, :] >= lengths[:, None]
-                    above[pad] = 0.0
-                    below[pad] = 0.0
-                    lb = np.sqrt((above * above + below * below).sum(axis=1))
-                    keep = lb <= thr
-                if keep.any():
-                    d = K.dtw_distance_batch(
-                        a, M[keep], lengths[keep], window=win
-                    )
-                    kept_ids = [b for b, k in zip(ids_b, keep) if k]
-                    for idb, dv in zip(kept_ids, d):
-                        if dv <= thr:
-                            out_a.append(ida)
-                            out_b.append(idb)
-                            out_d.append(float(dv))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
+    def kernel(grp: pd.DataFrame, ref: pd.DataFrame) -> pd.DataFrame:
+        # per id_a group (cogroup key; also the shuffle key — near-
+        # uniform lengths collapse the bucket join into one bucket, and
+        # keying the kernel stage on high-cardinality id_a is what
+        # parallelizes it): ONE vectorized LB_Keogh pass against env(a)
+        # (direction-swapped vs the per-pair form — both directions are
+        # admissible lower bounds, and env(a) is computed once per
+        # group instead of env(b) once per pair), then ONE batched
+        # anti-diagonal DP over the group's survivors. Exactness is
+        # unchanged: the final filter is the true DTW.
+        if not len(grp) or not len(ref):
+            return empty
+        ida = ref["id_a"].iloc[0]
+        a = np.asarray(ref["_v"].iloc[0], dtype=np.float64)
+        arrs = [np.asarray(v, dtype=np.float64) for v in grp["v_b"]]
+        ids_b = list(grp["id_b"])
+        lengths = np.asarray([len(x) for x in arrs], dtype=np.int64)
+        L = int(lengths.max())
+        M = np.zeros((len(arrs), L))
+        for i, x in enumerate(arrs):
+            M[i, : len(x)] = x
+        keep = np.ones(len(arrs), dtype=bool)
+        if use_env:
+            # widest band over the group's lengths -> loosest (still
+            # admissible) bound, one envelope for all; only the first
+            # min(len(b_i), len(a)) positions contribute (as in the
+            # per-pair kernel)
+            lo, hi = K.lb_keogh_envelope(a, win, r=L)
+            n = min(L, len(a))
+            above = np.maximum(M[:, :n] - hi[None, :n], 0.0)
+            below = np.maximum(lo[None, :n] - M[:, :n], 0.0)
+            pad = np.arange(n)[None, :] >= lengths[:, None]
+            above[pad] = 0.0
+            below[pad] = 0.0
+            lb = np.sqrt((above * above + below * below).sum(axis=1))
+            keep = lb <= thr
+        if not keep.any():
+            return empty
+        d = K.dtw_distance_batch(a, M[keep], lengths[keep], window=win)
+        kept_ids = [b for b, k in zip(ids_b, keep) if k]
+        out = [(ida, idb, float(dv)) for idb, dv in zip(kept_ids, d) if dv <= thr]
+        return pd.DataFrame(out, columns=["id_a", "id_b", "dist"])
 
-    return cand.mapInPandas(kernel, "id_a string, id_b string, dist double")
+    return (
+        cand.groupby("id_a")
+        .cogroup(series_a.groupby("id_a"))
+        .applyInPandas(kernel, "id_a string, id_b string, dist double")
+    )
 
 
 def dtw_knn(
