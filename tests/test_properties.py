@@ -1,0 +1,134 @@
+"""Property-based gates (hypothesis) — Spark-free, fast.
+
+The reference's strongest correctness idea is dual-implementation
+cross-checking (SURVEY §5.1); hypothesis extends that from golden
+vectors to randomized adversarial inputs:
+
+- Gorilla: encode→decode identity over arbitrary float64 bit patterns
+  (incl. NaN payloads, infinities, subnormals) and arbitrary sorted
+  int64-µs timestamps; vectorized and reference ('10'-branch) encoders
+  must agree after decode.
+- DTW: metric-style invariants that hold for ANY input — symmetry,
+  identity, window-monotonicity, Euclidean upper bound, LB_Keogh /
+  LB_Kim admissibility — cross-checked against the O(n·m) brute
+  recursion on small cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark.encoding import gorilla as G
+
+# -- strategies -------------------------------------------------------------
+
+f64 = st.floats(
+    allow_nan=True, allow_infinity=True, allow_subnormal=True, width=64
+)
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, width=64, min_value=-1e6, max_value=1e6
+)
+series = st.lists(finite, min_size=1, max_size=24).map(
+    lambda xs: np.asarray(xs, dtype=np.float64)
+)
+
+
+@st.composite
+def ts_axis(draw):
+    n = draw(st.integers(1, 200))
+    deltas = draw(
+        st.lists(
+            st.integers(0, 2**40), min_size=n, max_size=n
+        )
+    )
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+# -- gorilla ----------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(f64, min_size=1, max_size=64))
+def test_gorilla_values_roundtrip_any_bits(xs):
+    vals = np.asarray(xs, dtype=np.float64)
+    dec = G.decode_values(G.encode_values(vals), float(vals[0]), len(vals))
+    # bit-exact comparison (NaN payloads included) — float compare would
+    # treat NaN != NaN and -0.0 == 0.0
+    assert np.array_equal(dec.view(np.uint64), vals.view(np.uint64))
+    # the reference encoder (with the '10' reuse branch) must decode to
+    # the same bits through the same decoder
+    dec2 = G.decode_values(G.encode_values_ref(vals), float(vals[0]), len(vals))
+    assert np.array_equal(dec2.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(ts_axis())
+def test_gorilla_timestamps_roundtrip(ts):
+    dec = G.decode_timestamps(G.encode_timestamps(ts), int(ts[0]), len(ts))
+    assert np.array_equal(dec, ts)
+
+
+# -- DTW kernel invariants --------------------------------------------------
+
+
+def _brute_dtw(a, b):
+    """O(n·m) reference recursion, squared-euclidean inner distance."""
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = (a[i - 1] - b[j - 1]) ** 2
+            D[i, j] = c + min(D[i - 1, j - 1], D[i - 1, j], D[i, j - 1])
+    return float(np.sqrt(D[n, m]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(series, series)
+def test_dtw_matches_brute_recursion(a, b):
+    got = K.dtw_distance(a, b)
+    want = _brute_dtw(a, b)
+    assert abs(got - want) < 1e-9 * max(1.0, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(series, series)
+def test_dtw_symmetry_and_identity(a, b):
+    assert K.dtw_distance(a, a) == 0.0
+    d_ab = K.dtw_distance(a, b)
+    d_ba = K.dtw_distance(b, a)
+    assert abs(d_ab - d_ba) < 1e-9 * max(1.0, d_ab)
+
+
+@settings(max_examples=100, deadline=None)
+@given(series, series, st.integers(1, 8))
+def test_dtw_window_monotone_and_euclid_bound(a, b, w):
+    """Tighter bands can only increase cost; the unbanded distance is
+    bounded above by Euclidean (equal lengths)."""
+    d_w = K.dtw_distance(a, b, window=w)
+    d_full = K.dtw_distance(a, b)
+    assert d_full <= d_w + 1e-9
+    if len(a) == len(b):
+        assert d_full <= K.ed_distance(a, b) + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(series, series, st.integers(1, 8))
+def test_lower_bounds_admissible(a, b, w):
+    d = K.dtw_distance(a, b, window=w)
+    assert K.lb_kim(a, b) <= d + 1e-9
+    lo, hi = K.lb_keogh_envelope(b, w)
+    assert K.lb_keogh(a, b, window=w) <= d + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(series, series)
+def test_batched_dtw_equals_scalar(a, b):
+    lengths = np.asarray([len(b)], dtype=np.int64)
+    M = np.zeros((1, len(b)))
+    M[0] = b
+    got = K.dtw_distance_batch(a, M, lengths, window=4)[0]
+    want = K.dtw_distance(a, b, window=4)
+    assert abs(got - want) < 1e-9 * max(1.0, want)
