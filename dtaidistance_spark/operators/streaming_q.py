@@ -70,3 +70,48 @@ def stream_events_hourly(spark, sf_dir):
         return spark.createDataFrame(out.toPandas())  # detach from temp
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("stream_dba_rollup")
+def stream_dba_rollup_q(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    streaming DBA tier rollup of the synthetic token stream — windows
+    emit exactly once on event-time timeout; barycenters are
+    bit-identical to the batch dba_rollup (gated in test_streaming).
+    Rows-only: DBA is not SQL-expressible."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.streaming import continuous as S
+
+    root = tempfile.mkdtemp(prefix="stream_dba_q_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        q = (
+            S.stream_dba_rollup(
+                S.read_token_stream(spark, src, max_files_per_trigger=1),
+                tier="1 minute", watermark="2 minutes",
+            )
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        synth.sequences_df(spark, 256).write.parquet(src)
+        drain()
+        # closer batch pushes the watermark past every window end
+        synth.sequences_df(spark, 2).selectExpr(
+            "doc_id", "tokens", "n_tok", "source",
+            "ts + INTERVAL 10 DAYS AS ts"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(
+            F.col("window_start") < "2026-06-01"
+        )
+        return spark.createDataFrame(out.toPandas())  # detach from temp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -100,6 +100,122 @@ def stream_session_windows(
     )
 
 
+def stream_dba_rollup(
+    stream: DataFrame,
+    tier: str = "1 minute",
+    watermark: str = "2 minutes",
+    key_col: str = "source",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    value_col: str = "tokens",
+    max_members: int = 256,
+    dba_window: int = 16,
+    dba_max_it: int = 2,
+    barycenter_len: int = 128,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    the flagship DBA tier rollup in streaming form.
+
+    Per (key, window) group the state accumulates members as arriving
+    micro-batches are folded in; an EVENT-TIME timeout fires once the
+    watermark passes the window end, at which point the group emits one
+    DBA barycenter row (identical kernel to the batch
+    :func:`..operators.rollup.dba_rollup`) and drops its state — append
+    semantics, each window exactly once, late rows beyond the watermark
+    never reach the operator.
+
+    Bounded state: at most ``max_members`` members are retained per
+    group, keeping the SMALLEST doc_ids (a bottom-k sketch —
+    deterministic in the input SET, independent of arrival order and
+    micro-batch boundaries). ``n_series``/``n_points`` stay exact
+    counters. For groups within the bound the emitted barycenter is
+    bit-identical to the batch rollup (gated in tests); beyond it the
+    batch stride sample and the streaming bottom-k sketch are both
+    deterministic but differ — the documented streaming trade-off.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dtaidistance_spark.operators.rollup import ROLLUP_SCHEMA, rollup_group
+
+    tier_s = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}[tier]
+
+    # the watermarked event-time column must survive the projection for
+    # event-time timeouts to be legal — keep ts alongside the group key
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.window(F.col(ts_col), tier)["start"].alias("window_start"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("array<double>").alias("_v"),
+        F.col(ts_col).alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    state_schema = (
+        "ids array<string>, vecs array<array<double>>, "
+        "n_series long, n_points long"
+    )
+
+    def fn(key, pdfs, state):
+        k, w = key
+        if state.hasTimedOut:
+            ids, vecs, n_series, n_points = state.get
+            order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+            arrays = [np.asarray(vecs[i], dtype=np.float64) for i in order]
+            center, _, _ = rollup_group(
+                arrays, max_members=max_members, dba_window=dba_window,
+                dba_max_it=dba_max_it, barycenter_len=barycenter_len,
+            )
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [k],
+                    "window_start": [w],
+                    "n_series": [int(n_series)],
+                    "n_points": [int(n_points)],
+                    "barycenter": [list(center)],
+                }
+            )
+            return
+        if state.exists:
+            ids, vecs, n_series, n_points = state.get
+            ids, vecs = list(ids), list(vecs)
+        else:
+            ids, vecs, n_series, n_points = [], [], 0, 0
+        for pdf in pdfs:
+            for i, v in zip(pdf["_id"], pdf["_v"]):
+                n_series += 1
+                n_points += len(v)
+                ids.append(str(i))
+                # pure-Python floats: the state pickler cannot ship
+                # numpy scalars to the JVM row
+                vecs.append(np.asarray(v, dtype=np.float64).tolist())
+        if len(ids) > max_members:
+            # bottom-k by doc_id: arrival-order independent
+            order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+            keep = sorted(order[:max_members])
+            ids = [ids[j] for j in keep]
+            vecs = [vecs[j] for j in keep]
+        state.update((ids, vecs, int(n_series), int(n_points)))
+        # naive datetimes are UTC here (session TZ) — timegm, never
+        # .timestamp(), which would re-interpret in the host's local TZ
+        import calendar
+
+        end_ms = calendar.timegm(w.timetuple()) * 1000 + tier_s * 1000
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — make fn a generator on every path
+
+    return keyed.groupBy("key", "window_start").applyInPandasWithState(
+        fn,
+        outputStructType=ROLLUP_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -127,3 +127,59 @@ def test_session_windows_close_on_gap(spark, tmp_path):
     got = spark.table("t_sess").toPandas()
     per_key = got.groupby("key").size()
     assert (per_key >= 2).all(), per_key
+
+
+def test_stateful_dba_rollup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState streaming DBA rollup: windows emitted
+    exactly once on event-time timeout, barycenters bit-identical to
+    the batch dba_rollup over the same (closed-window) rows — arrival
+    split across micro-batches must not matter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators import rollup as R
+
+    src = str(tmp_path / "dba_src")
+    # two micro-batches interleaving the same windows (arrival order
+    # differs from doc_id order)
+    _write_batch(spark, src, range(100, 160))
+    _write_batch(spark, src, range(0, 60))
+    batch = spark.read.parquet(src)
+
+    ckpt = str(tmp_path / "ckpt_dba")
+    sink = str(tmp_path / "sink_dba")
+
+    def drain():
+        q = (
+            S.stream_dba_rollup(
+                S.read_token_stream(spark, src, max_files_per_trigger=1),
+                tier="1 minute", watermark="2 minutes",
+            )
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # timeouts fire when the watermark passes window ends: push it far
+    # ahead with a closing batch and drain again
+    _write_batch(spark, src, range(900, 902), ts_offset_s=10 * 86400)
+    drain()
+
+    got = spark.read.parquet(sink).toPandas()
+    got = got[got["window_start"] < pd.Timestamp("2026-01-05")]
+    assert len(got) > 0
+
+    want = (
+        R.dba_rollup(batch, tier="1 minute", key_col="source")
+        .toPandas()
+    )
+    key = ["key", "window_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    assert (g["n_series"].values == w["n_series"].values).all()
+    assert (g["n_points"].values == w["n_points"].values).all()
+    for a, b in zip(g["barycenter"], w["barycenter"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
