@@ -625,12 +625,24 @@ def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=N
     return centers
 
 
-def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
+def dtw_distance_batch(
+    query, batch, lengths, window=None, psi=None, max_dist=None,
+    abandon_every=8,
+):
     """DTW distance from ``query`` (len r) to each row of ``batch``
     (shape (B, c_pad), padded), with true lengths ``lengths``.
 
     Returns float64 array (B,). Matches :func:`dtw_distance` defaults
     (squared-euclidean inner, sqrt at the end) for each pair.
+
+    ``max_dist`` enables BATCH early abandoning (the PrunedDTW idea
+    lifted to the whole batch): members whose last two anti-diagonals
+    both exceed ``max_dist²`` everywhere can never recover (costs only
+    accumulate), so every ``abandon_every`` steps dead rows are
+    compacted out of the DP and reported as INF — exactly the scalar
+    kernel's early-abandon result. Only applied with zero psi: a
+    psi-relaxed final can use boundary cells captured BEFORE a member
+    went dead, which the two-diagonal liveness test cannot see.
     """
     query = np.asarray(query, dtype=np.float64)
     batch = np.asarray(batch, dtype=np.float64)
@@ -642,6 +654,9 @@ def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
         win = max(r, int(lengths.max()))
     else:
         win = window
+    md2 = None
+    if max_dist is not None and not (psi_1b or psi_1e or psi_2b or psi_2e):
+        md2 = float(max_dist) * float(max_dist)
     # per-member band params
     mrc = np.maximum(0, r - lengths)
     mcr = np.maximum(0, lengths - r)
@@ -654,6 +669,8 @@ def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
     last_row = np.full((B, c_pad + 1), INF)  # D[r, j]
     last_col = np.full((B, r + 1), INF)  # D[i, c_m] per member
     I_full = np.arange(r + 1)
+    out_full = np.full(B, INF)
+    active = np.arange(B)
     for k in range(1, r + c_pad + 1):
         d_k = np.full((B, r + 1), INF)
         if k <= c_pad:
@@ -692,8 +709,28 @@ def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
             bs = np.nonzero(sel)[0]
             last_col[bs, im[bs]] = d_k[bs, im[bs]]
         d_km2, d_km1 = d_km1, d_k
+        if md2 is not None and k % abandon_every == 0 and k < r + c_pad:
+            rolling_min = np.minimum(d_km1.min(axis=1), d_km2.min(axis=1))
+            # members past their bottom-right corner are FINISHED (psi=0
+            # result sits in last_row) — finalize and drop them together
+            # with the dead ones
+            finished = k >= (r + lengths)
+            dead = (rolling_min > md2) & ~finished
+            drop = dead | finished
+            if drop.any() and drop.mean() > 0.25:
+                for m in np.nonzero(finished)[0]:
+                    out_full[active[m]] = last_row[m, lengths[m]]
+                keep = ~drop
+                batch = batch[keep]
+                lengths = lengths[keep]
+                a, b = a[keep], b[keep]
+                d_km1, d_km2 = d_km1[keep], d_km2[keep]
+                last_row, last_col = last_row[keep], last_col[keep]
+                active = active[keep]
+                B = len(active)
+                if B == 0:
+                    return np.sqrt(out_full)
     # final value per member
-    out = np.empty(B)
     for m in range(B):
         cm = int(lengths[m])
         if psi_1e == 0 and psi_2e == 0:
@@ -703,8 +740,8 @@ def dtw_distance_batch(query, batch, lengths, window=None, psi=None):
                 np.min(last_row[m, max(0, cm - psi_2e) : cm + 1]),
                 np.min(last_col[m, max(0, r - psi_1e) :]),
             )
-        out[m] = math.sqrt(best) if best != INF else INF
-    return out
+        out_full[active[m]] = best
+    return np.sqrt(out_full)
 
 
 # ---------------------------------------------------------------------------

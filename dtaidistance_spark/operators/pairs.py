@@ -189,7 +189,12 @@ def dtw_pairs(
             keep = lb <= thr
         if not keep.any():
             return empty
-        d = K.dtw_distance_batch(a, M[keep], lengths[keep], window=win)
+        # max_dist=thr: batch early abandon (PrunedDTW across the whole
+        # group) — members that can no longer beat the threshold are
+        # compacted out of the DP mid-flight
+        d = K.dtw_distance_batch(
+            a, M[keep], lengths[keep], window=win, max_dist=thr
+        )
         kept_ids = [b for b, k in zip(ids_b, keep) if k]
         out = [(ida, idb, float(dv)) for idb, dv in zip(kept_ids, d) if dv <= thr]
         return pd.DataFrame(out, columns=["id_a", "id_b", "dist"])
