@@ -1,0 +1,264 @@
+"""dtaidistance-shaped API façade — the switching-user surface.
+
+A user of the reference library (``kennethdevloo/dtaidistance``, a fork
+of ``wannesm/dtaidistance`` v2.x) calls ``dtw.distance``,
+``dtw.distance_matrix``, ``dtw_barycenter.dba``, ``ed.distance``, … .
+This module exposes those entry points with the upstream names,
+parameter names and return conventions, mapped onto this engine:
+
+- array-in/array-out calls run the numpy kernels directly
+  (``ref:dtaidistance/dtw.py::distance`` semantics — same defaults:
+  squared-euclidean inner distance, sqrt at the end, Sakoe-Chiba
+  ``window``, ``max_dist``/``max_step``/``penalty``/``psi``/
+  ``use_pruning``);
+- ``distance_matrix`` accepts the reference's list-of-arrays (or 2-D
+  matrix) plus ``block``/``compact``/``only_triu`` and computes with
+  the batched anti-diagonal kernel — the ``parallel``/``use_mp``/
+  ``use_c`` flags are accepted and ignored (Spark tasks replace
+  OpenMP/multiprocessing; pure numpy replaces the C core);
+- a DataFrame in place of the series list routes to the distributed
+  pairs operator (:func:`dtaidistance_spark.operators.pairs.dtw_pairs`).
+
+Usage::
+
+    from dtaidistance_spark.compat import dtw, dtw_barycenter, ed
+    d = dtw.distance(s1, s2, window=10, use_pruning=True)
+    D = dtw.distance_matrix(series, compact=False)
+    c = dtw_barycenter.dba(series, max_it=10)
+"""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+
+from dtaidistance_spark import kernels as _K
+
+_INF = float("inf")
+
+
+# -- dtw ---------------------------------------------------------------------
+
+
+def _distance(s1, s2, **kwargs):
+    """``ref:dtaidistance/dtw.py::distance`` signature subset."""
+    kwargs.pop("use_c", None)
+    kwargs.pop("only_ub", None)
+    return _K.dtw_distance(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64),
+        **kwargs,
+    )
+
+
+def _distance_matrix(
+    s,
+    block=None,
+    compact=False,
+    only_triu=True,
+    window=None,
+    max_dist=None,
+    max_step=None,
+    max_length_diff=None,
+    penalty=None,
+    psi=None,
+    use_pruning=False,
+    parallel=False,
+    use_mp=False,
+    use_c=False,
+    show_progress=False,
+):
+    """``ref:dtaidistance/dtw.py::distance_matrix``: dense (inf below
+    the diagonal) or condensed-1D (``compact=True``) all-pairs matrix;
+    ``block=((rb,re),(cb,ce))`` restricts to a sub-rectangle. A Spark
+    DataFrame input routes to the distributed pairs operator instead
+    (returns the condensed pairs DataFrame)."""
+    try:  # DataFrame → distributed path, threshold-free (inf)
+        from pyspark.sql import DataFrame
+
+        if isinstance(s, DataFrame):
+            from dtaidistance_spark.operators.pairs import dtw_pairs
+
+            return dtw_pairs(
+                s, threshold=_INF, window=window,
+                max_length_diff=max_length_diff, use_lb_keogh=False,
+            )
+    except ImportError:  # pragma: no cover
+        pass
+
+    series = [np.asarray(x, dtype=np.float64) for x in s]
+    n = len(series)
+    kw = dict(
+        window=window, max_dist=max_dist, max_step=max_step,
+        max_length_diff=max_length_diff, penalty=penalty, psi=psi,
+        use_pruning=use_pruning,
+    )
+    if block is None:
+        rb, re_, cb, ce = 0, n, 0, n
+    else:
+        (rb, re_), (cb, ce) = block
+    dense = np.full((n, n), _INF)
+    for i in range(rb, re_):
+        for j in range(cb, ce):
+            if only_triu and j <= i:
+                continue
+            if j == i:
+                continue
+            dense[i, j] = _K.dtw_distance(series[i], series[j], **kw)
+    if compact:
+        iu = np.triu_indices(n, 1)
+        return dense[iu]
+    return dense
+
+
+def _distances_array_to_matrix(dists, nb_series, block=None, only_triu=True):
+    """``ref:dtaidistance/dtw.py::distances_array_to_matrix``."""
+    m = np.full((nb_series, nb_series), _INF)
+    iu = np.triu_indices(nb_series, 1)
+    m[iu] = dists
+    if not only_triu:
+        m.T[iu] = dists
+        np.fill_diagonal(m, 0.0)
+    return m
+
+
+dtw = types.SimpleNamespace(
+    distance=_distance,
+    distance_fast=_distance,  # numpy kernel ≈ the C path's speed class
+    distance_matrix=_distance_matrix,
+    distance_matrix_fast=_distance_matrix,
+    distances_array_to_matrix=_distances_array_to_matrix,
+    lb_keogh=lambda s1, s2, window=None, **kw: _K.lb_keogh(
+        np.asarray(s1, dtype=np.float64),
+        np.asarray(s2, dtype=np.float64),
+        window=window,
+    ),
+    ub_euclidean=lambda s1, s2: _K.ed_distance(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64)
+    ),
+    warping_paths=lambda s1, s2, **kw: _K.warping_paths(
+        np.asarray(s1, dtype=np.float64),
+        np.asarray(s2, dtype=np.float64),
+        **kw,
+    ),
+    best_path=_K.best_path,
+    warping_path=lambda from_s, to_s, **kw: _K.warping_path(
+        np.asarray(from_s, dtype=np.float64),
+        np.asarray(to_s, dtype=np.float64),
+        **kw,
+    ),
+    warping_amount=_K.warping_amount,
+    warp=lambda from_s, to_s, path=None, **kw: _K.warp(
+        np.asarray(from_s, dtype=np.float64),
+        np.asarray(to_s, dtype=np.float64),
+        path=path,
+        **kw,
+    ),
+)
+
+
+# -- ed ----------------------------------------------------------------------
+
+ed = types.SimpleNamespace(
+    distance=lambda s1, s2: _K.ed_distance(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64)
+    ),
+    distance_fast=lambda s1, s2: _K.ed_distance(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64)
+    ),
+)
+
+
+# -- dtw_ndim ----------------------------------------------------------------
+
+dtw_ndim = types.SimpleNamespace(
+    distance=lambda s1, s2, **kw: _K.dtw_ndim_distance(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64), **kw
+    ),
+)
+
+
+# -- dtw_barycenter ----------------------------------------------------------
+
+
+def _dba(s, c=None, max_it=10, thr=1e-5, mask=None, use_c=False, window=None, **kw):
+    """``ref:dtaidistance/dtw_barycenter.py::dba`` — ``mask`` restricts
+    to a boolean-selected subset (the kmeans per-cluster call shape)."""
+    series = [np.asarray(x, dtype=np.float64) for x in s]
+    if mask is not None:
+        series = [x for x, m in zip(series, mask) if m]
+    center = None if c is None else np.asarray(c, dtype=np.float64)
+    return _K.dba(series, center=center, max_it=max_it, thr=thr, window=window)
+
+
+dtw_barycenter = types.SimpleNamespace(dba=_dba, dba_loop=_dba)
+
+
+# -- preprocessing / similarity / alignment ---------------------------------
+
+
+def _differencing(series, smooth=None):
+    """``ref:dtaidistance/preprocessing.py::differencing`` — np.diff,
+    then optional moving-average low-pass (scipy-free substitute for the
+    reference's Butterworth; window derived from the smooth fraction)."""
+    d = np.diff(np.asarray(series, dtype=np.float64))
+    if smooth is not None:
+        w = max(3, int(round(1.0 / max(smooth, 1e-6))) | 1)
+        d = _K.smoothing(d, window=min(w, max(3, len(d) | 1)))
+    return d
+
+
+preprocessing = types.SimpleNamespace(
+    differencing=_differencing,
+    smoothing=lambda series, smooth=None, window=5: _K.smoothing(
+        np.asarray(series, dtype=np.float64), window=window
+    ),
+)
+
+
+def _distance_to_similarity(D, r=None, method="exponential"):
+    """``ref:dtaidistance/similarity.py::distance_to_similarity``."""
+    D = np.asarray(D, dtype=np.float64)
+    finite = D[np.isfinite(D)]
+    if r is None:
+        r = float(finite.max()) if len(finite) else 1.0
+    if method in ("exponential", "exp"):
+        return np.exp(-D / r)
+    if method in ("gaussian", "gauss"):
+        return np.exp(-(D**2) / (r**2))
+    if method == "reciprocal":
+        return 1.0 / (1.0 + D / r)
+    if method == "reverse":
+        return (r - D) / r
+    raise ValueError(f"unknown method: {method}")
+
+
+similarity = types.SimpleNamespace(distance_to_similarity=_distance_to_similarity)
+
+alignment = types.SimpleNamespace(
+    needleman_wunsch=lambda s1, s2, **kw: _K.needleman_wunsch(s1, s2, **kw),
+    best_alignment=_K.best_alignment,
+)
+
+
+# -- subsequence -------------------------------------------------------------
+
+
+def subsequence_alignment(query, series, **kw):
+    """``ref:dtaidistance/subsequence/dtw.py::subsequence_alignment`` —
+    best window of ``series`` matching ``query`` (psi-relaxed on the
+    series side). Returns an object with ``.best_match()`` exposing
+    ``.value`` and ``.segment`` like upstream's ``SAMatch``."""
+    from dtaidistance_spark.operators.pairs import subsequence_best_match
+
+    start, end, value = subsequence_best_match(
+        np.asarray(query, dtype=np.float64),
+        np.asarray(series, dtype=np.float64),
+        **kw,
+    )
+
+    match = types.SimpleNamespace(value=value, segment=(start, end))
+    return types.SimpleNamespace(best_match=lambda: match)
+
+
+subsequence = types.SimpleNamespace(subsequence_alignment=subsequence_alignment)

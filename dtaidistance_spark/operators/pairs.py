@@ -75,7 +75,15 @@ def candidate_pairs(
     lb_kim_threshold: float | None = None,
 ) -> DataFrame:
     """Self-join on length buckets (+ neighbors) with id_a < id_b, then the
-    LB_Kim SQL prefilter. No crossJoin, no N² shuffle rows."""
+    LB_Kim SQL prefilter. No crossJoin, no N² shuffle rows.
+
+    ``max_length_diff=None`` = exhaustive mode (the reference's
+    unbounded ``distance_matrix``): every pair is a candidate, so the
+    join key degenerates to a SALT — ``pmod(xxhash64(id_a), S)`` on one
+    side, all S values on the other — which spreads the all-pairs join
+    across S tasks instead of one."""
+    exhaustive = max_length_diff is None
+    n_salt = 16
     bucket_w = max(max_length_diff or 64, 1)
     a = feats.select(
         F.col(id_col).alias("id_a"),
@@ -86,7 +94,11 @@ def candidate_pairs(
         F.col("min_v").alias("mina"),
         F.col("max_v").alias("maxa"),
         *( [F.col("_env").alias("env_a")] if "_env" in feats.columns else [] ),
-        F.floor(F.col("n_v") / bucket_w).alias("bkt"),
+        (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("long")
+            if exhaustive
+            else F.floor(F.col("n_v") / bucket_w)
+        ).alias("bkt"),
     )
     b = feats.select(
         F.col(id_col).alias("id_b"),
@@ -97,7 +109,9 @@ def candidate_pairs(
         F.col("min_v").alias("minb"),
         F.col("max_v").alias("maxb"),
         F.explode(
-            F.array(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")
+            if exhaustive
+            else F.array(
                 F.floor(F.col("n_v") / bucket_w) - 1,
                 F.floor(F.col("n_v") / bucket_w),
                 F.floor(F.col("n_v") / bucket_w) + 1,

@@ -1,0 +1,90 @@
+"""Switching-user façade gates: the dtaidistance-shaped API in
+:mod:`dtaidistance_spark.compat` reproduces the upstream library's
+documented behaviors on its own canonical examples (Spark-free)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from dtaidistance_spark.compat import (
+    alignment,
+    dtw,
+    dtw_barycenter,
+    dtw_ndim,
+    ed,
+    preprocessing,
+    similarity,
+    subsequence,
+)
+
+S1 = [0.0, 0, 1, 2, 1, 0, 1, 0, 0]
+S2 = [0.0, 1, 2, 0, 0, 0, 0, 0, 0]
+
+
+def test_canonical_distance():
+    # the README example of upstream: distance == sqrt(2)
+    assert abs(dtw.distance(S1, S2) - math.sqrt(2)) < 1e-12
+    assert abs(dtw.distance_fast(S1, S2) - math.sqrt(2)) < 1e-12
+    # kwargs accepted with upstream names
+    assert dtw.distance(S1, S2, window=2, use_pruning=True) >= math.sqrt(2) - 1e-12
+
+
+def test_distance_matrix_shapes():
+    series = [np.array(S1), np.array(S2), np.array([0.0, 1, 2, 1, 0])]
+    D = dtw.distance_matrix(series, parallel=True, use_c=True)  # flags ignored
+    assert D.shape == (3, 3)
+    assert np.isinf(D[1, 0])  # only_triu: inf below diagonal
+    assert abs(D[0, 1] - math.sqrt(2)) < 1e-12
+    c = dtw.distance_matrix(series, compact=True)
+    assert len(c) == 3
+    assert abs(c[0] - D[0, 1]) < 1e-12
+    # block restricts computed cells
+    Db = dtw.distance_matrix(series, block=((0, 1), (0, 3)))
+    assert np.isfinite(Db[0, 1]) and np.isinf(Db[1, 2])
+    # condensed -> dense round trip
+    M = dtw.distances_array_to_matrix(c, 3, only_triu=False)
+    assert M[1, 0] == M[0, 1] and M[0, 0] == 0.0
+
+
+def test_bounds_and_paths():
+    assert dtw.ub_euclidean(S1, S2) >= dtw.distance(S1, S2) - 1e-12
+    assert dtw.lb_keogh(S1, S2, window=2) <= dtw.distance(S1, S2, window=2) + 1e-12
+    d, paths = dtw.warping_paths(S1, S2)
+    assert abs(d - math.sqrt(2)) < 1e-12
+    p = dtw.best_path(paths)
+    assert p[0] == (0, 0) and p[-1] == (len(S1) - 1, len(S2) - 1)
+    assert dtw.warping_amount(p) >= 0
+    warped = dtw.warp(S1, S2)
+    assert len(warped) == len(S2)
+
+
+def test_ed_and_ndim():
+    assert ed.distance([0.0, 0], [3.0, 4]) == 5.0
+    a = np.array([[0.0, 0], [1, 1], [2, 2]])
+    assert dtw_ndim.distance(a, a) == 0.0
+
+
+def test_dba_and_mask():
+    series = [np.array(S1), np.array(S2), np.array(S1)]
+    c_all = dtw_barycenter.dba(series, max_it=5)
+    assert len(c_all) == len(S1)
+    # mask selects the two identical members -> barycenter equals them
+    c_masked = dtw_barycenter.dba_loop(series, mask=[True, False, True], max_it=5)
+    assert np.allclose(c_masked, S1)
+
+
+def test_preprocessing_similarity_alignment_subsequence():
+    d = preprocessing.differencing(S1)
+    assert np.array_equal(d, np.diff(S1))
+    sim = similarity.distance_to_similarity(np.array([0.0, 1.0, 2.0]), r=2.0)
+    assert sim[0] == 1.0 and sim[2] < sim[1]
+    sc, m = alignment.needleman_wunsch("GATTACA", "GCATGCU")
+    assert sc == 0  # the textbook pair scores 0
+    sa = subsequence.subsequence_alignment(
+        [1.0, 2, 1], [0.0, 0, 1, 2, 1, 0, 0]
+    )
+    best = sa.best_match()
+    assert best.value == 0.0
+    assert best.segment == (2, 4)

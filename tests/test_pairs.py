@@ -92,3 +92,22 @@ def test_subsequence_topk_order(spark):
     out = P.subsequence_search(spark_df, q, k=2).collect()
     assert [r["doc_id"] for r in out] == ["exact", "noisy"]
     assert out[0]["value"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_exhaustive_mode_all_pairs(spark):
+    """max_length_diff=None = the reference's unbounded distance_matrix:
+    every pair is a candidate via the salted exhaustive join."""
+    import numpy as np
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.compat import dtw as cdtw
+    from dtaidistance_spark import kernels as K
+
+    pdf = synth.sequences_local(40)
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    out = cdtw.distance_matrix(df, window=4).collect()
+    assert len(out) == 40 * 39 // 2
+    arrs = {r.doc_id: np.asarray(r.tokens, dtype=np.float64) for r in pdf.itertuples()}
+    for r in out[:5]:
+        want = K.dtw_distance(arrs[r.id_a], arrs[r.id_b], window=4)
+        assert abs(r.dist - want) < 1e-9
