@@ -205,3 +205,80 @@ class TableIO:
 
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.entries())
+
+
+# ---------------------------------------------------------------------------
+# Real-Iceberg backend (drops in when iceberg-spark-runtime is present)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTableIO:
+    """Same interface as :class:`TableIO` over a REAL Iceberg catalog —
+    the production backend this sandbox cannot run (no
+    iceberg-spark-runtime jar, no network; SURVEY.md §1.4).
+
+    Maps contract -> Iceberg natively: atomic snapshot commit is
+    Iceberg's own metadata swap; ``mode='dynamic'`` uses
+    ``overwritePartitions()`` (dynamic partition overwrite); time travel
+    via ``snapshot-id``; partition pruning is Iceberg metadata-side.
+    Requires a configured catalog, e.g.::
+
+        spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.lake.type = hadoop|hive|rest
+    """
+
+    def __init__(
+        self, catalog: str, namespace: str, table: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.identifier = f"{catalog}.{namespace}.{table}"
+        self.partition_by = partition_by or []
+
+    def _require(self, spark: SparkSession) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on the classpath; use "
+                "TableIO (the Iceberg-contract parquet layer) here, or "
+                "add the runtime jar + a spark.sql.catalog.<name> config "
+                "on the cluster."
+            )
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        assert mode in ("overwrite", "append", "dynamic")
+        self._require(df.sparkSession)
+        w = df.writeTo(self.identifier)
+        if mode == "overwrite":
+            w = w.using("iceberg")
+            if self.partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in self.partition_by])
+            w.createOrReplace()
+        elif mode == "append":
+            w.append()
+        else:
+            w.overwritePartitions()
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        self._require(spark)
+        if snapshot is not None:
+            return (
+                spark.read.format("iceberg")
+                .option("snapshot-id", snapshot)
+                .load(self.identifier)
+            )
+        return spark.table(self.identifier)
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history (the `.snapshots` metadata table)."""
+        self._require(spark)
+        return spark.sql(f"SELECT * FROM {self.identifier}.snapshots")

@@ -111,3 +111,21 @@ def test_no_per_row_python_in_plan(spark, seq_df):
     plan = R.dba_rollup(seq_df, tier="1 hour")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan  # Arrow-vectorized kernel stage
     assert "BatchEvalPython" not in plan  # zero per-row Python
+
+
+def test_iceberg_backend_guard(spark):
+    """The real-Iceberg backend exists with the same interface and
+    fails fast with guidance when the runtime jar is absent (this
+    sandbox); on a cluster with iceberg-spark-runtime it activates."""
+    import pytest
+
+    from dtaidistance_spark.sources.tableio import (
+        IcebergTableIO,
+        iceberg_available,
+    )
+
+    assert iceberg_available(spark) is False  # sandbox: no jar
+    io = IcebergTableIO("lake", "tiers", "tier_1m", partition_by=["key"])
+    assert io.identifier == "lake.tiers.tier_1m"
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        io.read(spark)
