@@ -262,3 +262,113 @@ def subsequence_alignment(query, series, **kw):
 
 
 subsequence = types.SimpleNamespace(subsequence_alignment=subsequence_alignment)
+
+
+# -- clustering --------------------------------------------------------------
+
+
+def _pairwise_rows(series, **dists_options):
+    """Condensed pair list [(i, j, d)] via the batched kernel."""
+    arrs = [np.asarray(x, dtype=np.float64) for x in series]
+    n = len(arrs)
+    rows = []
+    window = dists_options.get("window")
+    for i in range(n):
+        rest = arrs[i + 1:]
+        if not rest:
+            continue
+        L = max(len(x) for x in rest)
+        M = np.zeros((len(rest), L))
+        lens = np.empty(len(rest), dtype=np.int64)
+        for m, x in enumerate(rest):
+            M[m, : len(x)] = x
+            lens[m] = len(x)
+        d = _K.dtw_distance_batch(arrs[i], M, lens, window=window)
+        rows.extend(
+            {"id_a": str(i), "id_b": str(i + 1 + m), "dist": float(v)}
+            for m, v in enumerate(d)
+        )
+    return rows
+
+
+class KMeans:
+    """``ref:dtaidistance/clustering/kmeans.py::KMeans`` shape:
+    ``KMeans(k, max_it=..).fit(series)`` -> (cluster_idx_map, performed_it)
+    with ``cluster_idx_map = {cluster: set(member_idx)}``. Runs the
+    engine's deterministic local twin of the distributed driver
+    (:func:`dtaidistance_spark.clustering.kmeans.dtw_kmeans_local`)."""
+
+    def __init__(self, k, max_it=10, max_dba_it=2, window=8, length=64, **_ignored):
+        self.k, self.max_it = k, max_it
+        self.max_dba_it, self.window, self.length = max_dba_it, window, length
+
+    def fit(self, series):
+        import pandas as pd
+
+        from dtaidistance_spark.clustering.kmeans import dtw_kmeans_local
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"i{i:06d}" for i in range(len(series))],
+                "tokens": [list(map(float, s)) for s in series],
+            }
+        )
+        out, self.centers = dtw_kmeans_local(
+            pdf, k=self.k, max_it=self.max_it, length=self.length,
+            window=self.window, dba_max_it=self.max_dba_it,
+            hash_fn=lambda s: int.from_bytes(__import__("hashlib").md5(s.encode()).digest()[:8], "big"),
+        )
+        clusters: dict[int, set] = {}
+        for idx, c in enumerate(out["cluster"]):
+            clusters.setdefault(int(c), set()).add(idx)
+        return clusters, self.max_it
+
+
+class Hierarchical:
+    """``ref:dtaidistance/clustering/hierarchical.py::Hierarchical``
+    shape: ``Hierarchical(dists_fun, dists_options, max_dist).fit(series)``
+    -> {root_idx: set(member_idx)}. ``dists_fun`` is accepted for
+    signature parity; distances come from the engine's banded kernel
+    with ``dists_options`` (e.g. ``{'window': 8}``)."""
+
+    def __init__(self, dists_fun=None, dists_options=None, max_dist=float("inf"), **_ignored):
+        self.dists_options = dists_options or {}
+        self.max_dist = max_dist
+
+    def fit(self, series):
+        from dtaidistance_spark.clustering.hierarchical import single_linkage
+
+        rows = _pairwise_rows(series, **self.dists_options)
+        roots = single_linkage(rows, self.max_dist)
+        clusters: dict[int, set] = {}
+        for i in range(len(series)):
+            root = int(roots.get(str(i), str(i)))
+            clusters.setdefault(root, set()).add(i)
+        return clusters
+
+
+class KMedoids:
+    """``ref:dtaidistance/clustering/kmedoids.py::KMedoids`` shape:
+    ``KMedoids(dists_fun, dists_options, k).fit(series)`` ->
+    {medoid_idx: set(member_idx)} (full PAM iterate)."""
+
+    def __init__(self, dists_fun=None, dists_options=None, k=3, **_ignored):
+        self.dists_options = dists_options or {}
+        self.k = k
+
+    def fit(self, series):
+        from dtaidistance_spark.clustering.hierarchical import kmedoids
+
+        rows = _pairwise_rows(series, **self.dists_options)
+        assign, _cost = kmedoids(rows, [str(i) for i in range(len(series))], k=self.k)
+        clusters: dict[int, set] = {}
+        for i_str, med in assign.items():
+            clusters.setdefault(int(med), set()).add(int(i_str))
+        return clusters
+
+
+clustering = types.SimpleNamespace(
+    kmeans=types.SimpleNamespace(KMeans=KMeans),
+    hierarchical=types.SimpleNamespace(Hierarchical=Hierarchical),
+    kmedoids=types.SimpleNamespace(KMedoids=KMedoids),
+)

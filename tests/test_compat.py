@@ -88,3 +88,24 @@ def test_preprocessing_similarity_alignment_subsequence():
     best = sa.best_match()
     assert best.value == 0.0
     assert best.segment == (2, 4)
+
+
+def test_clustering_facade():
+    rng = np.random.RandomState(0)
+    blob_a = [np.sin(np.linspace(0, 6, 40)) * 10 + rng.normal(0, 0.2, 40) for _ in range(6)]
+    blob_b = [np.cos(np.linspace(0, 6, 40)) * 10 + 40 + rng.normal(0, 0.2, 40) for _ in range(6)]
+    series = blob_a + blob_b
+    from dtaidistance_spark.compat import clustering
+
+    cl, it = clustering.kmeans.KMeans(2, max_it=3).fit(series)
+    assert it == 3 and len(cl) == 2
+    groups = sorted(tuple(sorted(v)) for v in cl.values())
+    assert groups == [tuple(range(6)), tuple(range(6, 12))]
+
+    h = clustering.hierarchical.Hierarchical(None, {"window": 4}, max_dist=20.0).fit(series)
+    hg = sorted(tuple(sorted(v)) for v in h.values())
+    assert hg == [tuple(range(6)), tuple(range(6, 12))]
+
+    km = clustering.kmedoids.KMedoids(None, {"window": 4}, k=2).fit(series)
+    kg = sorted(tuple(sorted(v)) for v in km.values())
+    assert kg == [tuple(range(6)), tuple(range(6, 12))]
