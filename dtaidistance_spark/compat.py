@@ -372,3 +372,45 @@ clustering = types.SimpleNamespace(
     hierarchical=types.SimpleNamespace(Hierarchical=Hierarchical),
     kmedoids=types.SimpleNamespace(KMedoids=KMedoids),
 )
+
+
+def subsequence_search(query, s, dists_options=None, **kw):
+    """``ref:dtaidistance/subsequence/dtw.py::subsequence_search`` —
+    rank candidate series by their best-matching window for ``query``.
+    Returns an object with ``.kbest_matches(k)`` yielding matches with
+    ``.value`` / ``.idx`` / ``.segment`` (upstream ``SSMatch`` shape).
+    A Spark DataFrame for ``s`` routes to the distributed operator."""
+    from dtaidistance_spark.operators.pairs import (
+        subsequence_best_match,
+        subsequence_search as dist_search,
+    )
+
+    window = (dists_options or {}).get("window", kw.get("window"))
+
+    try:
+        from pyspark.sql import DataFrame
+
+        if isinstance(s, DataFrame):
+            def kbest_df(k):
+                return dist_search(s, np.asarray(query, dtype=np.float64),
+                                   k=k, window=window)
+
+            return types.SimpleNamespace(kbest_matches=kbest_df)
+    except ImportError:  # pragma: no cover
+        pass
+
+    q = np.asarray(query, dtype=np.float64)
+    matches = []
+    for idx, series in enumerate(s):
+        st, en, val = subsequence_best_match(
+            q, np.asarray(series, dtype=np.float64), window=window
+        )
+        matches.append(
+            types.SimpleNamespace(idx=idx, value=val, segment=(st, en))
+        )
+    matches.sort(key=lambda m: (m.value, m.idx))
+
+    return types.SimpleNamespace(kbest_matches=lambda k: matches[:k])
+
+
+subsequence.subsequence_search = subsequence_search

@@ -109,3 +109,19 @@ def test_clustering_facade():
     km = clustering.kmedoids.KMedoids(None, {"window": 4}, k=2).fit(series)
     kg = sorted(tuple(sorted(v)) for v in km.values())
     assert kg == [tuple(range(6)), tuple(range(6, 12))]
+
+
+def test_subsequence_search_kbest():
+    from dtaidistance_spark.compat import subsequence
+
+    q = [1.0, 2, 1]
+    corpus = [
+        [0.0, 0, 0, 0, 0, 0],        # no match
+        [0.0, 1, 2, 1, 0, 0],        # exact match
+        [0.0, 1.5, 2.5, 1.5, 0, 0],  # close match
+    ]
+    sa = subsequence.subsequence_search(q, corpus)
+    best = sa.kbest_matches(2)
+    assert [m.idx for m in best] == [1, 2]
+    assert best[0].value == 0.0
+    assert best[0].segment == (1, 3)
