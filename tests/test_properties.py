@@ -132,3 +132,19 @@ def test_batched_dtw_equals_scalar(a, b):
     got = K.dtw_distance_batch(a, M, lengths, window=4)[0]
     want = K.dtw_distance(a, b, window=4)
     assert abs(got - want) < 1e-9 * max(1.0, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(series, series, st.floats(min_value=0.5, max_value=50.0), st.integers(1, 8))
+def test_batched_early_abandon_exact(a, b, thr, w):
+    """With max_dist set, the batched DP returns the exact distance for
+    below-threshold pairs and INF-or-exact for abandoned ones."""
+    lengths = np.asarray([len(b)], dtype=np.int64)
+    M = np.zeros((1, len(b)))
+    M[0] = b
+    got = K.dtw_distance_batch(a, M, lengths, window=w, max_dist=thr)[0]
+    want = K.dtw_distance(a, b, window=w)
+    if want <= thr:
+        assert abs(got - want) < 1e-9 * max(1.0, want)
+    else:
+        assert got == np.inf or abs(got - want) < 1e-9 * max(1.0, want)
