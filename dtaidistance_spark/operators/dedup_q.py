@@ -5,6 +5,12 @@ The tokenization contract shared with every oracle:
 ``string_split(lower(text), ' ')`` == Spark ``split(lower(text), ' ')``;
 shingles are word trigrams, deduped (list_distinct/array_distinct);
 docs with < 3 words drop out of shingle ops.
+
+Spark-side shingles are HASHED (``xxhash64(w1,w2,w3)`` longs, see
+``dedup.shingles``) while the DuckDB oracle builds the string trigrams —
+set cardinalities and therefore every Jaccard value are identical
+w.h.p. (64-bit collisions ~1e-9 at this scale), which the value-hash
+compare in the driver sweep verifies end to end.
 """
 
 from __future__ import annotations

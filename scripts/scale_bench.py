@@ -32,7 +32,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 JOB = r"""
 import sys, time, json
-sys.path.insert(0, {repo!r})
 from dtaidistance_spark.session import get_spark
 from dtaidistance_spark import synth
 from dtaidistance_spark.operators import rollup as R
@@ -108,11 +107,27 @@ def main():
         ceiling = prior.get("machine_ceiling_control")
     points = sequences = None
     reps = 0 if "--report-only" in sys.argv else 2
+    # each level runs as a LITERAL `spark-submit --py-files engine.zip`
+    # job (the north rule's deployment shape), importing the engine from
+    # the zip, one JVM per run
+    subprocess.run(["sh", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
+                   check=True, capture_output=True)
+    job_py = os.path.join(REPO, "build", "_scale_job.py")
+    with open(job_py, "w") as f:
+        f.write(JOB.format())
+    zip_path = os.path.join(REPO, "build", "engine.zip")
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
     for _rep in range(reps):  # interleaved sessions
         for cpus in levels:
-            code = JOB.format(repo=REPO)
             out = subprocess.run(
-                [sys.executable, "-c", code, str(cpus), str(n)],
+                [
+                    spark_submit, "--master", f"local[{cpus}]",
+                    "--conf", "spark.ui.enabled=false",
+                    "--py-files", zip_path,
+                    job_py, str(cpus), str(n),
+                ],
                 capture_output=True, text=True, timeout=1800,
             )
             d = json.loads(
