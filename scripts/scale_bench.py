@@ -124,12 +124,18 @@ def main():
             out = subprocess.run(
                 [
                     spark_submit, "--master", f"local[{cpus}]",
+                    # builder-side spark.driver.memory is ignored under
+                    # spark-submit (JVM already up) — set it here
+                    "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
                     "--conf", "spark.ui.enabled=false",
                     "--py-files", zip_path,
                     job_py, str(cpus), str(n),
                 ],
                 capture_output=True, text=True, timeout=1800,
             )
+            if not any(l.startswith("{") for l in out.stdout.splitlines()):
+                print(out.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"local[{cpus}] job produced no JSON")
             d = json.loads(
                 [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             )
@@ -164,10 +170,13 @@ def main():
         block = (
             "## Measured scaling evidence (driver-mandated N vs 4N proxy)\n\n"
             f"Job: {report['job']}, {sequences:,} sequences / {points:,} raw "
-            "points, same persisted input at every level, separate JVMs, "
-            f"interleaved sessions, min of {len(runs[levels[0]])} timed runs "
-            "per level (see `scripts/scale_bench.py` for why "
-            "min-of-interleaved on this noisy shared VM).\n\n"
+            "points, same persisted input at every level, each level a "
+            "literal `spark-submit --master local[N] --py-files "
+            "build/engine.zip` job (the north rule's deployment shape) in "
+            f"its own JVM, interleaved sessions, min of "
+            f"{len(runs[levels[0]])} timed runs per level (see "
+            "`scripts/scale_bench.py` for why min-of-interleaved on this "
+            "noisy shared VM).\n\n"
             "| master | min wall s | points/s |\n|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {mins[c]} | "
