@@ -52,3 +52,45 @@ def continuous_agg_counts(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "retention_expiry_counts",
+    oracle="""
+    SELECT 'all' AS key, date_trunc('day', ts)::TIMESTAMP AS window_start,
+           count(DISTINCT user_id) AS n_series,
+           count(*)                AS n_points
+    FROM events
+    WHERE date_trunc('day', ts) >= DATE '2024-01-16'
+    GROUP BY 2
+    """,
+)
+def retention_expiry_counts(spark, sf_dir):
+    """Retention policy end-to-end, DuckDB-oracled: materialize the
+    daily continuous aggregate, expire p_day partitions older than the
+    keep window (metadata-only delete_partitions commit), read the tier
+    back — surviving windows must equal the from-scratch SQL filtered
+    at the cutoff. Events span 2024-01-01..30; now=2024-01-31 with
+    keep='15 days' -> cutoff 2024-01-16."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark.plans.retention import apply_retention
+
+    series = _event_series(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ret_q_")
+    try:
+        src = TableIO(root, "series", partition_by=["p_day"])
+        ca = ContinuousAggregate(
+            root, tiers=("1 day",),
+            rollup_kw=dict(barycenter_len=48, dba_window=8),
+        )
+        ingest(series, src, mode="overwrite")
+        ca.refresh(spark, src)
+        apply_retention(ca, {"1 day": "15 days"}, now="2024-01-31")
+        out = ca.read_tier(spark, "1 day").select(
+            "key", "window_start", "n_series", "n_points"
+        )
+        return spark.createDataFrame(out.toPandas())  # detach from temp
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -168,6 +168,42 @@ class TableIO:
         self._commit(m)
         return snap_id
 
+    def delete_partitions(self, predicate) -> tuple[int, int]:
+        """Retention expiry: drop every partition matching ``predicate``
+        (a callable over the partition-value dict) from the CURRENT
+        snapshot — a pure metadata commit, like Iceberg's
+        drop-partition. Data files stay on disk, so time travel to any
+        pre-deletion snapshot still sees the expired rows; a separate
+        vacuum (out of scope here) reclaims unreachable files.
+
+        Returns (n_partitions_dropped, new_snapshot_id); no-op commit is
+        skipped (returns current snapshot id)."""
+        m = self._load()
+        keep, dropped = [], []
+        for e in m["entries"]:
+            (dropped if predicate(e["partition"]) else keep).append(e)
+        if not dropped:
+            return 0, m["current_snapshot"] or 0
+        snap_id = (m["current_snapshot"] or 0) + 1
+        m["entries"] = keep
+        m["current_snapshot"] = snap_id
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": "delete",
+                "wall_ms": 0,
+                "ts": time.time(),
+                "removed": [
+                    {"partition": e["partition"], "rows": e["rows"]}
+                    for e in dropped
+                ],
+                "entry_count": len(keep),
+                "entries": keep,
+            }
+        )
+        self._commit(m)
+        return len(dropped), snap_id
+
     # -- read ---------------------------------------------------------------
     def read(
         self,

@@ -113,3 +113,64 @@ def test_lineage_and_metrics_recorded(spark, tmp_path, batches):
     m = ca.metrics_io.read(spark).toPandas()
     assert set(m["tier"]) == set(TIERS)
     assert (m["input_rows"] > 0).all() and (m["output_rows"] > 0).all()
+
+
+def test_retention_expiry(spark, tmp_path, batches):
+    """Tiered retention: fine tier drops aged-out p_day partitions
+    (metadata-only atomic commit), coarse tier keeps the history, time
+    travel still sees pre-expiry data, and a later refresh does NOT
+    resurrect dropped partitions."""
+    from dtaidistance_spark.plans.retention import apply_retention
+
+    b1, b2 = batches
+    root = tmp_path / "ret"
+    src = TableIO(str(root), "tokens", partition_by=["p_day"])
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    ca = ContinuousAggregate(str(root), tiers=TIERS)
+    ca.refresh(spark, src)
+
+    io_1m = ca.tier_io["1 minute"]
+    pre_days = sorted({e["partition"]["p_day"] for e in io_1m.entries()})
+    assert pre_days == ["2026-01-01", "2026-01-02", "2026-01-03"]
+    pre_snap = io_1m._load()["current_snapshot"]
+    pre_rows = io_1m.read(spark).count()
+
+    # keep 2 days on the 1-minute tier (now = Jan 4), 1-day keeps all
+    report = apply_retention(
+        ca, {"1 minute": "2 days", "1 day": None}, now="2026-01-04"
+    )
+    assert report["1 minute"]["dropped"] == 1  # Jan 1 expired
+    assert report["1 day"]["dropped"] == 0
+
+    kept_days = sorted({e["partition"]["p_day"] for e in io_1m.entries()})
+    assert kept_days == ["2026-01-02", "2026-01-03"]
+    assert (
+        io_1m.read(spark)
+        .where("window_start < '2026-01-02'")
+        .count()
+        == 0
+    )
+    # coarse tier still holds the expired day's rollup
+    assert (
+        ca.tier_io["1 day"].read(spark)
+        .where("window_start < '2026-01-02'")
+        .count()
+        > 0
+    )
+    # time travel to the pre-expiry snapshot sees everything
+    assert io_1m.read(spark, snapshot=pre_snap).count() == pre_rows
+    # delete lineage recorded in the manifest
+    last = io_1m.snapshots()[-1]
+    assert last["op"] == "delete" and last["removed"][0]["rows"] > 0
+
+    # refresh again with no new data: dropped partitions stay dropped
+    ca2 = ContinuousAggregate(str(root), tiers=TIERS)
+    ca2.refresh(spark, src)
+    assert sorted(
+        {e["partition"]["p_day"] for e in ca2.tier_io["1 minute"].entries()}
+    ) == ["2026-01-02", "2026-01-03"]
+
+    # idempotent: re-applying the same policy is a no-op commit
+    r2 = apply_retention(ca, {"1 minute": "2 days"}, now="2026-01-04")
+    assert r2["1 minute"]["dropped"] == 0
