@@ -82,6 +82,7 @@ def _distance_matrix(
             return dtw_pairs(
                 s, threshold=_INF, window=window,
                 max_length_diff=max_length_diff, use_lb_keogh=False,
+                penalty=penalty, max_step=max_step, psi=psi,
             )
     except ImportError:  # pragma: no cover
         pass

@@ -179,8 +179,8 @@ def dtw_distance(
         best = last_row[c]
     else:
         best = min(
-            np.min(last_row[c - psi_2e : c + 1]),
-            np.min(last_col[r - psi_1e : r + 1]),
+            np.min(last_row[max(0, c - psi_2e) : c + 1]),
+            np.min(last_col[max(0, r - psi_1e) : r + 1]),
         )
     if best > md:
         return INF
@@ -292,8 +292,8 @@ def warping_paths(
         best = last_row[c]
     else:
         best = min(
-            np.min(last_row[c - psi_2e : c + 1]),
-            np.min(last_col[r - psi_1e : r + 1]),
+            np.min(last_row[max(0, c - psi_2e) : c + 1]),
+            np.min(last_col[max(0, r - psi_1e) : r + 1]),
         )
     if squared:
         matrix = np.sqrt(matrix)
@@ -627,13 +627,15 @@ def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=N
 
 def dtw_distance_batch(
     query, batch, lengths, window=None, psi=None, max_dist=None,
-    abandon_every=8,
+    penalty=None, max_step=None, abandon_every=8,
 ):
     """DTW distance from ``query`` (len r) to each row of ``batch``
     (shape (B, c_pad), padded), with true lengths ``lengths``.
 
-    Returns float64 array (B,). Matches :func:`dtw_distance` defaults
-    (squared-euclidean inner, sqrt at the end) for each pair.
+    Returns float64 array (B,). Matches :func:`dtw_distance`
+    (squared-euclidean inner, sqrt at the end) for each pair, including
+    ``penalty`` (additive cost on compress/expand moves, squared like
+    the scalar kernel) and ``max_step`` (per-step cost cap -> INF).
 
     ``max_dist`` enables BATCH early abandoning (the PrunedDTW idea
     lifted to the whole batch): members whose last two anti-diagonals
@@ -657,6 +659,8 @@ def dtw_distance_batch(
     md2 = None
     if max_dist is not None and not (psi_1b or psi_1e or psi_2b or psi_2e):
         md2 = float(max_dist) * float(max_dist)
+    pen = 0.0 if penalty is None else float(penalty) * float(penalty)
+    ms2 = INF if max_step is None else float(max_step) * float(max_step)
     # per-member band params
     mrc = np.maximum(0, r - lengths)
     mcr = np.maximum(0, lengths - r)
@@ -687,9 +691,11 @@ def dtw_distance_batch(
             y = batch[:, k - I - 1]  # (B, n) ; j = k - I - 1
             cost = x[None, :] - y
             cost *= cost
+            if ms2 != INF:
+                cost = np.where(cost > ms2, INF, cost)
             diag = d_km2[:, I - 1]
-            up = d_km1[:, I - 1]
-            left = d_km1[:, I]
+            up = d_km1[:, I - 1] + pen
+            left = d_km1[:, I] + pen
             vals = cost + np.minimum(diag, np.minimum(up, left))
             # mask: j must be within [0, c_m) and within band [i - a, i + b]
             j = k - I - 1  # (n,)
@@ -796,8 +802,8 @@ def dtw_ndim_distance(s1, s2, window=None, max_dist=None, psi=None):
         best = prev[c]
     else:
         best = min(
-            np.min(prev[c - psi_2e : c + 1]),
-            np.min(last_col[r - psi_1e : r + 1]),
+            np.min(prev[max(0, c - psi_2e) : c + 1]),
+            np.min(last_col[max(0, r - psi_1e) : r + 1]),
         )
     return math.sqrt(best) if best <= md else INF
 

@@ -140,14 +140,26 @@ def dtw_pairs(
     window: int | None = None,
     max_length_diff: int | None = None,
     use_lb_keogh: bool = True,
+    penalty: float | None = None,
+    max_step: float | None = None,
+    psi=None,
 ) -> DataFrame:
     """All pairs within DTW distance ``threshold``: the distance-matrix
-    workload as LB-cascade + banded early-abandoning DTW.
+    workload as LB-cascade + banded early-abandoning DTW. ``penalty`` /
+    ``max_step`` / ``psi`` mirror the K1 kernel parameters.
 
     Returns (id_a, id_b, dist) with id_a < id_b (condensed form).
+
+    Admissibility note: ``penalty`` and ``max_step`` only INCREASE
+    distances, so the LB cascade stays a valid prefilter; psi
+    relaxation can DECREASE them below LB_Kim/LB_Keogh, so any nonzero
+    psi disables both prefilters (every length-bucket candidate goes to
+    the exact kernel, which still early-abandons at the threshold).
     """
+    psi_zero = psi is None or psi == 0
+    use_lb = use_lb_keogh and psi_zero
     feats = with_series_features(
-        df, value_col, env_window=window if use_lb_keogh else None
+        df, value_col, env_window=window if use_lb else None
     )
     # candidates carry ONLY v_b: v_a is constant per id_a group, so it
     # crosses the shuffle + Arrow boundary once per SERIES (cogroup
@@ -156,13 +168,14 @@ def dtw_pairs(
         feats,
         id_col=id_col,
         max_length_diff=max_length_diff,
-        lb_kim_threshold=threshold,
+        lb_kim_threshold=threshold if psi_zero else None,
     ).select("id_a", "id_b", "v_b")
     series_a = feats.select(F.col(id_col).alias("id_a"), "_v")
 
     win = window
     thr = threshold
-    use_env = use_lb_keogh
+    use_env = use_lb
+    pen, mstep, kpsi = penalty, max_step, psi
     empty = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
 
     def kernel(grp: pd.DataFrame, ref: pd.DataFrame) -> pd.DataFrame:
@@ -207,7 +220,8 @@ def dtw_pairs(
         # group) — members that can no longer beat the threshold are
         # compacted out of the DP mid-flight
         d = K.dtw_distance_batch(
-            a, M[keep], lengths[keep], window=win, max_dist=thr
+            a, M[keep], lengths[keep], window=win, max_dist=thr,
+            penalty=pen, max_step=mstep, psi=kpsi,
         )
         kept_ids = [b for b, k in zip(ids_b, keep) if k]
         out = [(ida, idb, float(dv)) for idb, dv in zip(kept_ids, d) if dv <= thr]

@@ -111,3 +111,39 @@ def test_exhaustive_mode_all_pairs(spark):
     for r in out[:5]:
         want = K.dtw_distance(arrs[r.id_a], arrs[r.id_b], window=4)
         assert abs(r.dist - want) < 1e-9
+
+
+def test_pairs_penalty_maxstep_psi(spark):
+    """dtw_pairs with the full K1 parameter surface equals the scalar
+    kernel pair-by-pair (psi disables the LB prefilters — admissibility
+    note in the operator docstring)."""
+    import numpy as np
+
+    from dtaidistance_spark import synth, kernels as K
+    from dtaidistance_spark.operators import pairs as P
+
+    pdf = synth.sequences_local(30)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 32)
+    )
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    arrs = {r.doc_id: np.asarray(r.tokens, dtype=np.float64) for r in pdf.itertuples()}
+    for kw in (
+        dict(penalty=50.0, max_step=5000.0),
+        dict(psi=2),
+        dict(psi=(1, 1, 2, 2), penalty=10.0),
+    ):
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in P.dtw_pairs(df, threshold=6000.0, window=6, **kw).collect()
+        }
+        ids = sorted(arrs)
+        want = {}
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                d = K.dtw_distance(arrs[x], arrs[y], window=6, **kw)
+                if d <= 6000.0:
+                    want[(x, y)] = d
+        assert set(got) == set(want), kw
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9 * max(1.0, want[k]), (k, kw)

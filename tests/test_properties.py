@@ -148,3 +148,27 @@ def test_batched_early_abandon_exact(a, b, thr, w):
         assert abs(got - want) < 1e-9 * max(1.0, want)
     else:
         assert got == np.inf or abs(got - want) < 1e-9 * max(1.0, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    series, series,
+    st.floats(min_value=0.0, max_value=5.0),
+    st.one_of(st.none(), st.floats(min_value=1.0, max_value=100.0)),
+    st.integers(1, 8),
+    st.integers(0, 3),
+)
+def test_batched_penalty_maxstep_psi_equal_scalar(a, b, pen, ms, w, psi):
+    """Batch kernel == scalar kernel for the full K1 parameter surface
+    it exposes (penalty, max_step, psi)."""
+    lengths = np.asarray([len(b)], dtype=np.int64)
+    M = np.zeros((1, len(b)))
+    M[0] = b
+    got = K.dtw_distance_batch(
+        a, M, lengths, window=w, penalty=pen, max_step=ms, psi=psi
+    )[0]
+    want = K.dtw_distance(a, b, window=w, penalty=pen, max_step=ms, psi=psi)
+    if want == np.inf:
+        assert got == np.inf
+    else:
+        assert abs(got - want) < 1e-9 * max(1.0, want), (got, want)
