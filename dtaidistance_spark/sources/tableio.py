@@ -242,6 +242,37 @@ class TableIO:
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.entries())
 
+    def vacuum(self, keep_snapshots: int = 1) -> dict:
+        """Physically reclaim storage: keep the data dirs referenced by
+        the CURRENT entries plus the last ``keep_snapshots`` snapshots'
+        entry sets; delete every other data dir under ``data/`` and trim
+        older snapshots from the history (they become un-travel-able —
+        the Iceberg ``expire_snapshots`` semantic).
+
+        Separate from :meth:`delete_partitions` by design: retention is
+        a cheap metadata commit on the hot path; vacuum is the rare,
+        heavier storage-reclaim maintenance job."""
+        import shutil
+
+        m = self._load()
+        kept_snaps = m["snapshots"][-max(1, keep_snapshots):]
+        keep_paths = {e["path"] for e in m["entries"]}
+        for s in kept_snaps:
+            keep_paths |= {e["path"] for e in s["entries"]}
+        # data dirs are dir/data/s{NNNNNN}-{hex}; entry paths may point at
+        # partition subdirs — keep a data dir if ANY kept path is under it
+        data_root = os.path.join(self.dir, "data")
+        removed = []
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                if not any(p == full or p.startswith(full + os.sep) for p in keep_paths):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(d)
+        m["snapshots"] = kept_snaps
+        self._commit(m)
+        return {"removed_dirs": removed, "kept_snapshots": [s["id"] for s in kept_snaps]}
+
 
 # ---------------------------------------------------------------------------
 # Real-Iceberg backend (drops in when iceberg-spark-runtime is present)

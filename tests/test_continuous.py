@@ -174,3 +174,40 @@ def test_retention_expiry(spark, tmp_path, batches):
     # idempotent: re-applying the same policy is a no-op commit
     r2 = apply_retention(ca, {"1 minute": "2 days"}, now="2026-01-04")
     assert r2["1 minute"]["dropped"] == 0
+
+
+def test_vacuum_reclaims_expired_storage(spark, tmp_path, batches):
+    """vacuum physically removes data dirs unreachable from the kept
+    snapshots; current reads are unaffected; expired snapshots are no
+    longer travel-able."""
+    import os
+
+    from dtaidistance_spark.plans.retention import apply_retention
+
+    b1, b2 = batches
+    root = tmp_path / "vac"
+    src = TableIO(str(root), "tokens", partition_by=["p_day"])
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    ca = ContinuousAggregate(str(root), tiers=("1 day",))
+    ca.refresh(spark, src)
+    ca.refresh(spark, src)  # no-op refresh, extra snapshot history
+    io = ca.tier_io["1 day"]
+    apply_retention(ca, {"1 day": "2 days"}, now="2026-01-04")
+    rows_now = io.read(spark).count()
+    pre_snap = io._load()["current_snapshot"]
+
+    data_root = os.path.join(io.dir, "data")
+    n_dirs_before = len(os.listdir(data_root))
+    rep = io.vacuum(keep_snapshots=1)
+    assert len(os.listdir(data_root)) == n_dirs_before - len(rep["removed_dirs"])
+    # current read identical after vacuum
+    assert io.read(spark).count() == rows_now
+    assert io._load()["current_snapshot"] == pre_snap
+    # expired snapshots are gone from history
+    import pytest
+
+    old_ids = [s for s in range(1, pre_snap)]
+    if old_ids:
+        with pytest.raises(ValueError):
+            io.read(spark, snapshot=old_ids[0])
