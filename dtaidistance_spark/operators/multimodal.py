@@ -118,3 +118,103 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 16, stride: int = 2) -> D
             frames.alias("frame_md5"),
         )
     )
+
+
+def pcm_resample(wave: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear resample of a PCM waveform (float64 in, float64 out).
+    Deterministic, numpy-only — audio payloads ARE decodable here
+    because int16 PCM needs no media library."""
+    if len(wave) == 0 or src_rate == dst_rate:
+        return wave.astype(np.float64)
+    n_out = max(1, int(round(len(wave) * dst_rate / src_rate)))
+    x_out = np.linspace(0.0, len(wave) - 1, n_out)
+    return np.interp(x_out, np.arange(len(wave)), wave)
+
+
+def audio_resample(assets: DataFrame, dst_rate: int = 8000) -> DataFrame:
+    """Audio lane: interpret the binary payload as int16 little-endian
+    PCM at ``meta.sample_rate``, linear-resample to ``dst_rate``
+    vectorized in one Arrow-batched kernel. Unlike image decode this is
+    REAL end-to-end (PCM needs no media library): (asset_id, n_samples,
+    n_resampled, wave array<double>)."""
+    schema = "asset_id long, n_samples int, n_resampled int, wave array<double>"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, n_in, n_out, waves = [], [], [], []
+            for aid, p, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = np.frombuffer(bytes(p), dtype="<i2").astype(np.float64)
+                out = pcm_resample(raw, int(meta["sample_rate"]), dst_rate)
+                ids.append(aid)
+                n_in.append(len(raw))
+                n_out.append(len(out))
+                waves.append(np.round(out, 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids, "n_samples": n_in,
+                    "n_resampled": n_out, "wave": waves,
+                }
+            )
+
+    return (
+        assets.where(F.col("kind") == "audio")
+        .select("asset_id", "payload", "meta")
+        .mapInPandas(kernel, schema)
+    )
+
+
+def block_mean_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area resize of a 2-D grayscale array via block
+    means over an index grid (the numpy stand-in for a real resizer —
+    same signature/batch shape, no media library needed)."""
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w))
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        area_rows = csum[y1] - csum[y0]
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = (area_rows[x1] - area_rows[x0]) / ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def image_resize(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Image lane: payload bytes as a (meta.height, meta.width)
+    grayscale grid, area-resized to (out_h, out_w). The REAL decode
+    (jpeg/png) stays behind :func:`decode_image`'s import guard; the
+    Spark plumbing — schema, batching, kernel signature — is identical
+    and fully tested: (asset_id, out_h, out_w, pixels array<double>,
+    row-major)."""
+    schema = "asset_id long, out_h int, out_w int, pixels array<double>"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, pix = [], []
+            for aid, p, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
+                raw = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                h, w = int(meta["height"]), int(meta["width"])
+                gray = raw[: h * w].reshape(h, w)
+                ids.append(aid)
+                pix.append(
+                    np.round(block_mean_resize(gray, out_w, out_h), 6).ravel().tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "out_h": [out_h] * len(ids),
+                    "out_w": [out_w] * len(ids),
+                    "pixels": pix,
+                }
+            )
+
+    return (
+        assets.where(F.col("kind") == "image")
+        .select("asset_id", "payload", "meta")
+        .mapInPandas(kernel, schema)
+    )

@@ -52,3 +52,21 @@ def video_frame_sample(spark, sf_dir):
     """Strided frame sampling on video assets, pure SQL on binary."""
     assets = M.make_assets(T(spark, sf_dir, "documents"))
     return M.frame_sample(assets).orderBy("asset_id")
+
+
+@register("audio_resample")
+def audio_resample_q(spark, sf_dir):
+    """Audio lane end-to-end: int16 PCM payloads linear-resampled
+    16 kHz -> 8 kHz in an Arrow-batched kernel (rows-only; kernel vs
+    numpy oracle gated in test_pipeline_ops)."""
+    docs = T(spark, sf_dir, "documents")
+    return M.audio_resample(M.make_assets(docs), dst_rate=8000).orderBy("asset_id")
+
+
+@register("image_resize")
+def image_resize_q(spark, sf_dir):
+    """Image lane: deterministic area resize of the byte-grid grayscale
+    stand-in (real jpeg/png decode stays behind the PIL import guard;
+    plumbing identical)."""
+    docs = T(spark, sf_dir, "documents")
+    return M.image_resize(M.make_assets(docs), out_w=4, out_h=4).orderBy("asset_id")

@@ -172,3 +172,38 @@ def test_ann_ivf_recall_floor_and_determinism(spark, sf_dir):
     # to brute force, so the approximate tier must reproduce it
     full = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=16)
     assert A.recall_at_k(full, exact, k=10).collect()[0][0] == 1.0
+
+
+def test_audio_resample_matches_numpy(spark, sf_dir):
+    """The Spark audio lane equals the local numpy pipeline exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    assets = M.make_assets(docs).persist()
+    got = {
+        r.asset_id: (r.n_samples, r.n_resampled, np.asarray(r.wave))
+        for r in M.audio_resample(assets, dst_rate=8000).collect()
+    }
+    assert got
+    for r in assets.where("kind = 'audio'").collect():
+        raw = np.frombuffer(bytes(r.payload), dtype="<i2").astype(np.float64)
+        want = np.round(M.pcm_resample(raw, 16000, 8000), 6)
+        n_in, n_out, wave = got[r.asset_id]
+        assert n_in == len(raw) and n_out == len(want)
+        assert np.array_equal(wave, want)
+    assets.unpersist()
+
+
+def test_image_resize_matches_numpy(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    assets = M.make_assets(docs).persist()
+    got = {r.asset_id: np.asarray(r.pixels) for r in M.image_resize(assets, 4, 4).collect()}
+    assert got
+    for r in assets.where("kind = 'image'").collect():
+        raw = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.float64)
+        gray = raw[: 8 * 16].reshape(8, 16)
+        want = np.round(M.block_mean_resize(gray, 4, 4), 6).ravel()
+        assert np.array_equal(got[r.asset_id], want)
+    # block-mean invariant: resize preserves the global mean exactly for
+    # divisible grids
+    g = np.arange(64, dtype=np.float64).reshape(8, 8)
+    assert abs(M.block_mean_resize(g, 4, 4).mean() - g.mean()) < 1e-12
+    assets.unpersist()
