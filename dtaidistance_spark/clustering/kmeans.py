@@ -62,18 +62,40 @@ def assign_step(
     bc = centers.copy()
 
     def kernel(batches):
+        # cascading LB-pruned assignment (SURVEY C1): center 0 seeds the
+        # running best; every later center first bounds each member with
+        # LB_Keogh vs the CENTER's envelope (one envelope per center per
+        # batch) and runs the full DP only where lb < best, with
+        # max_dist = the batch's worst best for early abandon. Exact:
+        # lb >= best implies d >= best, and equal-distance ties keep the
+        # earlier center either way — identical argmin to the dense
+        # k x B distance matrix.
         for pdf in batches:
             mat = np.stack([_prep_local(t, length) for t in pdf[value_col]])
             lens = np.full(len(mat), length, dtype=np.int64)
-            dists = np.stack(
-                [K.dtw_distance_batch(bc[c], mat, lens, window=window) for c in range(k)]
-            )  # (k, B)
-            cl = np.argmin(dists, axis=0)
+            best = K.dtw_distance_batch(bc[0], mat, lens, window=window)
+            cl = np.zeros(len(mat), dtype=np.int64)
+            for c in range(1, k):
+                lo, hi = K.lb_keogh_envelope(bc[c], window)
+                above = np.maximum(mat - hi[None, :], 0.0)
+                below = np.maximum(lo[None, :] - mat, 0.0)
+                lb = np.sqrt((above * above + below * below).sum(axis=1))
+                cand = lb < best
+                if not cand.any():
+                    continue
+                d = K.dtw_distance_batch(
+                    bc[c], mat[cand], lens[cand], window=window,
+                    max_dist=float(np.max(best[cand])),
+                )
+                upd = d < best[cand]
+                idx = np.nonzero(cand)[0][upd]
+                best[idx] = d[upd]
+                cl[idx] = c
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "cluster": cl.astype(np.int32),
-                    "dist": dists[cl, np.arange(len(mat))],
+                    "dist": best,
                 }
             )
 
