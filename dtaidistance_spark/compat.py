@@ -149,6 +149,11 @@ dtw = types.SimpleNamespace(
         **kw,
     ),
     warping_amount=_K.warping_amount,
+    warping_paths_fast=lambda s1, s2, **kw: _K.warping_paths(
+        np.asarray(s1, dtype=np.float64),
+        np.asarray(s2, dtype=np.float64),
+        **kw,
+    ),
     warp=lambda from_s, to_s, path=None, **kw: _K.warp(
         np.asarray(from_s, dtype=np.float64),
         np.asarray(to_s, dtype=np.float64),
@@ -156,6 +161,33 @@ dtw = types.SimpleNamespace(
         **kw,
     ),
 )
+
+
+class DTWSettings:
+    """``ref:dtaidistance/dtw.py::DTWSettings`` shape: bundles the kernel
+    kwargs; ``kwargs()`` returns them for splatting into any dtw call."""
+
+    def __init__(self, window=None, max_dist=None, max_step=None,
+                 max_length_diff=None, penalty=None, psi=None,
+                 use_pruning=False, inner_dist="squared euclidean"):
+        self.window, self.max_dist, self.max_step = window, max_dist, max_step
+        self.max_length_diff, self.penalty, self.psi = max_length_diff, penalty, psi
+        self.use_pruning, self.inner_dist = use_pruning, inner_dist
+
+    def kwargs(self):
+        return dict(
+            window=self.window, max_dist=self.max_dist, max_step=self.max_step,
+            max_length_diff=self.max_length_diff, penalty=self.penalty,
+            psi=self.psi, use_pruning=self.use_pruning,
+            inner_dist=self.inner_dist,
+        )
+
+    @staticmethod
+    def for_dtw(s1, s2, **kwargs):
+        return DTWSettings(**kwargs)
+
+
+dtw.DTWSettings = DTWSettings
 
 
 # -- ed ----------------------------------------------------------------------

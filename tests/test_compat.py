@@ -125,3 +125,13 @@ def test_subsequence_search_kbest():
     assert [m.idx for m in best] == [1, 2]
     assert best[0].value == 0.0
     assert best[0].segment == (1, 3)
+
+
+def test_dtw_settings_and_paths_fast():
+    from dtaidistance_spark.compat import dtw
+
+    s = dtw.DTWSettings(window=2, use_pruning=True)
+    d = dtw.distance(S1, S2, **s.kwargs())
+    assert abs(d - dtw.distance(S1, S2, window=2, use_pruning=True)) < 1e-12
+    d2, m = dtw.warping_paths_fast(S1, S2)
+    assert abs(d2 - dtw.warping_paths(S1, S2)[0]) < 1e-12
