@@ -157,3 +157,48 @@ def kmedoids(pairs_rows, ids, k: int = 3, max_it: int = 10):
     assign = {i: min(medoids_, key=lambda m: (dist(i, m), m)) for i in ids}
     cost = sum(dist(i, assign[i]) for i in ids if math.isfinite(dist(i, assign[i])))
     return assign, cost
+
+
+def linkage_matrix(pairs_rows, n: int):
+    """Single-linkage dendrogram in scipy ``linkage`` Z-format (C3,
+    ``ref:dtaidistance/clustering/hierarchical.py::LinkageTree`` minus
+    the matplotlib wrapper): each of the n-1 rows is
+    [cluster_a, cluster_b, dist, size] with new clusters numbered
+    n, n+1, ... in merge order. Input: condensed pair rows
+    (id_a, id_b, dist) with STRING ids '0'..'n-1' or ints; missing
+    pairs are treated as +inf (LB-pruned). Deterministic: ties merge
+    the lexicographically smallest pair first.
+
+    Scale shape: like the cluster drivers, this runs post-rollup where
+    n is small — the distributed part is producing the (pruned) pairs.
+    """
+    import numpy as np
+
+    edges = sorted(
+        (float(r["dist"]), int(r["id_a"]), int(r["id_b"])) for r in pairs_rows
+    )
+    parent = list(range(n))
+    cluster_of = list(range(n))  # root -> current cluster id
+    size = [1] * n
+    next_id = n
+    Z = []
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        ca, cb = cluster_of[ra], cluster_of[rb]
+        Z.append([min(ca, cb), max(ca, cb), d, size[ra] + size[rb]])
+        parent[ra] = rb
+        size[rb] = size[ra] + size[rb]
+        cluster_of[rb] = next_id
+        next_id += 1
+        if len(Z) == n - 1:
+            break
+    return np.asarray(Z, dtype=np.float64)

@@ -112,3 +112,27 @@ def local_concurrences_seq(spark, sf_dir):
         "doc_id string, rank int, score double, i0 int, j0 int, "
         "i1 int, j1 int, path_len int",
     ).orderBy("doc_id", "rank")
+
+
+@register("linkage_tree")
+def linkage_tree(spark, sf_dir):
+    """C3 (computation half): single-linkage dendrogram in scipy
+    Z-format over the DTW pair distances of 80 synthetic series —
+    distributed LB-cascade pairs, driver-side union-find merges (the
+    plotting wrapper remains out of scope). Rows-only."""
+    pdf = synth.sequences_local(80)
+    pdf["tokens"] = pdf["tokens"].map(
+        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
+    )
+    # integer string ids '0'..'79' for Z-format numbering
+    pdf["doc_id"] = [str(i) for i in range(len(pdf))]
+    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    rows = P.dtw_pairs(df, threshold=float("inf"), window=8).collect()
+    Z = H.linkage_matrix([r.asDict() for r in rows], len(pdf))
+    out = [
+        (int(i), float(a), float(b), round(float(d), 4), int(s))
+        for i, (a, b, d, s) in enumerate(Z.tolist())
+    ]
+    return spark.createDataFrame(
+        out, "merge int, cluster_a double, cluster_b double, dist double, size int"
+    )

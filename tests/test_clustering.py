@@ -114,3 +114,23 @@ def test_hierarchical_spark_end_to_end(spark, series_pdf):
     # cluster label is the min doc_id of the cluster
     for c, grp in pdf.groupby("cluster"):
         assert c == grp["doc_id"].min()
+
+
+def test_linkage_matrix_structure():
+    """Z-format invariants + exact merges on a hand-checkable instance:
+    points on a line at 0, 1, 10, 12 -> merges (0,1)@1, (10,12)@2,
+    then the two clusters @ gap 9."""
+    from dtaidistance_spark.clustering.hierarchical import linkage_matrix
+
+    pts = [0.0, 1.0, 10.0, 12.0]
+    rows = [
+        {"id_a": i, "id_b": j, "dist": abs(pts[i] - pts[j])}
+        for i in range(4) for j in range(i + 1, 4)
+    ]
+    Z = linkage_matrix(rows, 4)
+    assert Z.shape == (3, 4)
+    assert Z[0].tolist() == [0, 1, 1.0, 2]
+    assert Z[1].tolist() == [2, 3, 2.0, 2]
+    assert Z[2].tolist() == [4, 5, 9.0, 4]
+    # monotone merge distances (single linkage property)
+    assert (np.diff(Z[:, 2]) >= 0).all()
