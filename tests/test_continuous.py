@@ -211,3 +211,53 @@ def test_vacuum_reclaims_expired_storage(spark, tmp_path, batches):
     if old_ids:
         with pytest.raises(ValueError):
             io.read(spark, snapshot=old_ids[0])
+
+
+def test_tableio_op_sequence_model(spark, tmp_path):
+    """TableIO vs an in-memory reference model across a mixed op
+    sequence: overwrite -> append -> dynamic overwrite -> partition
+    delete -> vacuum -> dynamic again. Entries, row counts and reads
+    must track the model at every step."""
+    from pyspark.sql import functions as F
+
+    io = TableIO(str(tmp_path / "seq"), "t", partition_by=["p"])
+
+    def df_for(parts):
+        rows = [(f"{p}-{i}", p) for p, n in parts.items() for i in range(n)]
+        return spark.createDataFrame(rows, "id string, p string")
+
+    model: dict[str, int] = {}
+
+    def check():
+        got = {
+            e["partition"]["p"]: e["rows"] for e in io.entries()
+        }
+        assert got == model, (got, model)
+        assert io.read(spark).count() == sum(model.values())
+
+    io.write(df_for({"a": 3, "b": 2}), mode="overwrite")
+    model = {"a": 3, "b": 2}
+    check()
+
+    io.write(df_for({"b": 1, "c": 4}), mode="append")
+    # append keeps old entries AND adds new ones (duplicate partitions
+    # coexist as separate files — read sums them)
+    assert io.read(spark).where(F.col("p") == "b").count() == 3
+    assert io.read(spark).count() == 10
+
+    io.write(df_for({"b": 5}), mode="dynamic")
+    # dynamic replaces ALL b entries, leaves a and c
+    model = {"a": 3, "b": 5, "c": 4}
+    check()
+
+    n, _ = io.delete_partitions(lambda p: p["p"] == "a")
+    assert n == 1
+    model = {"b": 5, "c": 4}
+    check()
+
+    io.vacuum(keep_snapshots=1)
+    check()
+
+    io.write(df_for({"c": 1, "d": 2}), mode="dynamic")
+    model = {"b": 5, "c": 1, "d": 2}
+    check()
