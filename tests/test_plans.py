@@ -87,3 +87,34 @@ def test_rollup_shuffle_is_single_exchange(spark):
     plan = _plan(R.dba_rollup(seq, tier="1 minute"))
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange == 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located join: a table bucketed+sorted on doc_id self-joins
+    with ZERO Exchange nodes — the scans are pre-partitioned and
+    pre-sorted (SMJ straight off disk). Broadcast is disabled for the
+    probe so the planner cannot sidestep the bucketed path."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.sources import bucketing as BK
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        BK.drop_bucketed(spark, "t_bkt_gate")
+        BK.write_bucketed(
+            synth.sequences_df(spark, 256), "t_bkt_gate", buckets=4, key="doc_id"
+        )
+        t = BK.read_bucketed(spark, "t_bkt_gate")
+        j = (
+            t.alias("a")
+            .join(t.alias("b"), "doc_id")
+            .selectExpr("doc_id", "a.n_tok AS na", "b.n_tok AS nb")
+        )
+        assert j.count() == 256
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        BK.drop_bucketed(spark, "t_bkt_gate")
