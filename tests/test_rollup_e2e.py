@@ -129,3 +129,32 @@ def test_iceberg_backend_guard(spark):
     assert io.identifier == "lake.tiers.tier_1m"
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         io.read(spark)
+
+
+def test_salted_repartition_balances_skew(spark):
+    """The deterministic salt actually spreads a skewed key: with 80%
+    of rows on one source, plain repartition(source) concentrates them
+    in one partition; the salted version caps the largest partition
+    near uniform. Also: same salt on a rerun (determinism)."""
+    from pyspark.sql import functions as F
+
+    seq = synth.sequences_df(spark, 2000)  # source: ~80% 'web'
+
+    def sizes(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().toPandas()["count"]
+        )
+
+    plain = sizes(seq.repartition(8, F.col("source")))
+    salted = sizes(R.salted_repartition(seq, 8, "source"))
+    assert plain.max() >= 0.75 * 2000  # skewed key concentrates
+    assert salted.max() <= 0.30 * 2000, salted.tolist()  # salt spreads it
+    # deterministic: identical partition assignment across runs
+    a = R.salted_repartition(seq, 8, "source").withColumn(
+        "pid", F.spark_partition_id()).select("doc_id", "pid").toPandas()
+    b = R.salted_repartition(seq, 8, "source").withColumn(
+        "pid", F.spark_partition_id()).select("doc_id", "pid").toPandas()
+    pa = a.sort_values("doc_id").reset_index(drop=True)
+    pb = b.sort_values("doc_id").reset_index(drop=True)
+    assert (pa["pid"].values == pb["pid"].values).all()
