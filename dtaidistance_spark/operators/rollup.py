@@ -165,7 +165,11 @@ def dba_rollup(
     # cross the shuffle + Arrow boundary at 4 bytes/point instead of 8
     # (the kernel casts to float64; int32 -> float64 is exact), while
     # cascade tiers (already double barycenters) pass through unchanged
-    prepared = df.select(
+    # degenerate-row policy: null/empty payloads carry no signal for a
+    # barycenter and would poison the kernel — drop them JVM-side
+    # (size(NULL) = -1, so one predicate covers both); the local parity
+    # twin applies the identical filter
+    prepared = df.where(F.size(F.col(value_col)) > 0).select(
         F.col(key_col).cast("string").alias("_key"),
         F.window(F.col(ts_col), tier)["start"].alias("_w"),
         F.col(value_col).alias("_value"),
@@ -256,6 +260,8 @@ def rollup_local(
     """Plain-pandas rollup with the identical group kernel; the reference
     pipeline for the exact-match tier-parity gate."""
     d = pdf.copy()
+    # identical degenerate-row policy to dba_rollup
+    d = d[d[value_col].map(lambda v: v is not None and len(v) > 0)]
     epoch = d[ts_col].astype("int64") // 10**9
     d["_w"] = (epoch // tier_seconds) * tier_seconds
     rows = []

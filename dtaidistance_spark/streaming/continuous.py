@@ -143,8 +143,9 @@ def stream_dba_rollup(
     tier_s = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}[tier]
 
     # the watermarked event-time column must survive the projection for
-    # event-time timeouts to be legal — keep ts alongside the group key
-    keyed = stream.select(
+    # event-time timeouts to be legal — keep ts alongside the group key;
+    # same degenerate-row policy as the batch rollup (drop null/empty)
+    keyed = stream.where(F.size(F.col(value_col)) > 0).select(
         F.col(key_col).cast("string").alias("key"),
         F.window(F.col(ts_col), tier)["start"].alias("window_start"),
         F.col(id_col).cast("string").alias("_id"),

@@ -158,3 +158,29 @@ def test_salted_repartition_balances_skew(spark):
     pa = a.sort_values("doc_id").reset_index(drop=True)
     pb = b.sort_values("doc_id").reset_index(drop=True)
     assert (pa["pid"].values == pb["pid"].values).all()
+
+
+def test_degenerate_rows_filtered(spark):
+    """Null/empty token arrays (inevitable in a 10^12-row corpus) are
+    dropped by policy before the kernel — Spark and the local twin
+    agree, valid rows roll up unchanged."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": [[1, 2, 3, 4], [], None, [5, 6]],
+            "n_tok": [4, 0, 0, 2],
+            "source": ["web"] * 4,
+            "ts": [pd.Timestamp("2026-01-01 00:00:10")] * 4,
+        }
+    )
+    out = R.dba_rollup(spark.createDataFrame(pdf), tier="1 minute").collect()
+    assert len(out) == 1
+    assert out[0]["n_series"] == 2 and out[0]["n_points"] == 6
+    loc = R.rollup_local(pdf, 60)
+    assert len(loc) == 1
+    assert int(loc["n_series"].iloc[0]) == 2
+    assert np.array_equal(
+        np.asarray(out[0]["barycenter"]), np.asarray(loc["barycenter"].iloc[0])
+    )
