@@ -158,8 +158,11 @@ def dtw_pairs(
     """
     psi_zero = psi is None or psi == 0
     use_lb = use_lb_keogh and psi_zero
+    # degenerate-row policy (as in the rollup): null/empty series have
+    # no defined DTW distance — drop before feature/pair generation
     feats = with_series_features(
-        df, value_col, env_window=window if use_lb else None
+        df.where(F.size(F.col(value_col)) > 0), value_col,
+        env_window=window if use_lb else None,
     )
     # candidates carry ONLY v_b: v_a is constant per id_a group, so it
     # crosses the shuffle + Arrow boundary once per SERIES (cogroup

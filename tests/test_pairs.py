@@ -147,3 +147,19 @@ def test_pairs_penalty_maxstep_psi(spark):
         assert set(got) == set(want), kw
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9 * max(1.0, want[k]), (k, kw)
+
+
+def test_pairs_degenerate_rows_filtered(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": [[1.0, 2, 3], [], None, [1.0, 2, 3]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # exhaustive psi path (LB prefilters off) must not crash on the
+    # empty/null rows and must still find the identical pair
+    out = P.dtw_pairs(df, threshold=1.0, window=2, psi=1).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [("a", "d", 0.0)]
