@@ -267,8 +267,10 @@ def dtw_knn(
                     rows["dist"].append(d)
             yield pd.DataFrame(rows)
 
-    dists = df.select(id_col, F.col(value_col).cast("array<double>").alias(value_col)).mapInPandas(
-        kernel, "query_id string, doc_id string, dist double"
+    dists = (
+        df.where(F.size(F.col(value_col)) > 0)
+        .select(id_col, F.col(value_col).cast("array<double>").alias(value_col))
+        .mapInPandas(kernel, "query_id string, doc_id string, dist double")
     )
     w = Window.partitionBy("query_id").orderBy("dist", "doc_id")
     return (
@@ -325,7 +327,7 @@ def subsequence_search(
                 rows["value"].append(val)
             yield pd.DataFrame(rows)
 
-    out = df.select(
+    out = df.where(F.size(F.col(value_col)) > 0).select(
         id_col, F.col(value_col).cast("array<double>").alias(value_col)
     ).mapInPandas(kernel, "doc_id string, start int, end int, value double")
     out = out.orderBy("value", "doc_id")
