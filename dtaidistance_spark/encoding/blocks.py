@@ -156,3 +156,45 @@ def compression_stats(blocks: DataFrame, key_cols: list[str]) -> DataFrame:
             "ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3)
         )
     )
+
+
+def tier_points(
+    rolled: DataFrame, tier_seconds: int, barycenter_col: str = "barycenter"
+) -> DataFrame:
+    """Flatten a rollup tier to (key, ts, value) points: barycenter
+    position i of a window maps to ``window_start + i * (tier /
+    len(barycenter))`` — the tier's native point stream, pure SQL."""
+    n = F.size(barycenter_col)
+    step_us = (F.lit(int(tier_seconds) * 1_000_000).cast("long") / n).cast("long")
+    return (
+        rolled.select(
+            "key",
+            F.unix_micros(F.col("window_start").cast("timestamp")).alias("_w0"),
+            step_us.alias("_dt"),
+            F.posexplode(barycenter_col).alias("_pos", "value"),
+        )
+        .select(
+            "key",
+            F.timestamp_micros(
+                F.col("_w0") + F.col("_pos") * F.col("_dt")
+            ).alias("ts"),
+            "value",
+        )
+    )
+
+
+def encode_tier(
+    rolled: DataFrame, tier_seconds: int, block_window: str = "1 day",
+    barycenter_col: str = "barycenter",
+) -> DataFrame:
+    """Gorilla-encode a retention tier (the north rule's "Gorilla XOR +
+    delta-of-delta for each retention tier"): the tier's barycenter
+    points become per-(key, block) bitstreams. Timestamps are the
+    regular within-window grid, so delta-of-delta packs them at ~1-2
+    bits/point; decode_blocks restores the exact points (gated
+    bit-exact in tests)."""
+    pts = tier_points(rolled, tier_seconds, barycenter_col)
+    return encode_blocks(
+        pts, key_cols=["key"], ts_col="ts", val_col="value",
+        block_window=block_window,
+    )

@@ -46,3 +46,17 @@ def gorilla_compression(spark, sf_dir):
     return B.compression_stats(blocks, key_cols=["event_type"]).orderBy(
         "event_type"
     )
+
+
+@register("gorilla_tier_blocks")
+def gorilla_tier_blocks(spark, sf_dir):
+    """North-rule loop: rollup tier -> Gorilla blocks per (key, day)
+    with compression stats (rows-only; the bit-exact decode==tier gate
+    lives in test_gorilla)."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators import rollup as R
+
+    seq = synth.sequences_df(spark, 512)
+    rolled = R.dba_rollup(seq, tier="1 hour")
+    blocks = B.encode_tier(rolled, 3600, block_window="1 day")
+    return B.compression_stats(blocks, key_cols=["key"]).orderBy("key")

@@ -62,3 +62,34 @@ def test_smooth_series_compresses():
     blk = G.encode_block(ts, vals)
     enc = len(blk["ts_block"]) + len(blk["val_block"]) + 20
     assert enc * 10 < 16 * 10_000  # >10x on constant series
+
+
+def test_tier_encoding_roundtrip(spark):
+    """North-rule loop closed: rollup tier -> Gorilla blocks -> decode
+    == the tier's own point stream, bit-exact values and timestamps;
+    the regular grid packs timestamps near the 1-bit/point floor."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.encoding import blocks as B
+    from dtaidistance_spark.operators import rollup as R
+
+    seq = synth.sequences_df(spark, 256)
+    rolled = R.dba_rollup(seq, tier="1 hour").persist()
+    want = sorted(
+        (r.key, r.ts, r.value)
+        for r in B.tier_points(rolled, 3600).collect()
+    )
+    blocks = B.encode_tier(rolled, 3600, block_window="1 day").persist()
+    got = sorted(
+        (r.key, r.ts, r.value)
+        for r in B.decode_blocks(blocks, key_cols=["key", "block_start"])
+        .select("key", "ts", "value").collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert np.float64(g[2]).view(np.int64) == np.float64(w[2]).view(np.int64)
+    # regular grid => delta-of-delta ~1 bit/point after the first two
+    stats = B.compression_stats(blocks, ["key"]).collect()
+    assert all(r.ratio > 1.5 for r in stats), [r.ratio for r in stats]
+    rolled.unpersist()
+    blocks.unpersist()
