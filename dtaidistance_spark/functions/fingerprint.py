@@ -71,3 +71,58 @@ def fingerprint_docs(
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram language profiles (Cavnar & Trenkle 1994 style)
+# ---------------------------------------------------------------------------
+
+# tiny built-in trigram profiles (top function-word trigrams per
+# language, space-padded) — enough to separate major Latin-script
+# languages; real deployments load fuller profiles the same way
+LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", " to",
+           "to ", "ing", "ng ", " in", "in ", "ion", " is", "is ", "ed "),
+    "fr": (" le", "le ", " de", "de ", "es ", " la", "la ", "ent", "nt ",
+           " et", "et ", "que", " qu", "ue ", "ais", " un", "un ", "ons"),
+    "de": (" de", "der", "er ", "ie ", " di", "die", "ein", "in ", "und",
+           " un", "nd ", "ch ", "sch", "ich", " ei", "en ", "ung", "ng "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu",
+           "ue ", "ión", " en", "en ", "ado", "as ", " lo", "los", "ar "),
+}
+
+
+def trigram_profile_scores(text: str) -> dict[str, float]:
+    """Cosine-style overlap of the text's char-trigram frequency against
+    each built-in profile (vectorized over the trigram array)."""
+    import numpy as np
+
+    s = " " + " ".join(str(text).lower().split()) + " "
+    if len(s) < 3:
+        return {k: 0.0 for k in LANG_PROFILES}
+    grams = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    tri = (
+        grams[:-2].astype(np.int64) * 65536
+        + grams[1:-1].astype(np.int64) * 256
+        + grams[2:]
+    )
+    uniq, counts = np.unique(tri, return_counts=True)
+    freq = dict(zip(uniq.tolist(), (counts / counts.sum()).tolist()))
+
+    def code(g: str) -> int:
+        b = g.encode("utf-8", "ignore")[:3].ljust(3, b" ")
+        return b[0] * 65536 + b[1] * 256 + b[2]
+
+    return {
+        lang: float(sum(freq.get(code(g), 0.0) for g in profile))
+        for lang, profile in LANG_PROFILES.items()
+    }
+
+
+def lang_id_ngram(text: str, min_score: float = 0.01) -> tuple[str, float]:
+    """(language, score): argmax profile overlap, 'und' below floor.
+    Deterministic ties -> lexicographically first language."""
+    scores = trigram_profile_scores(text)
+    lang = min(sorted(scores), key=lambda k: (-scores[k], k))
+    best = scores[lang]
+    return (lang if best >= min_score else "und", round(best, 6))

@@ -11,6 +11,7 @@ recomputes the identical stopword-ratio rule in SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.functions import fingerprint as FP
@@ -153,3 +154,24 @@ def winnowing_overlap(spark, sf_dir):
         .select("id_a", "id_b", "shared_fp", "overlap")
         .orderBy("id_a", "id_b")
     )
+
+
+@register("lang_id_ngram")
+def lang_id_ngram_q(spark, sf_dir):
+    """Character-trigram profile language-ID (Cavnar-Trenkle shape) —
+    the n-gram twin of the stopword heuristic, Arrow-batched kernel
+    with built-in en/fr/de/es profiles. Rows-only; kernel==python
+    determinism gated in test_pipeline_ops."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<pred_lang: string, score: double>")
+    def klang(texts: pd.Series) -> pd.DataFrame:
+        out = [FP.lang_id_ngram(t) for t in texts]
+        return pd.DataFrame(
+            {"pred_lang": [o[0] for o in out], "score": [o[1] for o in out]}
+        )
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", klang("text").alias("_p")
+    ).select("doc_id", "_p.pred_lang", "_p.score").orderBy("doc_id")

@@ -207,3 +207,34 @@ def test_image_resize_matches_numpy(spark, sf_dir):
     g = np.arange(64, dtype=np.float64).reshape(8, 8)
     assert abs(M.block_mean_resize(g, 4, 4).mean() - g.mean()) < 1e-12
     assets.unpersist()
+
+
+def test_lang_id_ngram_profiles():
+    """Trigram-profile language ID separates real sample sentences and
+    is deterministic; Spark query equals the local kernel row-by-row."""
+    en = "the quick brown fox and the lazy dog are in the garden"
+    fr = "le chat est dans la maison et le chien est dans le jardin que"
+    de = "der hund und die katze sind in einem schönen garten und singen"
+    es = "el perro y el gato están en la casa de los abuelos que quieren"
+    assert FP.lang_id_ngram(en)[0] == "en"
+    assert FP.lang_id_ngram(fr)[0] == "fr"
+    assert FP.lang_id_ngram(de)[0] == "de"
+    assert FP.lang_id_ngram(es)[0] == "es"
+    assert FP.lang_id_ngram("")[0] == "und"
+    assert FP.lang_id_ngram("zzz qqq xxx")[0] == "und"
+
+
+def test_lang_id_ngram_spark_matches_local(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    got = queries()["lang_id_ngram"](spark, sf_dir).limit(50).collect()
+    assert got
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in got:
+        lang, score = FP.lang_id_ngram(docs[r.doc_id])
+        assert (r.pred_lang, r.score) == (lang, score), r.doc_id
