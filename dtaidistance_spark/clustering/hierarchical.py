@@ -189,16 +189,28 @@ def linkage_matrix(pairs_rows, n: int):
             x = parent[x]
         return x
 
-    for d, a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
+    def merge(ra, rb, d):
+        nonlocal next_id
         ca, cb = cluster_of[ra], cluster_of[rb]
         Z.append([min(ca, cb), max(ca, cb), d, size[ra] + size[rb]])
         parent[ra] = rb
         size[rb] = size[ra] + size[rb]
         cluster_of[rb] = next_id
         next_id += 1
+
+    for d, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        merge(ra, rb, d)
         if len(Z) == n - 1:
             break
+    # A pruned (disconnected) pair graph runs out of edges early; scipy
+    # consumers require exactly n-1 rows, so merge the remaining
+    # components at +inf (the documented distance for pruned pairs),
+    # smallest root ids first for determinism.
+    if len(Z) < n - 1:
+        roots = sorted({find(x) for x in range(n)})
+        for rb in roots[1:]:
+            merge(find(roots[0]), find(rb), float("inf"))
     return np.asarray(Z, dtype=np.float64)

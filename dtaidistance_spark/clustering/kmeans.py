@@ -135,11 +135,18 @@ def dtw_kmeans_local(
     window: int = 8, max_members: int = 256, dba_max_it: int = 2,
     id_col: str = "doc_id", value_col: str = "tokens",
     hash_fn=None,
-) -> tuple[pd.DataFrame, np.ndarray]:
+) -> tuple[pd.DataFrame, np.ndarray, int]:
     """Single-process exact twin (the parity oracle). ``hash_fn`` maps
     doc_id -> the same value Spark's xxhash64 produces (pass a dict
     built once via Spark, or any deterministic surrogate for pure-local
-    experiments)."""
+    experiments).
+
+    Returns ``(assignments, centers, performed_it)`` — the iteration
+    count actually performed: the loop stops once an update leaves every
+    center bit-identical (upstream KMeans semantics, where callers use
+    ``performed_it < max_it`` to detect convergence). Stopping early
+    cannot change the result — converged centers reproduce themselves —
+    so exact parity with the fixed-iteration Spark driver holds."""
     d = pdf.copy()
     mats = np.stack([_prep_local(t, length) for t in d[value_col]])
     lens = np.full(len(mats), length, dtype=np.int64)
@@ -153,6 +160,7 @@ def dtw_kmeans_local(
         cl = np.argmin(dists, axis=0)
         return cl, dists[cl, np.arange(len(mats))]
 
+    performed_it = 0
     for _ in range(max_it):
         cl, _dist = assign(centers)
         new_centers = centers.copy()
@@ -166,7 +174,11 @@ def dtw_kmeans_local(
                 dba_max_it=dba_max_it, barycenter_len=length,
             )
             new_centers[c] = center
+        performed_it += 1
+        converged = np.array_equal(new_centers, centers)
         centers = new_centers
+        if converged:
+            break
     cl, dist = assign(centers)
     out = pd.DataFrame({id_col: d[id_col].values, "cluster": cl.astype(np.int32), "dist": dist})
-    return out, centers
+    return out, centers, performed_it

@@ -55,7 +55,7 @@ def _distance_matrix(
     s,
     block=None,
     compact=False,
-    only_triu=True,
+    only_triu=False,
     window=None,
     max_dist=None,
     max_step=None,
@@ -68,9 +68,13 @@ def _distance_matrix(
     use_c=False,
     show_progress=False,
 ):
-    """``ref:dtaidistance/dtw.py::distance_matrix``: dense (inf below
-    the diagonal) or condensed-1D (``compact=True``) all-pairs matrix;
-    ``block=((rb,re),(cb,ce))`` restricts to a sub-rectangle. A Spark
+    """``ref:dtaidistance/dtw.py::distance_matrix``: upstream-v2
+    semantics — only the upper triangle is computed; the default
+    ``only_triu=False`` mirrors it to a symmetric matrix with a zero
+    diagonal (matching ``distances_array_to_matrix``), ``only_triu=True``
+    leaves inf below the diagonal. ``compact=True`` returns ONLY the
+    computed condensed entries (row-major), i.e. just the block's pairs
+    when ``block=((rb,re),(cb,ce))`` restricts the rectangle. A Spark
     DataFrame input routes to the distributed pairs operator instead
     (returns the condensed pairs DataFrame)."""
     try:  # DataFrame → distributed path, threshold-free (inf)
@@ -99,16 +103,18 @@ def _distance_matrix(
     else:
         (rb, re_), (cb, ce) = block
     dense = np.full((n, n), _INF)
+    compact_vals = []
     for i in range(rb, re_):
-        for j in range(cb, ce):
-            if only_triu and j <= i:
-                continue
-            if j == i:
-                continue
-            dense[i, j] = _K.dtw_distance(series[i], series[j], **kw)
+        for j in range(max(cb, i + 1), ce):
+            d = _K.dtw_distance(series[i], series[j], **kw)
+            dense[i, j] = d
+            compact_vals.append(d)
     if compact:
+        return np.asarray(compact_vals, dtype=np.float64)
+    if not only_triu:
         iu = np.triu_indices(n, 1)
-        return dense[iu]
+        dense.T[iu] = dense[iu]
+        np.fill_diagonal(dense, 0.0)
     return dense
 
 
@@ -346,7 +352,7 @@ class KMeans:
                 "tokens": [list(map(float, s)) for s in series],
             }
         )
-        out, self.centers = dtw_kmeans_local(
+        out, self.centers, performed_it = dtw_kmeans_local(
             pdf, k=self.k, max_it=self.max_it, length=self.length,
             window=self.window, dba_max_it=self.max_dba_it,
             hash_fn=lambda s: int.from_bytes(__import__("hashlib").md5(s.encode()).digest()[:8], "big"),
@@ -354,7 +360,7 @@ class KMeans:
         clusters: dict[int, set] = {}
         for idx, c in enumerate(out["cluster"]):
             clusters.setdefault(int(c), set()).add(idx)
-        return clusters, self.max_it
+        return clusters, performed_it
 
 
 class Hierarchical:

@@ -11,16 +11,8 @@ import pandas as pd
 from pyspark.sql import Window, functions as F
 
 from dtaidistance_spark import kernels as K
-from dtaidistance_spark import synth
+from dtaidistance_spark.operators import qutil as Q
 from dtaidistance_spark.operators.queries import T, register
-
-
-def _paa_series(spark, n, length):
-    pdf = synth.sequences_local(n)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), length)
-    )
-    return pdf
 
 
 @register("warping_paths_demo")
@@ -28,9 +20,7 @@ def warping_paths_demo(spark, sf_dir):
     """P1–P5 over consecutive synthetic series pairs: distance, path
     length, warping amount (non-diagonal moves), path endpoints — the
     debug/explain surface of the path machinery, Arrow-batched."""
-    pdf = _paa_series(spark, 24, 48)
-    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
-    rows = df.collect()
+    df = Q.paa_series_df(spark, 24, length=48)
 
     def kernel(batches):
         for b in batches:
@@ -52,7 +42,7 @@ def warping_paths_demo(spark, sf_dir):
                 out["path_head"].append([list(p) for p in path[:4]])
             yield pd.DataFrame(out)
 
-    return (
+    return Q.jsonify_complex(
         df.coalesce(1)
         .sortWithinPartitions("doc_id")
         .mapInPandas(

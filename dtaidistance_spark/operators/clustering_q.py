@@ -12,15 +12,12 @@ from dtaidistance_spark import synth
 from dtaidistance_spark.clustering import hierarchical as H
 from dtaidistance_spark.clustering import kmeans as KM
 from dtaidistance_spark.operators import pairs as P
+from dtaidistance_spark.operators import qutil as Q
 from dtaidistance_spark.operators.queries import register
 
 
 def _series(spark, n):
-    pdf = synth.sequences_local(n)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
-    )
-    return spark.createDataFrame(pdf[["doc_id", "tokens", "source"]])
+    return Q.paa_series_df(spark, n, length=64, with_source=True)
 
 
 @register("kmeans_dtw")
@@ -41,7 +38,9 @@ def kmeans_centers(spark, sf_dir):
     rows = [
         (int(c), [float(round(x, 4)) for x in centers[c]]) for c in range(len(centers))
     ]
-    return spark.createDataFrame(rows, "cluster int, center array<double>")
+    return Q.jsonify_complex(
+        spark.createDataFrame(rows, "cluster int, center array<double>")
+    )
 
 
 @register("hierarchical_dtw")
@@ -120,15 +119,16 @@ def linkage_tree(spark, sf_dir):
     Z-format over the DTW pair distances of 80 synthetic series —
     distributed LB-cascade pairs, driver-side union-find merges (the
     plotting wrapper remains out of scope). Rows-only."""
-    pdf = synth.sequences_local(80)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
-    )
     # integer string ids '0'..'79' for Z-format numbering
-    pdf["doc_id"] = [str(i) for i in range(len(pdf))]
-    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    n = 80
+    pdf = synth.sequences_local(n)
+    data = [
+        (str(i), [float(x) for x in K.paa(np.asarray(t, dtype=np.float64), 64)])
+        for i, t in enumerate(pdf["tokens"])
+    ]
+    df = spark.createDataFrame(data, "doc_id string, tokens array<double>")
     rows = P.dtw_pairs(df, threshold=float("inf"), window=8).collect()
-    Z = H.linkage_matrix([r.asDict() for r in rows], len(pdf))
+    Z = H.linkage_matrix([r.asDict() for r in rows], n)
     out = [
         (int(i), float(a), float(b), round(float(d), 4), int(s))
         for i, (a, b, d, s) in enumerate(Z.tolist())

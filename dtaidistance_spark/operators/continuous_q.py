@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators.flagship import _event_series
+from dtaidistance_spark.operators.qutil import detach
 from dtaidistance_spark.operators.queries import register
 from dtaidistance_spark.plans.continuous import ContinuousAggregate, ingest
 from dtaidistance_spark.sources.tableio import TableIO
@@ -48,8 +49,7 @@ def continuous_agg_counts(spark, sf_dir):
         out = ca.read_tier(spark, "1 day").select(
             "key", "window_start", "n_series", "n_points"
         )
-        out = spark.createDataFrame(out.toPandas())  # detach from temp files
-        return out
+        return detach(spark, out)  # survive rmtree of the temp tier files
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -91,6 +91,6 @@ def retention_expiry_counts(spark, sf_dir):
         out = ca.read_tier(spark, "1 day").select(
             "key", "window_start", "n_series", "n_points"
         )
-        return spark.createDataFrame(out.toPandas())  # detach from temp
+        return detach(spark, out)  # survive rmtree of the temp tier files
     finally:
         shutil.rmtree(root, ignore_errors=True)

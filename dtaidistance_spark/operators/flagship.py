@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from dtaidistance_spark import kernels as K
 from dtaidistance_spark import synth
 from dtaidistance_spark.operators import pairs as P
+from dtaidistance_spark.operators import qutil as Q
 from dtaidistance_spark.operators import rollup as R
 from dtaidistance_spark.operators.queries import T, register
 
@@ -26,8 +27,10 @@ def _seq_n() -> int:
 
 
 def _round_arr(df, col, nd=4):
-    return df.withColumn(
-        col, F.transform(F.col(col), lambda x: F.round(x, nd))
+    """Round the array column then serialize it to JSON: the driver's
+    pandas canonicalization cannot sort list cells (round-1 err)."""
+    return Q.jsonify_complex(
+        df.withColumn(col, F.transform(F.col(col), lambda x: F.round(x, nd)))
     )
 
 
@@ -51,25 +54,18 @@ def seq_cascade_1d(spark, sf_dir):
 def dtw_pairs_threshold(spark, sf_dir):
     """Distance-matrix workload (M1) with the LB cascade, on PAA-64
     synthetic series."""
-    pdf = synth.sequences_local(160)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
-    )
-    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    df = Q.paa_series_df(spark, 160, length=64)
     out = P.dtw_pairs(df, threshold=8000.0, window=8)
     return out.select("id_a", "id_b", F.round("dist", 4).alias("dist"))
 
 
 @register("dtw_knn_seq")
 def dtw_knn_seq(spark, sf_dir):
-    pdf = synth.sequences_local(160)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), 64)
-    )
-    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
+    df = Q.paa_series_df(spark, 160, length=64)
+    pdf = synth.sequences_local(8)
     qs = [
-        ("q0", np.asarray(pdf["tokens"].iloc[0], dtype=np.float64)),
-        ("q1", np.asarray(pdf["tokens"].iloc[7], dtype=np.float64)),
+        ("q0", K.paa(np.asarray(pdf["tokens"].iloc[0], dtype=np.float64), 64)),
+        ("q1", K.paa(np.asarray(pdf["tokens"].iloc[7], dtype=np.float64), 64)),
     ]
     out = P.dtw_knn(df, qs, k=5, window=8)
     return out.select("query_id", "doc_id", "rank", F.round("dist", 4).alias("dist"))
@@ -77,12 +73,9 @@ def dtw_knn_seq(spark, sf_dir):
 
 @register("subsequence_search_seq")
 def subsequence_search_seq(spark, sf_dir):
-    pdf = synth.sequences_local(60)
-    pdf["tokens"] = pdf["tokens"].map(
-        lambda t: K.paa(np.asarray(t, dtype=np.float64), 96)
-    )
-    df = spark.createDataFrame(pdf[["doc_id", "tokens"]])
-    q = np.asarray(pdf["tokens"].iloc[3], dtype=np.float64)[20:52]
+    df = Q.paa_series_df(spark, 60, length=96)
+    pdf = synth.sequences_local(4)
+    q = K.paa(np.asarray(pdf["tokens"].iloc[3], dtype=np.float64), 96)[20:52]
     out = P.subsequence_search(df, q, k=10, window=16)
     return out.select("doc_id", "start", "end", F.round("value", 4).alias("value"))
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators import multimodal as M
+from dtaidistance_spark.operators.qutil import jsonify_complex
 from dtaidistance_spark.operators.queries import T, register
 
 
@@ -39,19 +40,21 @@ def multimodal_features(spark, sf_dir):
     (rows-only; kernel gated vs local numpy in tests)."""
     assets = M.make_assets(T(spark, sf_dir, "documents"))
     out = M.extract_features(assets)
-    return out.select(
-        "asset_id",
-        "kind",
-        "n_bytes",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
-    ).orderBy("asset_id")
+    return jsonify_complex(
+        out.select(
+            "asset_id",
+            "kind",
+            "n_bytes",
+            F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        ).orderBy("asset_id")
+    )
 
 
 @register("video_frame_sample")
 def video_frame_sample(spark, sf_dir):
     """Strided frame sampling on video assets, pure SQL on binary."""
     assets = M.make_assets(T(spark, sf_dir, "documents"))
-    return M.frame_sample(assets).orderBy("asset_id")
+    return jsonify_complex(M.frame_sample(assets).orderBy("asset_id"))
 
 
 @register("audio_resample")
@@ -60,7 +63,9 @@ def audio_resample_q(spark, sf_dir):
     16 kHz -> 8 kHz in an Arrow-batched kernel (rows-only; kernel vs
     numpy oracle gated in test_pipeline_ops)."""
     docs = T(spark, sf_dir, "documents")
-    return M.audio_resample(M.make_assets(docs), dst_rate=8000).orderBy("asset_id")
+    return jsonify_complex(
+        M.audio_resample(M.make_assets(docs), dst_rate=8000).orderBy("asset_id")
+    )
 
 
 @register("image_resize")
@@ -69,4 +74,6 @@ def image_resize_q(spark, sf_dir):
     stand-in (real jpeg/png decode stays behind the PIL import guard;
     plumbing identical)."""
     docs = T(spark, sf_dir, "documents")
-    return M.image_resize(M.make_assets(docs), out_w=4, out_h=4).orderBy("asset_id")
+    return jsonify_complex(
+        M.image_resize(M.make_assets(docs), out_w=4, out_h=4).orderBy("asset_id")
+    )

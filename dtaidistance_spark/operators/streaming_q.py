@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from dtaidistance_spark.operators.qutil import detach
 from dtaidistance_spark.operators.queries import T, register
 
 
@@ -67,7 +68,7 @@ def stream_events_hourly(spark, sf_dir):
         ).write.mode("append").parquet(src)
         drain()
         out = spark.read.parquet(sink).where(F.col("key") != "__closer__")
-        return spark.createDataFrame(out.toPandas())  # detach from temp
+        return detach(spark, out)  # survive rmtree of the temp sink
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -112,6 +113,6 @@ def stream_dba_rollup_q(spark, sf_dir):
         out = spark.read.parquet(sink).where(
             F.col("window_start") < "2026-06-01"
         )
-        return spark.createDataFrame(out.toPandas())  # detach from temp
+        return detach(spark, out)  # jsonifies barycenter + survives rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -29,15 +29,23 @@ from dtaidistance_spark.plans.continuous import ContinuousAggregate
 
 _UNITS = {
     "second": 1, "minute": 60, "hour": 3600, "day": 86400,
-    "week": 7 * 86400, "year": 365 * 86400,
+    "week": 7 * 86400, "month": 30 * 86400, "year": 365 * 86400,
 }
 
 
 def parse_duration(spec: str) -> timedelta:
-    """'90 days' / '1 hour' / '2 years' -> timedelta."""
+    """'90 days' / '1 hour' / '3 months' / '2 years' -> timedelta.
+
+    Fixed-width calendar units (TimescaleDB-style): month = 30 days,
+    year = 365 days — retention cutoffs are sliding windows, not
+    calendar arithmetic. Supported units: second, minute, hour, day,
+    week, month, year (optional plural s)."""
     m = re.fullmatch(r"\s*(\d+)\s*([a-z]+?)s?\s*", spec.lower())
     if not m or m.group(2) not in _UNITS:
-        raise ValueError(f"bad duration: {spec!r}")
+        raise ValueError(
+            f"bad duration: {spec!r} (expected '<n> "
+            f"{'|'.join(sorted(_UNITS))}[s]')"
+        )
     return timedelta(seconds=int(m.group(1)) * _UNITS[m.group(2)])
 
 

@@ -82,7 +82,11 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
-    spark = get_spark(app="driver-sweep")
+    # Replicate the driver's session faithfully: it sets NO Arrow config,
+    # and Spark's default is off — round 1's 11 CANNOT_INFER_TYPE errors
+    # only reproduced under this setting.
+    spark = get_spark(app="driver-sweep").newSession()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     reg = queries()
     oracles = oracle_sql()
 
@@ -104,6 +108,13 @@ def main() -> int:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = df.collect()
+            # the driver's canonicalization: pandas-sort every column
+            # (unhashable list cells raise here, as they did round 1)
+            import pandas as pd
+
+            pdf = pd.DataFrame([r.asDict() for r in rows], columns=cols)
+            if len(pdf):
+                pdf.sort_values(by=list(cols))
         except Exception as e:
             print(f"{name}: FAIL (spark) {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)

@@ -32,7 +32,7 @@ def test_kmeans_spark_matches_local_exactly(spark, series_pdf):
         .selectExpr("doc_id", "xxhash64(doc_id) AS h")
         .collect()
     }
-    want, centers_l = KM.dtw_kmeans_local(
+    want, centers_l, _performed = KM.dtw_kmeans_local(
         series_pdf, k=3, max_it=2, length=64, window=8,
         hash_fn=lambda d: hashes[d],
     )

@@ -35,17 +35,23 @@ def test_distance_matrix_shapes():
     series = [np.array(S1), np.array(S2), np.array([0.0, 1, 2, 1, 0])]
     D = dtw.distance_matrix(series, parallel=True, use_c=True)  # flags ignored
     assert D.shape == (3, 3)
-    assert np.isinf(D[1, 0])  # only_triu: inf below diagonal
+    # upstream default: symmetric with zero diagonal
+    assert D[1, 0] == D[0, 1] and D[0, 0] == 0.0
     assert abs(D[0, 1] - math.sqrt(2)) < 1e-12
+    Dt = dtw.distance_matrix(series, only_triu=True)
+    assert np.isinf(Dt[1, 0])  # only_triu: inf below diagonal
     c = dtw.distance_matrix(series, compact=True)
     assert len(c) == 3
     assert abs(c[0] - D[0, 1]) < 1e-12
-    # block restricts computed cells
+    # block restricts computed cells — and compact returns ONLY them
     Db = dtw.distance_matrix(series, block=((0, 1), (0, 3)))
     assert np.isfinite(Db[0, 1]) and np.isinf(Db[1, 2])
-    # condensed -> dense round trip
+    cb = dtw.distance_matrix(series, block=((0, 1), (0, 3)), compact=True)
+    assert len(cb) == 2 and abs(cb[0] - D[0, 1]) < 1e-12
+    # condensed -> dense round trip == the matrix API's own default
     M = dtw.distances_array_to_matrix(c, 3, only_triu=False)
     assert M[1, 0] == M[0, 1] and M[0, 0] == 0.0
+    assert np.array_equal(M, D)
 
 
 def test_bounds_and_paths():
@@ -98,7 +104,9 @@ def test_clustering_facade():
     from dtaidistance_spark.compat import clustering
 
     cl, it = clustering.kmeans.KMeans(2, max_it=3).fit(series)
-    assert it == 3 and len(cl) == 2
+    # upstream semantics: performed_it is the count actually run — this
+    # well-separated blob pair converges before the max_it cap
+    assert 1 <= it <= 3 and len(cl) == 2
     groups = sorted(tuple(sorted(v)) for v in cl.values())
     assert groups == [tuple(range(6)), tuple(range(6, 12))]
 
