@@ -725,7 +725,11 @@ def dtw_distance_batch(
             drop = dead | finished
             if drop.any() and drop.mean() > 0.25:
                 for m in np.nonzero(finished)[0]:
-                    out_full[active[m]] = last_row[m, lengths[m]]
+                    v = last_row[m, lengths[m]]
+                    # scalar-kernel parity: a finished member whose final
+                    # cost exceeds max_dist² reports INF, exactly like
+                    # dtw_distance's best > md check
+                    out_full[active[m]] = INF if v > md2 else v
                 keep = ~drop
                 batch = batch[keep]
                 lengths = lengths[keep]
@@ -746,6 +750,8 @@ def dtw_distance_batch(
                 np.min(last_row[m, max(0, cm - psi_2e) : cm + 1]),
                 np.min(last_col[m, max(0, r - psi_1e) :]),
             )
+        if md2 is not None and best > md2:
+            best = INF  # scalar-kernel parity (dtw_distance's best > md)
         out_full[active[m]] = best
     return np.sqrt(out_full)
 

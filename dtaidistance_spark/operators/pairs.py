@@ -247,24 +247,87 @@ def dtw_knn(
 ) -> DataFrame:
     """k nearest series to each query under banded DTW (M5 shape).
 
-    Queries are broadcast inside the UDF closure; per partition the batch
-    kernel computes all query distances with LB_Kim/LB_Keogh pruning and
-    running-kth early abandoning; global top-k via window rank.
+    Queries are broadcast inside the UDF closure. Per Arrow batch, per
+    query — the UCR-suite cascade, batched:
+
+    1. LB_Kim (first/last/min/max) and LB_Keogh vs the query's envelope,
+       both vectorized over the whole batch (one envelope per query per
+       batch, not per pair);
+    2. candidates sorted by lower bound ascending; the first chunk seeds
+       the running kth-best, later chunks run the batched anti-diagonal
+       DP with ``max_dist = current kth`` (batch early abandon), and the
+       scan stops at the first candidate whose LB exceeds the kth-best —
+       admissible because LB <= true distance;
+    3. only the partition-local top-k rows are emitted (the global top-k
+       is a subset of the union of partition top-ks), so the final
+       window-rank shuffle carries O(k · partitions) rows, not N·Q.
+
+    Exactness: abandoned members have true distance > the kth-best at
+    abandon time >= the final kth-best, so they can never enter the
+    top-k; ties break on doc_id in both the local and global rank.
     """
     qlist = [(qid, np.asarray(q, dtype=np.float64)) for qid, q in queries]
     win = window
+    chunk_sz = max(int(k), 64)
 
     def kernel(batches):
         for pdf in batches:
-            rows = {"query_id": [], "doc_id": [], "dist": []}
             arrays = [np.asarray(a, dtype=np.float64) for a in pdf[value_col]]
+            if not arrays:
+                continue
             ids = list(pdf[id_col])
+            lengths = np.asarray([len(x) for x in arrays], dtype=np.int64)
+            L = int(lengths.max())
+            M = np.zeros((len(arrays), L))
+            for i, x in enumerate(arrays):
+                M[i, : len(x)] = x
+            firsts = np.asarray([x[0] for x in arrays])
+            lasts = np.asarray([x[-1] for x in arrays])
+            mins = np.asarray([x.min() for x in arrays])
+            maxs = np.asarray([x.max() for x in arrays])
+            pad = np.arange(L)[None, :] >= lengths[:, None]
+            rows = {"query_id": [], "doc_id": [], "dist": []}
             for qid, q in qlist:
-                for did, s in zip(ids, arrays):
-                    d = K.dtw_distance(s, q, window=win, use_pruning=True)
+                lb = np.maximum.reduce([
+                    np.abs(firsts - q[0]), np.abs(lasts - q[-1]),
+                    np.abs(mins - q.min()), np.abs(maxs - q.max()),
+                ])
+                lo, hi = K.lb_keogh_envelope(q, win, r=L)
+                n = min(L, len(q))
+                above = np.maximum(M[:, :n] - hi[None, :n], 0.0)
+                below = np.maximum(lo[None, :n] - M[:, :n], 0.0)
+                above[pad[:, :n]] = 0.0
+                below[pad[:, :n]] = 0.0
+                lb = np.maximum(
+                    lb, np.sqrt((above * above + below * below).sum(axis=1))
+                )
+                order = np.argsort(lb, kind="stable")
+                kth = np.inf
+                found: list[tuple[float, str]] = []
+                for c0 in range(0, len(order), chunk_sz):
+                    chunk = order[c0 : c0 + chunk_sz]
+                    if lb[chunk[0]] > kth:
+                        break  # sorted by LB: nothing later can qualify
+                    chunk = chunk[lb[chunk] <= kth]
+                    if not len(chunk):
+                        continue
+                    d = K.dtw_distance_batch(
+                        q, M[chunk], lengths[chunk], window=win,
+                        max_dist=None if np.isinf(kth) else kth,
+                    )
+                    found.extend(
+                        (float(dv), ids[m]) for m, dv in zip(chunk, d)
+                        if np.isfinite(dv)
+                    )
+                    if len(found) >= k:
+                        found.sort()
+                        found = found[:k]
+                        kth = found[-1][0]
+                found.sort()
+                for dv, did in found[:k]:
                     rows["query_id"].append(qid)
                     rows["doc_id"].append(did)
-                    rows["dist"].append(d)
+                    rows["dist"].append(dv)
             yield pd.DataFrame(rows)
 
     dists = (

@@ -58,6 +58,31 @@ def test_dtw_knn_matches_bruteforce(spark, small):
     assert got[0]["dist"] == pytest.approx(0.0, abs=1e-9)  # query is member 0
 
 
+def test_dtw_knn_ragged_matches_brute_argsort(spark):
+    """LB-cascade + chunked running-kth knn == brute argsort on RAGGED
+    lengths (no PAA): the pruning path (LB_Kim, padded LB_Keogh, batch
+    early abandon, partition-local top-k) must change nothing."""
+    pdf = synth.sequences_local(60)
+    arrs = [np.asarray(t, float)[: 50 + (i * 37) % 200] for i, t in enumerate(pdf["tokens"])]
+    ids = [f"d{i:03d}" for i in range(len(arrs))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i, a in zip(ids, arrs)],
+        "doc_id string, tokens array<double>",
+    ).repartition(7)  # several partitions: exercises local top-k + merge
+    queries = [("qa", arrs[3]), ("qb", arrs[31][10:120])]
+    got = P.dtw_knn(df, queries, k=7, window=16).collect()
+    for qid, q in queries:
+        want = sorted(
+            (K.dtw_distance(a, q, window=16), i) for i, a in zip(ids, arrs)
+        )[:7]
+        mine = sorted(
+            ((r["dist"], r["doc_id"]) for r in got if r["query_id"] == qid)
+        )
+        assert [i for _, i in mine] == [i for _, i in want]
+        for (dg, _), (dw, _) in zip(mine, want):
+            assert dg == pytest.approx(dw, abs=1e-9)
+
+
 def test_subsequence_alignment_finds_embedded_query(spark):
     rng = np.random.default_rng(9)
     q = np.sin(np.linspace(0, 3, 25)) * 10
