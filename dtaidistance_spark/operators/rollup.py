@@ -157,10 +157,17 @@ def dba_rollup(
     """Roll ``df`` up to ``tier`` windows: one DBA barycenter per
     (key, window). Returns ROLLUP_SCHEMA DataFrame.
 
-    Scale shape: ONE hash shuffle on (key, window); counts, member
-    ordering and the deterministic stride sample all happen JVM-side in
-    the aggregate, so only <= max_members arrays per group ever cross the
-    Arrow boundary into Python."""
+    Scale shape: ONE hash shuffle on (key, window). The deterministic
+    stride sample is applied as a FILTER before the aggregate: a
+    window rank by doc_id numbers each member, the closed-form stride
+    predicate keeps exactly the indexes ``(j*n)//m``, and only those
+    <= max_members arrays per group ever enter the aggregation buffer
+    or cross the Arrow boundary. A pathological hot (key, window) with
+    millions of members therefore costs the spillable window SORT (disk,
+    not heap) instead of an unbounded in-memory collect_list — the
+    round-1 hot-group OOM hazard. Counts (n_series/n_points) still cover
+    every member via unbounded-frame window aggregates in the same pass.
+    Output is bit-identical to the former collect-then-sample plan."""
     # ship the payload in its NATIVE element type: int32 token arrays
     # cross the shuffle + Arrow boundary at 4 bytes/point instead of 8
     # (the kernel casts to float64; int32 -> float64 is exact), while
@@ -169,6 +176,8 @@ def dba_rollup(
     # barycenter and would poison the kernel — drop them JVM-side
     # (size(NULL) = -1, so one predicate covers both); the local parity
     # twin applies the identical filter
+    from pyspark.sql import Window
+
     prepared = df.where(F.size(F.col(value_col)) > 0).select(
         F.col(key_col).cast("string").alias("_key"),
         F.window(F.col(ts_col), tier)["start"].alias("_w"),
@@ -176,26 +185,34 @@ def dba_rollup(
         F.col(id_col).cast("string").alias("_sort_id"),
     )
     m = max_members
+    wsort = Window.partitionBy("_key", "_w").orderBy("_sort_id")
+    wall = Window.partitionBy("_key", "_w")
+    pre = (
+        prepared.withColumn("_i", F.row_number().over(wsort) - 1)
+        .withColumn("n_series", F.count(F.lit(1)).over(wall))
+        .withColumn("n_points", F.sum(F.size("_value")).over(wall))
+    )
+    # 0-based index i is in the stride set {(j*n)//m : 0 <= j < m} iff
+    # ceil(i*m/n)*n < (i+1)*m  (j -> (j*n)//m is strictly increasing for
+    # n > m, so no duplicates; n <= m keeps everything)
+    sel = F.expr(
+        f"n_series <= {m} OR "
+        f"((_i * {m} + n_series - 1) div n_series) * n_series < (_i + 1) * {m}"
+    )
     grouped = (
-        prepared.groupBy("_key", "_w")
+        pre.where(sel)
+        .groupBy("_key", "_w")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_sort_id", "_value"))
-            ).alias("_sorted"),
-            F.count(F.lit(1)).alias("n_series"),
-            F.sum(F.size("_value")).alias("n_points"),
+            F.array_sort(F.collect_list(F.struct("_i", "_value"))).alias("_s"),
+            F.max("n_series").alias("n_series"),
+            F.max("n_points").alias("n_points"),
         )
         .select(
             "_key",
             "_w",
             "n_series",
             "n_points",
-            F.expr(
-                f"""CASE WHEN size(_sorted) <= {m} THEN transform(_sorted, s -> s._value)
-                ELSE transform(sequence(0, {m} - 1),
-                     j -> element_at(_sorted, cast((cast(j AS BIGINT) * size(_sorted)) div {m} AS INT) + 1)._value)
-                END"""
-            ).alias("members"),
+            F.expr("transform(_s, s -> s._value)").alias("members"),
         )
     )
     kernel = _make_mega_kernel(dba_window, dba_max_it, barycenter_len)

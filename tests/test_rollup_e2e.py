@@ -184,3 +184,52 @@ def test_degenerate_rows_filtered(spark):
     assert np.array_equal(
         np.asarray(out[0]["barycenter"]), np.asarray(loc["barycenter"].iloc[0])
     )
+
+
+def test_hot_group_bounded_memory_50k_members(spark):
+    """Round-1 hazard: a (key, window) owning 50k member series must not
+    materialize an unbounded collect_list buffer. The stride sample now
+    runs as a pre-aggregation filter, so only max_members arrays enter
+    the agg; this gate checks (a) Spark == local twin bit-exactly on the
+    degenerate one-hot-group input, (b) the plan filters BEFORE the
+    collect_list aggregate (the bounded shape), (c) one shuffle total."""
+    import pandas as pd
+
+    n = 50_000
+    df = spark.range(n).selectExpr(
+        "concat('d', lpad(cast(id AS string), 6, '0')) AS doc_id",
+        "transform(sequence(0, 7), j -> cast((id * 7 + j) % 101 AS double)) AS tokens",
+        "'hot' AS source",
+        "timestamp'2026-01-01 00:00:10' AS ts",
+    )
+    out = R.dba_rollup(
+        df, tier="1 minute", max_members=256, barycenter_len=16, dba_window=4
+    )
+    rows = out.collect()  # finalize the adaptive plan before inspecting
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final adaptive plan only
+    # one shuffle total (the constant hot key folds it to SinglePartition)
+    assert plan.count("+- Exchange ") == 1
+    cl = plan.index("collect_list")
+    assert "Filter" in plan[cl:], "stride filter must sit below the aggregate"
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:06d}" for i in range(n)],
+            "tokens": [
+                np.asarray([(i * 7 + j) % 101 for j in range(8)], dtype=float)
+                for i in range(n)
+            ],
+            "source": ["hot"] * n,
+            "ts": [pd.Timestamp("2026-01-01 00:00:10")] * n,
+        }
+    )
+    loc = R.rollup_local(
+        pdf, 60, max_members=256, barycenter_len=16, dba_window=4
+    )
+    assert len(rows) == 1 and len(loc) == 1
+    assert rows[0]["n_series"] == n == int(loc["n_series"].iloc[0])
+    assert rows[0]["n_points"] == 8 * n
+    assert np.array_equal(
+        np.asarray(rows[0]["barycenter"]), np.asarray(loc["barycenter"].iloc[0])
+    )
