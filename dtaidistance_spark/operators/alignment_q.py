@@ -83,6 +83,61 @@ def needleman_wunsch_docs(spark, sf_dir):
     )
 
 
+@register(
+    "nw_invariants",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')[1:24]) AS l
+        FROM documents WHERE doc_id < 12
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS len_a, b.l AS len_b,
+           true AS gaps_ok, true AS score_ok
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    WHERE b.doc_id < 12
+    """,
+)
+def nw_invariants(spark, sf_dir):
+    """Driver-checkable projection of the NW aligner (P6): per pair the
+    input lengths (SQL-recomputable) plus two invariant booleans the
+    oracle asserts true — n_gaps >= |len_a - len_b| (an optimal global
+    alignment needs at least the length difference in gaps) and
+    score <= min(len_a, len_b) (match=+1 caps the score at the shorter
+    side). A broken DP or backtrack flips a boolean or drops a pair."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 12)
+        .select("doc_id", F.slice(F.split(F.lower("text"), " "), 1, 24).alias("w"))
+    )
+
+    def kernel(batches):
+        for b in batches:
+            out = {"id_a": [], "id_b": [], "len_a": [], "len_b": [],
+                   "gaps_ok": [], "score_ok": []}
+            rows = list(zip(b["doc_id"], b["w"]))
+            for (ia, wa), (ib, wb) in zip(rows[:-1], rows[1:]):
+                wa, wb = list(wa), list(wb)
+                score, m = K.needleman_wunsch(wa, wb)
+                al = K.best_alignment(m, wa, wb)
+                n_gaps = sum(1 for i, j in al if i < 0 or j < 0)
+                out["id_a"].append(int(ia))
+                out["id_b"].append(int(ib))
+                out["len_a"].append(len(wa))
+                out["len_b"].append(len(wb))
+                out["gaps_ok"].append(n_gaps >= abs(len(wa) - len(wb)))
+                out["score_ok"].append(score <= min(len(wa), len(wb)))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            kernel,
+            "id_a long, id_b long, len_a long, len_b long, "
+            "gaps_ok boolean, score_ok boolean",
+        )
+    )
+
+
 @register("dtw_ndim_pairs")
 def dtw_ndim_pairs(spark, sf_dir):
     """K7: dependent 2-dim DTW over (value, lagged value) event series
@@ -122,6 +177,30 @@ def dtw_ndim_pairs(spark, sf_dir):
 
     return series.coalesce(1).mapInPandas(
         kernel, "type_a string, type_b string, dist_ndim double"
+    )
+
+
+@register(
+    "dtw_ndim_check",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           true AS finite, true AS nonneg
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def dtw_ndim_check(spark, sf_dir):
+    """Driver-checkable projection of K7: the multivariate kernel must
+    produce a finite nonnegative distance for EVERY unordered pair of
+    event types (the oracle enumerates the pairs from SQL and asserts
+    both invariants) — a crashed kernel drops pairs, a broken band or
+    masking yields inf/NaN."""
+    pairs = dtw_ndim_pairs(spark, sf_dir)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        (~F.isnan("dist_ndim") & ~F.col("dist_ndim").eqNullSafe(float("inf"))).alias("finite"),
+        (F.col("dist_ndim") >= 0).alias("nonneg"),
     )
 
 

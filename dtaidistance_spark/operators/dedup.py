@@ -204,24 +204,46 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: sign-sum of word-hash bits, entirely
-    in Spark SQL (explode words -> per-bit +/-1 sums -> reassemble)."""
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash per document: sign-sum of word-hash bits, entirely in
+    Spark SQL (explode words -> per-bit +/-1 sums -> reassemble).
+
+    ``portable=False`` (default, the scale path): 64-bit xxhash64 word
+    hashes — fastest, but xxhash64 has no DuckDB twin, so the result is
+    only Python-oracle-testable. ``portable=True``: 60-bit word hashes
+    from the first 15 hex chars of md5('sim|' + word) — bit-identical
+    reproducible in DuckDB SQL, which makes the whole near-dup pair
+    list drive-by-oracle checkable (see ``simhash_neardups_md5``)."""
+    n_bits = 60 if portable else 64
     d = tokenize(docs, text_col).select(
         id_col, F.explode("_ws").alias("_w")
     )
-    d = d.withColumn("_h", F.xxhash64(F.concat(F.lit("sim|"), F.col("_w"))))
+    if portable:
+        d = d.withColumn(
+            "_h",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("sim|"), F.col("_w"))), 1, 15),
+                16, 10,
+            ).cast("long"),
+        )
+    else:
+        d = d.withColumn("_h", F.xxhash64(F.concat(F.lit("sim|"), F.col("_w"))))
     # per bit: contribution +1 if bit set else -1 => sum = 2*ones - n
     bit_sums = [
         F.sum(F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
     # balanced OR-reduction: a 64-deep left chain makes Catalyst
     # analysis quadratic (measured ~27s per query); depth log2(64)=6
     terms = [
         F.shiftleft((F.col(f"_b{i}") * 2 > F.col("_n")).cast("long"), i)
-        for i in range(64)
+        for i in range(n_bits)
     ]
     while len(terms) > 1:
         terms = [
@@ -232,19 +254,26 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_candidates(
-    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Pairs within hamming distance <= max_hamming of their simhash.
-    Pigeonhole banding: split 64 bits into 4 x 16-bit bands; any pair
-    with <= 3 differing bits agrees on >= 1 band, so the bucket join
-    finds every such pair, then bit_count verifies exactly."""
+    Pigeonhole banding: split the fingerprint into ``n_bands`` bands of
+    ``band_bits`` bits; any pair with <= n_bands - 1 differing bits
+    agrees on >= 1 band, so the bucket join finds every such pair, then
+    bit_count verifies exactly. (60-bit portable fingerprints use
+    n_bands=4, band_bits=15.)"""
+    mask = (1 << band_bits) - 1
     bands = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), band_bits * b)
+            .bitwiseAND(F.lit(mask))
             .cast("long")
             .alias(f"band{b}")
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     keyed = fps.select(

@@ -76,9 +76,45 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 def simhash_neardups(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints);
     rows-only — xxhash64 has no DuckDB twin, the SimHash kernel is
-    gated against a plain-Python oracle in tests/test_dedup.py."""
+    gated against a plain-Python oracle in tests/test_dedup.py (the
+    fully-oracled portable twin is ``simhash_neardups_md5``)."""
     fps = D.simhash64(T(spark, sf_dir, "documents"))
     return D.simhash_candidates(fps, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_neardups_md5",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5('sim|' || w), 1, 15))::BIGINT AS h
+        FROM words
+    ), bitsum AS (
+        SELECT doc_id, b, sum((h >> b) & 1) AS ones, count(*) AS n
+        FROM hashed, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2
+    ), fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
+        FROM bitsum GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.f, b.f)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def simhash_neardups_md5(spark, sf_dir):
+    """The portable SimHash twin, FULLY oracled: 60-bit md5-derived
+    fingerprints (identical hex-prefix hash in both engines), 4x15-bit
+    pigeonhole banding in Spark vs brute-force pairs in DuckDB — the
+    oracle therefore also proves the banding loses no pair at
+    hamming <= 3."""
+    fps = D.simhash64(T(spark, sf_dir, "documents"), portable=True)
+    return D.simhash_candidates(
+        fps, max_hamming=3, n_bands=4, band_bits=15
+    ).orderBy("id_a", "id_b")
 
 
 @register(

@@ -34,6 +34,44 @@ def gorilla_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "gorilla_block_meta",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, date_trunc('day', ts) AS bs, ts, value FROM events
+    ), agg AS (
+        SELECT event_type, bs, count(*) AS n_points, min(ts) AS mts
+        FROM pts GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.bs::TIMESTAMP AS block_start, a.n_points,
+           a.mts::TIMESTAMP AS first_ts,
+           round(min(p.value), 4) AS first_val
+    FROM agg a
+    JOIN pts p ON p.event_type = a.event_type AND p.bs = a.bs AND p.ts = a.mts
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def gorilla_block_meta(spark, sf_dir):
+    """Driver-checkable projection of the tier block layout (E3): every
+    block's point count, start window, first timestamp and first value
+    must equal plain SQL over events — the header bookkeeping the
+    encoder writes (the payload bitstreams are covered bit-exactly by
+    gorilla_roundtrip's decode oracle). Ties on first_ts take the min
+    value, matching the encoder's (ts, value) struct sort."""
+    ev = T(spark, sf_dir, "events")
+    blocks = B.encode_blocks(
+        ev, key_cols=["event_type"], ts_col="ts", val_col="value",
+        block_window="1 day",
+    )
+    return blocks.select(
+        "event_type",
+        "block_start",
+        F.col("count").alias("n_points"),
+        F.timestamp_micros("first_ts").alias("first_ts"),
+        F.round("first_val", 4).alias("first_val"),
+    )
+
+
 @register("gorilla_compression")
 def gorilla_compression(spark, sf_dir):
     """Per-event-type compression ratio of the encoded tier blocks
