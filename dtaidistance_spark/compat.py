@@ -303,6 +303,22 @@ def subsequence_alignment(query, series, **kw):
 subsequence = types.SimpleNamespace(subsequence_alignment=subsequence_alignment)
 
 
+# -- dtw_weighted (C5, kernel only) ------------------------------------------
+
+
+def _weighted_distance(s1, s2, weights=None, window=None, max_dist=None, **_ignored):
+    """``ref:dtaidistance/dtw_weighted.py::distance`` signature subset
+    (the decision-tree weight learning stays out of scope)."""
+    return _K.dtw_weighted_distance(
+        np.asarray(s1, dtype=np.float64),
+        np.asarray(s2, dtype=np.float64),
+        weights=weights, window=window, max_dist=max_dist,
+    )
+
+
+dtw_weighted = types.SimpleNamespace(distance=_weighted_distance)
+
+
 # -- clustering --------------------------------------------------------------
 
 

@@ -814,6 +814,67 @@ def dtw_ndim_distance(s1, s2, window=None, max_dist=None, psi=None):
     return math.sqrt(best) if best <= md else INF
 
 
+def dtw_weighted_distance(s1, s2, weights=None, window=None, max_dist=None):
+    """Weighted DTW (C5, ``ref:dtaidistance/dtw_weighted.py::distance``
+    — the weighted kernel only; the decision-tree weight *learning* that
+    upstream layers on top for explainability stays out of scope).
+
+    ``weights``: (len(s1), 4) array of per-index piecewise-linear
+    rectifiers (x_neg, w_neg, x_pos, w_pos) applied to the residual
+    d = s1[i] - s2[j] before squaring::
+
+        a = |d|; (x, w) = (x_neg, w_neg) if d < 0 else (x_pos, w_pos)
+        inner = 0           if a <= x     (dead zone)
+                (w*(a-x))²  otherwise     (reweighted residual)
+
+    so small deviations inside the learned band cost nothing and
+    deviations outside are scaled per side. ``weights=None`` or the
+    identity weights (x=0, w=1) reduce inner to d² — bit-identical to
+    :func:`dtw_distance` (the property gate in tests). [VERIFY] exact
+    column convention against the reference once the mount is populated;
+    written from the public API surface (weights shape (n, 4), per-side
+    dead-zone + slope) with the identity-reduction contract as the
+    invariant that must survive reconciliation.
+
+    Plain two-row DP with the shared band machinery (explainability /
+    API-parity op; the batched hot paths stay univariate-unweighted).
+    """
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    r, c = len(s1), len(s2)
+    if r == 0 or c == 0:
+        return INF
+    if weights is None:
+        return dtw_distance(s1, s2, window=window, max_dist=max_dist)
+    w = np.asarray(weights, dtype=np.float64)
+    if w.shape != (r, 4):
+        raise ValueError(f"weights shape {w.shape} != ({r}, 4)")
+    md = INF if max_dist is None else max_dist * max_dist
+    window, a, b = _band_params(r, c, window)
+    prev = np.full(c + 1, INF)
+    prev[0] = 0.0
+    for i in range(1, r + 1):
+        cur = np.full(c + 1, INF)
+        jlo = max(1, i - a)
+        jhi = min(c, i + b)
+        if jlo <= jhi:
+            J = np.arange(jlo, jhi + 1)
+            d = s1[i - 1] - s2[J - 1]
+            neg = d < 0
+            x = np.where(neg, w[i - 1, 0], w[i - 1, 2])
+            ww = np.where(neg, w[i - 1, 1], w[i - 1, 3])
+            aa = np.abs(d)
+            resid = np.maximum(aa - x, 0.0) * ww
+            cost = resid * resid
+            for idx, j in enumerate(J):
+                v = cost[idx] + min(prev[j - 1], prev[j], cur[j - 1])
+                if v <= md:
+                    cur[j] = v
+        prev = cur
+    best = prev[c]
+    return math.sqrt(best) if best <= md else INF
+
+
 # ---------------------------------------------------------------------------
 # P6 — Needleman-Wunsch global alignment for discrete token sequences
 # (ref:dtaidistance/alignment.py::needleman_wunsch / ::best_alignment)

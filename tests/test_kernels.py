@@ -194,3 +194,62 @@ def test_dba_converges_to_middle():
     d_center = np.mean([K.dtw_distance(center, s) for s in shifted])
     d_raw = np.mean([K.dtw_distance(shifted[0], s) for s in shifted])
     assert d_center <= d_raw + 1e-9
+
+
+class TestWeightedDTW:
+    """C5 kernel property gates (reference mount empty: the invariant
+    that must survive reconciliation is identity-weights == K1)."""
+
+    def _series(self):
+        from dtaidistance_spark import synth
+
+        pdf = synth.sequences_local(6)
+        return [
+            K.paa(np.asarray(t, dtype=np.float64), 32) for t in pdf["tokens"]
+        ]
+
+    def test_identity_weights_equal_plain_dtw(self):
+        arrs = self._series()
+        ident = np.tile([0.0, 1.0, 0.0, 1.0], (32, 1))
+        for a, b in zip(arrs[:-1], arrs[1:]):
+            for win in (None, 4):
+                dw = K.dtw_weighted_distance(a, b, weights=ident, window=win)
+                d = K.dtw_distance(a, b, window=win)
+                assert dw == d  # bit-identical
+
+    def test_none_weights_delegate(self):
+        arrs = self._series()
+        assert K.dtw_weighted_distance(arrs[0], arrs[1]) == K.dtw_distance(
+            arrs[0], arrs[1]
+        )
+
+    def test_dead_zone_zeroes_small_residuals(self):
+        a = np.array([0.0, 1.0, 2.0, 3.0])
+        b = a + 0.4  # every residual inside the dead zone
+        w = np.tile([0.5, 1.0, 0.5, 1.0], (4, 1))
+        assert K.dtw_weighted_distance(a, b, weights=w, window=1) == 0.0
+
+    def test_weights_scale_monotonically(self):
+        arrs = self._series()
+        a, b = arrs[0], arrs[1]
+        w1 = np.tile([0.0, 1.0, 0.0, 1.0], (32, 1))
+        w2 = np.tile([0.0, 2.0, 0.0, 2.0], (32, 1))
+        d1 = K.dtw_weighted_distance(a, b, weights=w1, window=8)
+        d2 = K.dtw_weighted_distance(a, b, weights=w2, window=8)
+        assert d1 < d2 <= 2 * d1 + 1e-9  # path may re-route, never exceed 2x
+
+    def test_asymmetric_sides(self):
+        # only positive residuals (s1 above s2) are penalized
+        a = np.array([5.0, 5.0, 5.0])
+        b = np.array([4.0, 6.0, 4.0])
+        w_pos_only = np.tile([1e9, 0.0, 0.0, 1.0], (3, 1))
+        d = K.dtw_weighted_distance(a, b, weights=w_pos_only, window=0)
+        assert d == pytest.approx(np.sqrt(1.0 + 0.0 + 1.0))
+
+    def test_compat_alias(self):
+        from dtaidistance_spark.compat import dtw_weighted
+
+        a, b = [0.0, 1.0, 2.0], [0.0, 2.0, 2.0]
+        ident = np.tile([0.0, 1.0, 0.0, 1.0], (3, 1))
+        got = dtw_weighted.distance(a, b, weights=ident)
+        assert got == K.dtw_distance(np.asarray(a), np.asarray(b))
