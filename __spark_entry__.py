@@ -30,6 +30,7 @@ def _registry():
         multimodal_q,
         queries,
         streaming_q,
+        synth_q,
         text_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

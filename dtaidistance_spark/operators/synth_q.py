@@ -1,0 +1,95 @@
+"""Registry queries that oracle the SYNTHETIC token table itself.
+
+The north-rule input (FIXTURES.md §1) is generated from md5 + sin —
+both available in DuckDB — so the oracle can re-derive the entire
+input table independently, in SQL, from nothing but the row index.
+That closes the biggest oracle gap of round 1: every synthetic-series
+query's *input contract* (ids, lengths, sources, timestamps, and the
+md5 of every token array) is now driver-checkable, and the flagship
+DBA rollup's grouping over the north-rule table gets the same
+SQL-recomputable count projection that ``events_profile_counts``
+gives it over the shared events table.
+
+DuckDB `%` keeps the dividend's sign while numpy's keeps the
+divisor's, hence the ``((x % V) + V) % V`` normalization around the
+(possibly negative) smooth term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import rollup as R
+from dtaidistance_spark.operators.queries import register
+
+_N = 512
+
+_SYNTH_SQL = f"""
+WITH ids AS (SELECT unnest(range({_N})) AS i),
+base AS (SELECT i, 'doc' || lpad(i::VARCHAR, 12, '0') AS doc_id FROM ids),
+h AS (SELECT i, doc_id, ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h FROM base),
+p AS (
+  SELECT i, doc_id, h,
+    CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+         ELSE 64 + h % 1985 END AS n,
+    h % 50257 AS hm, h % 7 AS ph, h % 100 AS m
+  FROM h
+),
+synth AS (
+  SELECT doc_id, n::INT AS n_tok,
+    CASE WHEN m < 80 THEN 'web' WHEN m < 95 THEN 'code' ELSE 'books' END AS source,
+    (TIMESTAMP '2026-01-01 00:00:00' + (i % 86400) * INTERVAL 1 SECOND) AS ts,
+    list_transform(range(n::INT), j ->
+      ((((hm * (j + 1)) % 50257
+         + floor(1000 * sin(2 * pi() * j / 64.0 + ph))::BIGINT) % 50257)
+        + 50257) % 50257
+    ) AS tokens
+  FROM p
+)
+"""
+
+
+@register(
+    "seq_table_check",
+    oracle=_SYNTH_SQL
+    + """
+    SELECT doc_id, n_tok, source, ts,
+           md5(array_to_string(tokens, ',')) AS tok_md5
+    FROM synth
+    """,
+)
+def seq_table_check(spark, sf_dir):
+    """Input-contract oracle: the distributed mapInPandas generator and
+    an independent DuckDB SQL derivation must agree on every row — id,
+    length, source, timestamp, and the md5 over the full token array
+    (bit-exact token equality, the north rule's per-row invariant)."""
+    seq = synth.sequences_df(spark, _N)
+    return seq.select(
+        "doc_id",
+        "n_tok",
+        "source",
+        "ts",
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias(
+            "tok_md5"
+        ),
+    )
+
+
+@register(
+    "seq_rollup_counts",
+    oracle=_SYNTH_SQL
+    + """
+    SELECT source AS key, date_trunc('minute', ts)::TIMESTAMP AS window_start,
+           count(*) AS n_series, sum(n_tok)::BIGINT AS n_points
+    FROM synth GROUP BY 1, 2
+    """,
+)
+def seq_rollup_counts(spark, sf_dir):
+    """Flagship rollup projection on the NORTH-RULE table: the 1-minute
+    DBA rollup's group cardinalities must equal plain SQL over the
+    independently re-derived synthetic table — the events_profile_counts
+    pattern, now on the input the north rule actually names."""
+    seq = synth.sequences_df(spark, _N)
+    out = R.dba_rollup(seq, tier="1 minute")
+    return out.select("key", "window_start", "n_series", "n_points")
