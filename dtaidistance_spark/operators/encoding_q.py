@@ -98,3 +98,40 @@ def gorilla_tier_blocks(spark, sf_dir):
     rolled = R.dba_rollup(seq, tier="1 hour")
     blocks = B.encode_tier(rolled, 3600, block_window="1 day")
     return B.compression_stats(blocks, key_cols=["key"]).orderBy("key")
+
+
+@register(
+    "gorilla_compression_check",
+    oracle="""
+    SELECT event_type, count(*) AS n_points,
+           count(DISTINCT date_trunc('day', ts)) AS n_blocks,
+           16 * count(*) AS raw_bytes, true AS bounded
+    FROM events GROUP BY 1
+    """,
+)
+def gorilla_compression_check(spark, sf_dir):
+    """Driver-checkable projection of the compression stats: point,
+    block, and raw-byte accounting recomputed by SQL, plus the format's
+    worst-case size invariant — per point at most ~145 bits (ts
+    delta-of-delta 64-bit escape + value XOR full-mantissa path), so
+    enc_bytes <= 21*n_points + 40*n_blocks always holds or the encoder
+    is emitting garbage. (Raw random event values at tiny block sizes
+    legitimately do NOT compress below raw — the compression WIN is
+    measured on the regular tier streams in gorilla_tier_blocks, ~2x —
+    so the oracle asserts the ceiling, which is data-independent.)"""
+    ev = T(spark, sf_dir, "events")
+    blocks = B.encode_blocks(
+        ev, key_cols=["event_type"], ts_col="ts", val_col="value",
+        block_window="1 day",
+    )
+    stats = B.compression_stats(blocks, key_cols=["event_type"])
+    return stats.select(
+        "event_type",
+        "n_points",
+        "n_blocks",
+        "raw_bytes",
+        (
+            F.col("enc_bytes")
+            <= F.lit(21) * F.col("n_points") + F.lit(40) * F.col("n_blocks")
+        ).alias("bounded"),
+    )

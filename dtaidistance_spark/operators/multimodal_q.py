@@ -77,3 +77,50 @@ def image_resize_q(spark, sf_dir):
     return jsonify_complex(
         M.image_resize(M.make_assets(docs), out_w=4, out_h=4).orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_features_check",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+               repeat(md5(text), 8) AS hexs
+        FROM documents
+    ), bytes AS (
+        SELECT asset_id,
+               ('0x' || substr(hexs, 2 * i + 1, 2))::INT // 16 AS bin
+        FROM a, (SELECT unnest(range(128)) AS i)
+    ), h AS (
+        SELECT asset_id, bin, count(*) AS cnt FROM bytes GROUP BY 1, 2
+    ), grid AS (
+        SELECT a.asset_id, a.kind, b.bin
+        FROM a, (SELECT unnest(range(16)) AS bin) b
+    )
+    SELECT g.asset_id, g.kind, 128 AS n_bytes, g.bin::INT AS bin,
+           coalesce(h.cnt, 0)::BIGINT AS byte_count
+    FROM grid g
+    LEFT JOIN h ON h.asset_id = g.asset_id AND h.bin = g.bin
+    """,
+)
+def multimodal_features_check(spark, sf_dir):
+    """FULL oracle for the byte-histogram feature kernel: DuckDB
+    re-derives every asset's 16-bin byte histogram from the md5-hex
+    payload (hex-pair -> byte -> bin) and must match the Arrow-batched
+    numpy kernel bin by bin. Counts are compared as integers
+    (share * n_bytes is exact — n_bytes is a power of two), sidestepping
+    cross-engine decimal-tie rounding."""
+    assets = M.make_assets(T(spark, sf_dir, "documents"))
+    out = M.extract_features(assets)
+    return out.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("bin", "share"),
+    ).select(
+        "asset_id",
+        "kind",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "bin",
+        F.round(F.col("share") * F.col("n_bytes")).cast("bigint").alias("byte_count"),
+    )
