@@ -228,3 +228,52 @@ def smoothing_events(spark, sf_dir):
     return ev.select(
         "event_id", F.round(F.avg("value").over(w), 4).alias("smoothed")
     )
+
+
+@register(
+    "warping_paths_check",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(23)) AS i)
+    SELECT 'doc' || lpad(i::VARCHAR, 12, '0') AS id_a,
+           'doc' || lpad((i + 1)::VARCHAR, 12, '0') AS id_b,
+           true AS dist_ok, true AS path_ok, true AS warp_ok
+    FROM ids
+    """,
+)
+def warping_paths_check(spark, sf_dir):
+    """Driver-checkable projection of the path machinery (P1-P5): the
+    oracle enumerates the exact consecutive synthetic pairs by id and
+    asserts three invariants the matrices must satisfy — dist finite and
+    >= 0, path length in [max(r,c), r+c-1] (a monotone path over a
+    48x48 grid), warping amount in [0, path_len)."""
+    df = Q.paa_series_df(spark, 24, length=48)
+
+    def kernel(batches):
+        for b in batches:
+            out = {"id_a": [], "id_b": [], "dist_ok": [], "path_ok": [],
+                   "warp_ok": []}
+            docs = list(zip(b["doc_id"], b["tokens"]))
+            for (ia, ta), (ib, tb) in zip(docs[:-1], docs[1:]):
+                d, m = K.warping_paths(
+                    np.asarray(ta, dtype=np.float64),
+                    np.asarray(tb, dtype=np.float64),
+                    window=8,
+                )
+                path = K.best_path(m)
+                wa = K.warping_amount(path)
+                out["id_a"].append(ia)
+                out["id_b"].append(ib)
+                out["dist_ok"].append(bool(np.isfinite(d) and d >= 0))
+                out["path_ok"].append(48 <= len(path) <= 95)
+                out["warp_ok"].append(0 <= wa < len(path))
+            yield pd.DataFrame(out)
+
+    return (
+        df.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            kernel,
+            "id_a string, id_b string, dist_ok boolean, path_ok boolean, "
+            "warp_ok boolean",
+        )
+    )

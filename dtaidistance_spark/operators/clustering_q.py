@@ -136,3 +136,27 @@ def linkage_tree(spark, sf_dir):
     return spark.createDataFrame(
         out, "merge int, cluster_a double, cluster_b double, dist double, size int"
     )
+
+
+@register(
+    "kmeans_check",
+    oracle="""
+    SELECT 160 AS n_docs, 3 AS n_clusters, true AS dists_ok
+    """,
+)
+def kmeans_check(spark, sf_dir):
+    """Driver-checkable projection of the DTW k-means driver (C1):
+    every one of the 160 series assigned, exactly k=3 non-empty
+    clusters on this well-spread synthetic corpus, all assignment
+    distances finite and nonnegative."""
+    df = _series(spark, 160)
+    assigned, _centers = KM.dtw_kmeans(df, k=3, max_it=2, length=64, window=8)
+    return assigned.agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.countDistinct("cluster").cast("int").alias("n_clusters"),
+        (
+            F.min("dist") >= 0
+        ).__and__(
+            F.max(F.isnan("dist").cast("int")) == 0
+        ).alias("dists_ok"),
+    )

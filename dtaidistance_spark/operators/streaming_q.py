@@ -79,7 +79,25 @@ def stream_dba_rollup_q(spark, sf_dir):
     streaming DBA tier rollup of the synthetic token stream — windows
     emit exactly once on event-time timeout; barycenters are
     bit-identical to the batch dba_rollup (gated in test_streaming).
-    Rows-only: DBA is not SQL-expressible."""
+    Rows-only (DBA is not SQL-expressible); the counts projection
+    ``stream_dba_counts`` carries the official DuckDB oracle."""
+    return _run_stream_dba(spark, n=256)
+
+
+def _run_stream_dba(spark, n=256, watermark="2 minutes"):
+    """Shared machinery: replay n synthetic sequences as a file stream
+    through the stateful DBA rollup (event-time timeout emission), drain
+    with availableNow, push the watermark with a closer batch, and read
+    the emitted windows back (closer windows never close, so they are
+    never emitted; the filter is belt-and-braces).
+
+    ``watermark`` is the lateness tolerance: availableNow replays the
+    parquet files one per micro-batch in LISTING order, not time order,
+    so rows can arrive "late" relative to the advancing watermark and
+    be dropped — correct streaming semantics. A tolerance wider than
+    the replay disorder (e.g. '30 minutes' over this 5-minute corpus)
+    makes the result exactly equal to the batch GROUP BY, which is what
+    the oracled counts query uses."""
     import shutil
     import tempfile
 
@@ -93,7 +111,7 @@ def stream_dba_rollup_q(spark, sf_dir):
         q = (
             S.stream_dba_rollup(
                 S.read_token_stream(spark, src, max_files_per_trigger=1),
-                tier="1 minute", watermark="2 minutes",
+                tier="1 minute", watermark=watermark,
             )
             .writeStream.format("parquet").option("path", sink)
             .outputMode("append").option("checkpointLocation", ckpt)
@@ -102,9 +120,8 @@ def stream_dba_rollup_q(spark, sf_dir):
         q.awaitTermination()
 
     try:
-        synth.sequences_df(spark, 256).write.parquet(src)
+        synth.sequences_df(spark, n).write.parquet(src)
         drain()
-        # closer batch pushes the watermark past every window end
         synth.sequences_df(spark, 2).selectExpr(
             "doc_id", "tokens", "n_tok", "source",
             "ts + INTERVAL 10 DAYS AS ts"
@@ -113,6 +130,33 @@ def stream_dba_rollup_q(spark, sf_dir):
         out = spark.read.parquet(sink).where(
             F.col("window_start") < "2026-06-01"
         )
-        return detach(spark, out)  # jsonifies barycenter + survives rmtree
+        return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_dba_counts",
+    oracle=None,  # set below: needs synth_sql import after module load
+)
+def stream_dba_counts(spark, sf_dir):
+    """OFFICIAL oracle for the custom stateful streaming operator
+    (applyInPandasWithState DBA rollup, R13): the emitted windows' group
+    cardinalities must equal DuckDB SQL over the independently
+    re-derived synthetic input table — the streaming engine's
+    exactly-once window emission, watermark handling, and state
+    aggregation all sit on the hash path."""
+    out = _run_stream_dba(spark, n=256, watermark="30 minutes")
+    return out.select("key", "window_start", "n_series", "n_points")
+
+
+# register the oracle (synth_sql lives in synth_q; import here to avoid
+# a cycle at module top)
+from dtaidistance_spark.operators.queries import ORACLE as _ORACLE  # noqa: E402
+from dtaidistance_spark.operators.synth_q import synth_sql as _synth_sql  # noqa: E402
+
+_ORACLE["stream_dba_counts"] = _synth_sql(256) + """
+    SELECT source AS key, date_trunc('minute', ts)::TIMESTAMP AS window_start,
+           count(*) AS n_series, sum(n_tok)::BIGINT AS n_points
+    FROM synth GROUP BY 1, 2
+"""

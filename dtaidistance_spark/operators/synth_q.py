@@ -25,8 +25,13 @@ from dtaidistance_spark.operators.queries import register
 
 _N = 512
 
-_SYNTH_SQL = f"""
-WITH ids AS (SELECT unnest(range({_N})) AS i),
+
+def synth_sql(n: int) -> str:
+    """DuckDB CTE re-deriving the first ``n`` rows of the synthetic
+    token table independently (md5 + sin are portable — see module
+    docstring for the %-sign normalization)."""
+    return f"""
+WITH ids AS (SELECT unnest(range({n})) AS i),
 base AS (SELECT i, 'doc' || lpad(i::VARCHAR, 12, '0') AS doc_id FROM ids),
 h AS (SELECT i, doc_id, ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h FROM base),
 p AS (
@@ -48,6 +53,9 @@ synth AS (
   FROM p
 )
 """
+
+
+_SYNTH_SQL = synth_sql(_N)
 
 
 @register(
