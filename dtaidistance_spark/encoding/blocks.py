@@ -24,10 +24,21 @@ def encode_blocks(
     ts_col: str = "ts",
     val_col: str = "value",
     block_window: str | None = "1 day",
+    max_points_per_block: int | None = 4096,
 ) -> DataFrame:
     """Encode (ts, value) points into Gorilla blocks per
-    (key_cols..., block_start). ``ts_col`` may be a timestamp (encoded
-    at µs resolution) or an integral epoch column."""
+    (key_cols..., block_start, block_seq). ``ts_col`` may be a timestamp
+    (encoded at µs resolution) or an integral epoch column.
+
+    ``max_points_per_block`` caps block size the way real TSDBs do
+    (Gorilla's paper uses 2h blocks, Influx ~1000 points): a window
+    rank in time order assigns ``block_seq = rank div cap``, so a
+    pathological hot (key, window) with millions of points becomes many
+    bounded blocks instead of one unbounded JVM collect_list buffer —
+    the same pre-aggregation bound the DBA rollup uses. Chunks stay
+    time-contiguous, so delta-of-delta efficiency is unchanged; decode
+    is oblivious (each block row decodes independently and the point
+    union is identical). ``None`` disables the cap."""
     ts_expr = F.col(ts_col)
     # session TZ is UTC, so TIMESTAMP_NTZ -> TIMESTAMP is the identity map
     ts_us = (
@@ -47,6 +58,15 @@ def encode_blocks(
             F.window(F.timestamp_micros(F.col("_ts_us")), block_window)["start"],
         )
         group = group + ["block_start"]
+    if max_points_per_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group).orderBy("_ts_us", "_val")
+        keyed = keyed.withColumn(
+            "block_seq",
+            ((F.row_number().over(w) - 1) / max_points_per_block).cast("int"),
+        )
+        group = group + ["block_seq"]
     # sort JVM-side, then split the struct array into two primitive
     # arrays (array<long>, array<double>) so the Arrow transfer hands
     # the kernel numpy-ready buffers — no per-point Python conversion
@@ -61,6 +81,8 @@ def encode_blocks(
     key_fields = [f"{k} {t}" for k, t in df.select(*key_cols).dtypes]
     if block_window is not None:
         key_fields.append("block_start timestamp")
+    if max_points_per_block is not None:
+        key_fields.append("block_seq int")
     out_schema = ", ".join(
         key_fields
         + [

@@ -57,18 +57,18 @@ def gorilla_block_meta(spark, sf_dir):
     must equal plain SQL over events — the header bookkeeping the
     encoder writes (the payload bitstreams are covered bit-exactly by
     gorilla_roundtrip's decode oracle). Ties on first_ts take the min
-    value, matching the encoder's (ts, value) struct sort."""
+    value, matching the encoder's (ts, value) struct sort. Chunked
+    block_seq rows (max_points_per_block) aggregate back to one row per
+    (key, window): counts sum, the first chunk carries the first point."""
     ev = T(spark, sf_dir, "events")
     blocks = B.encode_blocks(
         ev, key_cols=["event_type"], ts_col="ts", val_col="value",
         block_window="1 day",
     )
-    return blocks.select(
-        "event_type",
-        "block_start",
-        F.col("count").alias("n_points"),
-        F.timestamp_micros("first_ts").alias("first_ts"),
-        F.round("first_val", 4).alias("first_val"),
+    return blocks.groupBy("event_type", "block_start").agg(
+        F.sum("count").alias("n_points"),
+        F.timestamp_micros(F.min("first_ts")).alias("first_ts"),
+        F.round(F.min_by("first_val", "block_seq"), 4).alias("first_val"),
     )
 
 
@@ -103,10 +103,14 @@ def gorilla_tier_blocks(spark, sf_dir):
 @register(
     "gorilla_compression_check",
     oracle="""
-    SELECT event_type, count(*) AS n_points,
-           count(DISTINCT date_trunc('day', ts)) AS n_blocks,
-           16 * count(*) AS raw_bytes, true AS bounded
-    FROM events GROUP BY 1
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, sum(c) AS n_points,
+           sum(ceil(c / 4096.0))::BIGINT AS n_blocks,
+           16 * sum(c) AS raw_bytes, true AS bounded
+    FROM d GROUP BY 1
     """,
 )
 def gorilla_compression_check(spark, sf_dir):

@@ -93,3 +93,30 @@ def test_tier_encoding_roundtrip(spark):
     assert all(r.ratio > 1.5 for r in stats), [r.ratio for r in stats]
     rolled.unpersist()
     blocks.unpersist()
+
+
+def test_block_chunking_bounds_buffer(spark):
+    """max_points_per_block splits a hot (key, day) into time-contiguous
+    bounded blocks: counts per block <= cap, block count = ceil(n/cap),
+    decoded point union identical to the unchunked encoding."""
+    from dtaidistance_spark.encoding import blocks as B
+
+    pts = spark.range(1000).selectExpr(
+        "'k' AS key",
+        "timestamp_micros(cast(1767225600000000 + id * 1000000 AS long)) AS ts",
+        "cast(id % 17 AS double) / 7 AS value",
+    )
+    blocks = B.encode_blocks(
+        pts, key_cols=["key"], block_window="1 day", max_points_per_block=50
+    ).persist()
+    rows = blocks.collect()
+    assert len(rows) == 20  # ceil(1000 / 50)
+    assert all(r["count"] <= 50 for r in rows)
+    assert sorted(r["block_seq"] for r in rows) == list(range(20))
+    decoded = sorted(
+        (r["ts"], r["value"])
+        for r in B.decode_blocks(blocks, key_cols=["key"]).collect()
+    )
+    orig = sorted((r["ts"], r["value"]) for r in pts.collect())
+    assert decoded == orig
+    blocks.unpersist()
