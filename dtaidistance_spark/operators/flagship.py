@@ -80,14 +80,37 @@ def subsequence_search_seq(spark, sf_dir):
     return out.select("doc_id", "start", "end", F.round("value", 4).alias("value"))
 
 
-def _event_series(spark, sf_dir):
+def _event_series(spark, sf_dir, max_points_per_series: int | None = None):
     """events -> one value-series per (user_id, day): the per-user daily
-    activity curve, built JVM-side (array_sort(collect_list(struct)))."""
-    ev = T(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.col("user_id"), F.date_trunc("day", "ts").alias("day")
+    activity curve, built JVM-side (array_sort(collect_list(struct))).
+
+    ``max_points_per_series`` applies the engine's bounded-buffer
+    pattern (window-rank stride filter BEFORE the aggregate, as in
+    dba_rollup/encode_blocks) so a pathological user-day with millions
+    of events cannot blow one aggregation buffer; the default None
+    keeps every point (the registry queries' oracle counts each raw
+    event, and real user-days are small)."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    if max_points_per_series is not None:
+        m = int(max_points_per_series)
+        wsort = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        wall = Window.partitionBy("user_id", "day")
+        ev = (
+            ev.withColumn("_i", F.row_number().over(wsort) - 1)
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .where(
+                F.expr(
+                    f"_n <= {m} OR "
+                    f"((_i * {m} + _n - 1) div _n) * _n < (_i + 1) * {m}"
+                )
+            )
         )
+    return (
+        ev.groupBy(F.col("user_id"), F.col("day"))
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "value"))

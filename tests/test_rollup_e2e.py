@@ -233,3 +233,27 @@ def test_hot_group_bounded_memory_50k_members(spark):
     assert np.array_equal(
         np.asarray(rows[0]["barycenter"]), np.asarray(loc["barycenter"].iloc[0])
     )
+
+
+def test_event_series_point_cap(spark, sf_dir):
+    """The flagship's per-(user, day) series assembly supports the same
+    bounded-buffer stride cap as the rollup: capped sizes <= m, same
+    groups, strict subset of the uncapped points, default unchanged."""
+    from dtaidistance_spark.operators.flagship import _event_series
+
+    full = {
+        r["doc_id"]: list(r["tokens"])
+        for r in _event_series(spark, sf_dir).collect()
+    }
+    capped = {
+        r["doc_id"]: list(r["tokens"])
+        for r in _event_series(spark, sf_dir, max_points_per_series=4).collect()
+    }
+    assert set(full) == set(capped)
+    assert any(len(v) > 4 for v in full.values())  # non-vacuous cap
+    for k, v in capped.items():
+        assert len(v) <= 4
+        if len(full[k]) <= 4:
+            assert v == full[k]
+        else:
+            assert len(v) == 4
