@@ -81,9 +81,12 @@ def candidate_pairs(
     unbounded ``distance_matrix``): every pair is a candidate, so the
     join key degenerates to a SALT — ``pmod(xxhash64(id_a), S)`` on one
     side, all S values on the other — which spreads the all-pairs join
-    across S tasks instead of one."""
+    across S tasks instead of one. S scales with the cluster (S ~
+    defaultParallelism, floor 16) so a 1000-executor run is not capped
+    at 16-way spread; the output is invariant to S (each pair meets in
+    exactly one bucket)."""
     exhaustive = max_length_diff is None
-    n_salt = 16
+    n_salt = max(16, feats.sparkSession.sparkContext.defaultParallelism)
     bucket_w = max(max_length_diff or 64, 1)
     a = feats.select(
         F.col(id_col).alias("id_a"),

@@ -187,10 +187,13 @@ def dba_rollup(
     m = max_members
     wsort = Window.partitionBy("_key", "_w").orderBy("_sort_id")
     wall = Window.partitionBy("_key", "_w")
-    pre = (
-        prepared.withColumn("_i", F.row_number().over(wsort) - 1)
-        .withColumn("n_series", F.count(F.lit(1)).over(wall))
-        .withColumn("n_points", F.sum(F.size("_value")).over(wall))
+    # one select so CollapseWindow fuses count+sum into a single
+    # WindowExec pass over the sorted partition (verified in the plan)
+    pre = prepared.select(
+        "*",
+        (F.row_number().over(wsort) - 1).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("n_series"),
+        F.sum(F.size("_value")).over(wall).alias("n_points"),
     )
     # 0-based index i is in the stride set {(j*n)//m : 0 <= j < m} iff
     # ceil(i*m/n)*n < (i+1)*m  (j -> (j*n)//m is strictly increasing for
