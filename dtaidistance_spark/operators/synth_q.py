@@ -101,3 +101,32 @@ def seq_rollup_counts(spark, sf_dir):
     seq = synth.sequences_df(spark, _N)
     out = R.dba_rollup(seq, tier="1 minute")
     return out.select("key", "window_start", "n_series", "n_points")
+
+
+@register(
+    "seq_cascade_counts",
+    oracle=_SYNTH_SQL
+    + """
+    , t1m AS (
+        SELECT source, date_trunc('minute', ts) AS w1 FROM synth GROUP BY 1, 2
+    )
+    SELECT source AS key, date_trunc('hour', w1)::TIMESTAMP AS window_start,
+           count(*) AS n_series, (128 * count(*))::BIGINT AS n_points
+    FROM t1m GROUP BY 1, 2
+    """,
+)
+def seq_cascade_counts(spark, sf_dir):
+    """Oracles the cascade's TIER CHAINING: the 1-hour tier's members
+    are exactly the 1-minute tier's windows (one series per (source,
+    minute), each a 128-point barycenter), so its group cardinalities
+    are fully derivable from the re-derived synthetic table — a broken
+    tier hand-off (missing windows, wrong doc_id/ts mapping, dropped
+    barycenters) breaks counts the driver hashes."""
+    seq = synth.sequences_df(spark, _N)
+    tiers = R.cascade(seq, tiers=("1 minute", "1 hour"), persist=True)
+    out = tiers["1 hour"].select("key", "window_start", "n_series", "n_points")
+    out = out.persist()
+    out.count()
+    for df in tiers.values():
+        df.unpersist()
+    return out
