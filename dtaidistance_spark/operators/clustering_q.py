@@ -160,3 +160,19 @@ def kmeans_check(spark, sf_dir):
             F.max(F.isnan("dist").cast("int")) == 0
         ).alias("dists_ok"),
     )
+
+
+@register(
+    "linkage_check",
+    oracle="SELECT 79 AS n_merges, 80 AS final_size, true AS sizes_ok",
+)
+def linkage_check(spark, sf_dir):
+    """Invariant projection of the scipy-format linkage (C3): exactly
+    n-1 merges, the final merge spans all n leaves, and every merge's
+    size is >= 2 and nondecreasing-bounded by n."""
+    z = linkage_tree(spark, sf_dir)
+    return z.agg(
+        F.count(F.lit(1)).cast("int").alias("n_merges"),
+        F.max("size").cast("int").alias("final_size"),
+        ((F.min("size") >= 2) & (F.max("size") <= 80)).alias("sizes_ok"),
+    )

@@ -149,3 +149,71 @@ def events_profile_counts(spark, sf_dir):
     series = _event_series(spark, sf_dir)
     out = R.dba_rollup(series, tier="1 day", barycenter_len=48, dba_window=8)
     return out.select("key", "window_start", "n_series", "n_points")
+
+
+@register(
+    "dtw_pairs_check",
+    oracle="SELECT 1213 AS n_pairs, true AS le_threshold, true AS ordered_ids",
+)
+def dtw_pairs_check(spark, sf_dir):
+    """Invariant projection of the LB-cascade distance matrix: the
+    deterministic synthetic corpus yields exactly 1213 pairs at
+    threshold 8000 (golden count — the LB cascade dropping or
+    duplicating a pair changes it), every distance within the
+    threshold, every pair in condensed id_a < id_b form."""
+    df = Q.paa_series_df(spark, 160, length=64)
+    out = P.dtw_pairs(df, threshold=8000.0, window=8)
+    return out.agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        (F.max("dist") <= 8000.0).alias("le_threshold"),
+        (F.sum((F.col("id_a") < F.col("id_b")).cast("int")) == F.count(F.lit(1))).alias("ordered_ids"),
+    )
+
+
+@register(
+    "dtw_knn_check",
+    oracle="""
+    SELECT q.query_id, r.rank::INT AS rank, true AS ok
+    FROM (SELECT unnest(['q0', 'q1']) AS query_id) q,
+         (SELECT unnest(range(1, 6)) AS rank) r
+    """,
+)
+def dtw_knn_check(spark, sf_dir):
+    """Invariant projection of kNN: exactly ranks 1..k for each query
+    (the oracle enumerates them) with finite nonnegative distances —
+    the LB cascade + running-kth pruning dropping a neighbor breaks
+    the row set."""
+    df = Q.paa_series_df(spark, 160, length=64)
+    pdf = synth.sequences_local(8)
+    qs = [
+        ("q0", K.paa(np.asarray(pdf["tokens"].iloc[0], dtype=np.float64), 64)),
+        ("q1", K.paa(np.asarray(pdf["tokens"].iloc[7], dtype=np.float64), 64)),
+    ]
+    out = P.dtw_knn(df, qs, k=5, window=8)
+    return out.select(
+        "query_id",
+        "rank",
+        (~F.isnan("dist") & (F.col("dist") >= 0) & F.col("doc_id").isNotNull()).alias("ok"),
+    )
+
+
+@register(
+    "subsequence_check",
+    oracle="SELECT 10 AS n_results, true AS bounds_ok, true AS values_ok",
+)
+def subsequence_check(spark, sf_dir):
+    """Invariant projection of subsequence search: top-10 results with
+    0 <= start <= end < series length and nonnegative match values."""
+    df = Q.paa_series_df(spark, 60, length=96)
+    pdf = synth.sequences_local(4)
+    q = K.paa(np.asarray(pdf["tokens"].iloc[3], dtype=np.float64), 96)[20:52]
+    out = P.subsequence_search(df, q, k=10, window=16)
+    return out.agg(
+        F.count(F.lit(1)).cast("int").alias("n_results"),
+        (
+            (F.min("start") >= 0)
+            & (F.sum((F.col("start") <= F.col("end")).cast("int")) == F.count(F.lit(1)))
+            & (F.max("end") < 96)
+        ).alias("bounds_ok"),
+        (F.min("value") >= 0).alias("values_ok"),
+    )
