@@ -176,3 +176,40 @@ def linkage_check(spark, sf_dir):
         F.max("size").cast("int").alias("final_size"),
         ((F.min("size") >= 2) & (F.max("size") <= 80)).alias("sizes_ok"),
     )
+
+
+@register(
+    "cluster_invariants",
+    oracle="""
+    SELECT 'hierarchical' AS driver, 120 AS n_assigned, true AS ok
+    UNION ALL
+    SELECT 'kmedoids', 90, true
+    UNION ALL
+    SELECT 'medoids', 3, true
+    """,
+)
+def cluster_invariants(spark, sf_dir):
+    """Invariant projections of the remaining cluster drivers in one
+    oracled query: hierarchical assigns every series to a cluster
+    rooted at a member id; kmedoids assigns all 90 series to one of
+    exactly 3 medoids; per-source medoids yield one row per source
+    with finite nonnegative distance sums."""
+    h = hierarchical_dtw(spark, sf_dir)
+    h_row = h.agg(
+        F.lit("hierarchical").alias("driver"),
+        F.count(F.lit(1)).cast("int").alias("n_assigned"),
+        (F.sum(F.col("cluster").isNull().cast("int")) == 0).alias("ok"),
+    )
+    km = kmedoids_dtw(spark, sf_dir)
+    km_row = km.agg(
+        F.lit("kmedoids").alias("driver"),
+        F.count(F.lit(1)).cast("int").alias("n_assigned"),
+        (F.countDistinct("medoid") == 3).alias("ok"),
+    )
+    md = medoid_per_source(spark, sf_dir)
+    md_row = md.agg(
+        F.lit("medoids").alias("driver"),
+        F.count(F.lit(1)).cast("int").alias("n_assigned"),
+        ((F.min("sum_dist") >= 0) & (F.countDistinct("cluster") == 3)).alias("ok"),
+    )
+    return h_row.unionByName(km_row).unionByName(md_row)

@@ -107,9 +107,9 @@ def gorilla_tier_blocks(spark, sf_dir):
         SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
         FROM events GROUP BY 1, 2
     )
-    SELECT event_type, sum(c) AS n_points,
+    SELECT event_type, sum(c)::BIGINT AS n_points,
            sum(ceil(c / 4096.0))::BIGINT AS n_blocks,
-           16 * sum(c) AS raw_bytes, true AS bounded
+           (16 * sum(c))::BIGINT AS raw_bytes, true AS bounded
     FROM d GROUP BY 1
     """,
 )

@@ -124,3 +124,84 @@ def multimodal_features_check(spark, sf_dir):
         "bin",
         F.round(F.col("share") * F.col("n_bytes")).cast("bigint").alias("byte_count"),
     )
+
+
+@register(
+    "video_frames_check",
+    oracle="""
+    SELECT doc_id AS asset_id, 8 AS n_frames, 4 AS n_sampled,
+           md5(md5(text)) AS frame_hash, true AS frames_uniform
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def video_frames_check(spark, sf_dir):
+    """STRONG oracle for the video lane: the synthetic payload is the
+    16-byte md5 digest repeated 8x, so every 16-byte frame is identical
+    and its content hash is derivable in SQL — hex-string form because
+    DuckDB's md5 is VARCHAR-only: lower(hex(frame)) == md5(text), so
+    md5 of it == md5(md5(text)). Checks frame count, stride sampling
+    count, the actual first-frame content hash, and that frame_sample
+    reports all frames identical."""
+    assets = M.make_assets(T(spark, sf_dir, "documents"))
+    first_frame = assets.where(F.col("kind") == "video").select(
+        "asset_id",
+        F.md5(F.lower(F.hex(F.substring("payload", 1, 16)))).alias("frame_hash"),
+    )
+    out = M.frame_sample(assets)
+    return out.join(first_frame, "asset_id").select(
+        "asset_id",
+        "n_frames",
+        F.size("frame_md5").alias("n_sampled"),
+        "frame_hash",
+        (F.size(F.array_distinct("frame_md5")) == 1).alias("frames_uniform"),
+    )
+
+
+@register(
+    "audio_resample_check",
+    oracle="""
+    SELECT doc_id AS asset_id, 64 AS n_samples, 32 AS n_resampled,
+           true AS amplitude_ok
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def audio_resample_check(spark, sf_dir):
+    """Audio lane counts + bounds, oracled: 128-byte payloads are 64
+    int16 samples, halved to 32 at 16 kHz -> 8 kHz; every resampled
+    amplitude stays within int16 range (linear interpolation cannot
+    overshoot)."""
+    docs = T(spark, sf_dir, "documents")
+    out = M.audio_resample(M.make_assets(docs), dst_rate=8000)
+    return out.select(
+        "asset_id",
+        "n_samples",
+        "n_resampled",
+        F.expr(
+            "aggregate(wave, true, (acc, x) -> acc AND abs(x) <= 32768.0)"
+        ).alias("amplitude_ok"),
+    )
+
+
+@register(
+    "image_resize_check",
+    oracle="""
+    SELECT doc_id AS asset_id, 4 AS out_h, 4 AS out_w, 16 AS n_pixels,
+           true AS range_ok
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def image_resize_check(spark, sf_dir):
+    """Image lane shape + range, oracled: area resize of the 16x8 byte
+    grid to 4x4 produces 16 pixels, each a mean of bytes and therefore
+    within [0, 255]."""
+    docs = T(spark, sf_dir, "documents")
+    out = M.image_resize(M.make_assets(docs), out_w=4, out_h=4)
+    return out.select(
+        "asset_id",
+        "out_h",
+        "out_w",
+        F.size("pixels").alias("n_pixels"),
+        F.expr(
+            "aggregate(pixels, true, (acc, x) -> acc AND x >= 0.0 AND x <= 255.0)"
+        ).alias("range_ok"),
+    )

@@ -175,3 +175,46 @@ def lang_id_ngram_q(spark, sf_dir):
     return d.select(
         "doc_id", klang("text").alias("_p")
     ).select("doc_id", "_p.pred_lang", "_p.score").orderBy("doc_id")
+
+
+@register(
+    "winnowing_check",
+    oracle="""
+    SELECT doc_id, true AS has_fp, true AS fp_bounded
+    FROM documents
+    """,
+)
+def winnowing_check(spark, sf_dir):
+    """Invariant projection of the winnowing fingerprinter: every doc
+    long enough for a k-gram (k=8, all synthetic docs qualify) yields
+    at least one fingerprint, and never more than the number of k-char
+    windows (n_fp <= len(text) - k + 1 — winnowing only THINS the
+    rolling-hash set)."""
+    docs = T(spark, sf_dir, "documents")
+    fps = FP.fingerprint_docs(docs).join(
+        docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
+    )
+    return fps.select(
+        "doc_id",
+        (F.col("n_fp") >= 1).alias("has_fp"),
+        (F.col("n_fp") <= F.col("_len") - 7).alias("fp_bounded"),
+    )
+
+
+@register(
+    "lang_id_ngram_check",
+    oracle="""
+    SELECT doc_id, true AS lang_known, true AS score_ok
+    FROM documents
+    """,
+)
+def lang_id_ngram_check(spark, sf_dir):
+    """Invariant projection of the char-trigram language classifier:
+    every doc classified into the profile set (or 'und'), score a
+    valid trigram-mass fraction in [0, 1]."""
+    out = lang_id_ngram_q(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        F.col("pred_lang").isin("en", "fr", "de", "es", "und").alias("lang_known"),
+        ((F.col("score") >= 0) & (F.col("score") <= 1)).alias("score_ok"),
+    )
