@@ -213,3 +213,26 @@ def cluster_invariants(spark, sf_dir):
         ((F.min("sum_dist") >= 0) & (F.countDistinct("cluster") == 3)).alias("ok"),
     )
     return h_row.unionByName(km_row).unionByName(md_row)
+
+
+@register(
+    "local_concurrences_check",
+    oracle="SELECT 19 AS n_motifs, 12 AS n_docs, true AS bounds_ok",
+)
+def local_concurrences_check(spark, sf_dir):
+    """Invariant projection of motif discovery (M6): the deterministic
+    12-series corpus yields exactly 19 motifs across all 12 docs
+    (golden counts), each with rank in {0, 1}, path length >= the
+    min_len=8 floor, and monotone endpoints (i0 <= i1, j0 <= j1)."""
+    out = local_concurrences_seq(spark, sf_dir)
+    return out.agg(
+        F.count(F.lit(1)).cast("int").alias("n_motifs"),
+        F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        (
+            (F.max("rank") <= 1)
+            & (F.min("path_len") >= 8)
+            & (F.sum((F.col("i0") <= F.col("i1")).cast("int")) == F.count(F.lit(1)))
+            & (F.sum((F.col("j0") <= F.col("j1")).cast("int")) == F.count(F.lit(1)))
+            & (F.min("score") >= 0)
+        ).alias("bounds_ok"),
+    )
