@@ -188,3 +188,20 @@ def test_pairs_degenerate_rows_filtered(spark):
     # empty/null rows and must still find the identical pair
     out = P.dtw_pairs(df, threshold=1.0, window=2, psi=1).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in out] == [("a", "d", 0.0)]
+
+
+def test_dtw_knn_partitions_smaller_than_k(spark):
+    """Partition-local top-k must stay exact when partitions hold fewer
+    than k rows (the running-kth never engages; every row is emitted
+    and the global rank resolves it)."""
+    pdf = synth.sequences_local(20)
+    arrs = [K.paa(np.asarray(t, float), 32) for t in pdf["tokens"]]
+    ids = [f"d{i:02d}" for i in range(len(arrs))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i, a in zip(ids, arrs)],
+        "doc_id string, tokens array<double>",
+    ).repartition(15)  # most partitions hold 1-2 rows << k
+    q = arrs[5]
+    got = P.dtw_knn(df, [("q", q)], k=7, window=8).collect()
+    want = sorted((K.dtw_distance(a, q, window=8), i) for i, a in zip(ids, arrs))[:7]
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [i for _, i in want]

@@ -172,3 +172,18 @@ def test_batched_penalty_maxstep_psi_equal_scalar(a, b, pen, ms, w, psi):
         assert got == np.inf
     else:
         assert abs(got - want) < 1e-9 * max(1.0, want), (got, want)
+
+
+def test_stride_predicate_matches_python_sampler():
+    """The closed-form SQL stride predicate used by dba_rollup /
+    encode_blocks / _event_series must select EXACTLY the indexes the
+    Python sampler picks — {(j*n)//m : 0 <= j < m} — for every (n, m)
+    shape, including n <= m, n = m+1, and n >> m."""
+    for n, m in [(1, 4), (4, 4), (5, 4), (7, 3), (16, 4), (1000, 7),
+                 (4096, 256), (50, 50), (51, 50), (99, 100)]:
+        want = sorted({(j * n) // m for j in range(m)}) if n > m else list(range(n))
+        got = [
+            i for i in range(n)
+            if n <= m or ((i * m + n - 1) // n) * n < (i + 1) * m
+        ]
+        assert got == want, (n, m)
