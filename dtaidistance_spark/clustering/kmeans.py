@@ -53,6 +53,86 @@ def init_centers(df: DataFrame, k: int, length: int,
     return np.stack([_prep_local(r[value_col], length) for r in rows])
 
 
+def init_centers_pp(df: DataFrame, k: int, length: int, window: int,
+                    id_col: str = "doc_id", value_col: str = "tokens") -> np.ndarray:
+    """Deterministic k-means++-style seeding under DTW (the upstream
+    ``kmeansplusplus_centers`` option, made resume-safe): the first
+    center is the doc with the smallest xxhash64(doc_id); each further
+    center is the doc FARTHEST (max min-DTW-distance to the chosen
+    centers, ties to the smallest doc_id) — the farthest-point variant
+    of k-means++ (deterministic argmax instead of d²-weighted sampling,
+    which would need a random draw the resume contract forbids; spread
+    quality is the same mechanism).
+
+    Distributed shape: k-1 passes, each ONE mapInPandas scoring pass
+    (batched DTW vs the newest center only, folded into a running min —
+    each pass persisted so lineage never re-scores earlier centers)
+    + a max_by aggregate; no shuffle of the series themselves. Ties on
+    the max min-distance go to the LARGEST doc_id (struct max_by order,
+    mirrored exactly by the local twin)."""
+    centers = [init_centers(df, 1, length, id_col, value_col)[0]]
+    scored = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(value_col).cast("array<double>").alias(value_col),
+        F.lit(float("inf")).alias("_mind"),
+    )
+    win = window
+    prev_cached = None
+
+    for _ in range(k - 1):
+        def kernel(batches, newest=centers[-1].copy()):
+            # default-arg binding: the closure must freeze THIS
+            # iteration's center even if a stage is re-executed later
+            for pdf in batches:
+                mat = np.stack([_prep_local(t, length) for t in pdf[value_col]])
+                lens = np.full(len(mat), length, dtype=np.int64)
+                d = K.dtw_distance_batch(newest, mat, lens, window=win)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    value_col: pdf[value_col],
+                    "_mind": np.minimum(
+                        pdf["_mind"].to_numpy(dtype=np.float64), d
+                    ),
+                })
+
+        scored = scored.mapInPandas(
+            kernel, f"{id_col} string, {value_col} array<double>, _mind double"
+        ).persist()
+        far = scored.agg(
+            F.max_by(
+                F.struct(id_col, value_col), F.struct("_mind", F.col(id_col))
+            ).alias("s")
+        ).select("s.*").collect()[0]
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = scored
+        centers.append(_prep_local(far[value_col], length))
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return np.stack(centers)
+
+
+def kmeanspp_centers_local(pdf: pd.DataFrame, k: int, length: int, window: int,
+                           hash_fn, id_col: str = "doc_id",
+                           value_col: str = "tokens") -> np.ndarray:
+    """Single-process exact twin of :func:`init_centers_pp`."""
+    mats = np.stack([_prep_local(t, length) for t in pdf[value_col]])
+    lens = np.full(len(mats), length, dtype=np.int64)
+    ids = [str(x) for x in pdf[id_col]]
+    first = min(range(len(ids)), key=lambda i: (hash_fn(ids[i]), ids[i]))
+    chosen = [first]
+    mind = K.dtw_distance_batch(mats[first], mats, lens, window=window)
+    for _ in range(k - 1):
+        # max min-distance, ties to the LARGEST doc_id (Spark max_by
+        # over struct(_mind, id) — the whole struct is maximized)
+        far = max(range(len(ids)), key=lambda i: (mind[i], ids[i]))
+        chosen.append(far)
+        mind = np.minimum(
+            mind, K.dtw_distance_batch(mats[far], mats, lens, window=window)
+        )
+    return mats[chosen].copy()
+
+
 def assign_step(
     df: DataFrame, centers: np.ndarray, length: int, window: int,
     id_col: str = "doc_id", value_col: str = "tokens",
@@ -108,10 +188,18 @@ def dtw_kmeans(
     df: DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
     window: int = 8, max_members: int = 256, dba_max_it: int = 2,
     id_col: str = "doc_id", value_col: str = "tokens",
+    init: str = "hash",
 ) -> tuple[DataFrame, np.ndarray]:
-    """Returns (assignments DataFrame, centers (k, length))."""
+    """Returns (assignments DataFrame, centers (k, length)).
+
+    ``init``: 'hash' (k smallest xxhash64(doc_id), the default) or
+    'kmeans++' (deterministic farthest-point seeding under DTW,
+    upstream's ``kmeansplusplus_centers`` option)."""
     df = df.select(id_col, value_col).persist()
-    centers = init_centers(df, k, length, id_col, value_col)
+    if init == "kmeans++":
+        centers = init_centers_pp(df, k, length, window, id_col, value_col)
+    else:
+        centers = init_centers(df, k, length, id_col, value_col)
     assigned = None
     for _ in range(max_it):
         assigned = assign_step(df, centers, length, window, id_col, value_col)
@@ -134,7 +222,7 @@ def dtw_kmeans_local(
     pdf: pd.DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
     window: int = 8, max_members: int = 256, dba_max_it: int = 2,
     id_col: str = "doc_id", value_col: str = "tokens",
-    hash_fn=None,
+    hash_fn=None, init: str = "hash",
 ) -> tuple[pd.DataFrame, np.ndarray, int]:
     """Single-process exact twin (the parity oracle). ``hash_fn`` maps
     doc_id -> the same value Spark's xxhash64 produces (pass a dict
@@ -150,8 +238,13 @@ def dtw_kmeans_local(
     d = pdf.copy()
     mats = np.stack([_prep_local(t, length) for t in d[value_col]])
     lens = np.full(len(mats), length, dtype=np.int64)
-    order = sorted(range(len(d)), key=lambda i: (hash_fn(d[id_col].iloc[i]), d[id_col].iloc[i]))
-    centers = mats[order[:k]].copy()
+    if init == "kmeans++":
+        centers = kmeanspp_centers_local(
+            d, k, length, window, hash_fn, id_col, value_col
+        )
+    else:
+        order = sorted(range(len(d)), key=lambda i: (hash_fn(d[id_col].iloc[i]), d[id_col].iloc[i]))
+        centers = mats[order[:k]].copy()
 
     def assign(centers):
         dists = np.stack(

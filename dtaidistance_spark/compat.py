@@ -353,9 +353,11 @@ class KMeans:
     engine's deterministic local twin of the distributed driver
     (:func:`dtaidistance_spark.clustering.kmeans.dtw_kmeans_local`)."""
 
-    def __init__(self, k, max_it=10, max_dba_it=2, window=8, length=64, **_ignored):
+    def __init__(self, k, max_it=10, max_dba_it=2, window=8, length=64,
+                 initialize_with_kmeanspp=False, **_ignored):
         self.k, self.max_it = k, max_it
         self.max_dba_it, self.window, self.length = max_dba_it, window, length
+        self.init = "kmeans++" if initialize_with_kmeanspp else "hash"
 
     def fit(self, series):
         import pandas as pd
@@ -370,7 +372,7 @@ class KMeans:
         )
         out, self.centers, performed_it = dtw_kmeans_local(
             pdf, k=self.k, max_it=self.max_it, length=self.length,
-            window=self.window, dba_max_it=self.max_dba_it,
+            window=self.window, dba_max_it=self.max_dba_it, init=self.init,
             hash_fn=lambda s: int.from_bytes(__import__("hashlib").md5(s.encode()).digest()[:8], "big"),
         )
         clusters: dict[int, set] = {}

@@ -134,3 +134,42 @@ def test_linkage_matrix_structure():
     assert Z[2].tolist() == [4, 5, 9.0, 4]
     # monotone merge distances (single linkage property)
     assert (np.diff(Z[:, 2]) >= 0).all()
+
+
+def test_kmeanspp_spark_matches_local_and_spreads(spark, series_pdf):
+    """Deterministic kmeans++ (farthest-point under DTW): the Spark
+    seeding equals the local twin bit-exactly (incl. the largest-id
+    tie order), and the full driver accepts init='kmeans++' with
+    identical Spark==local results."""
+    df = spark.createDataFrame(series_pdf)
+    hashes = {
+        r.doc_id: r.h
+        for r in spark.createDataFrame(series_pdf[["doc_id"]])
+        .selectExpr("doc_id", "xxhash64(doc_id) AS h")
+        .collect()
+    }
+    got = KM.init_centers_pp(
+        df.selectExpr("doc_id", "cast(tokens as array<double>) tokens"),
+        k=3, length=64, window=8,
+    )
+    want = KM.kmeanspp_centers_local(
+        series_pdf, k=3, length=64, window=8, hash_fn=lambda d: hashes[d]
+    )
+    assert np.array_equal(got, want)
+    # seeds are spread: pairwise DTW distances all strictly positive
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert K.dtw_distance(got[i], got[j], window=8) > 0
+
+    assigned, centers = KM.dtw_kmeans(
+        df, k=3, max_it=2, length=64, window=8, init="kmeans++"
+    )
+    g = assigned.toPandas().sort_values("doc_id").reset_index(drop=True)
+    w, centers_l, _ = KM.dtw_kmeans_local(
+        series_pdf, k=3, max_it=2, length=64, window=8,
+        hash_fn=lambda d: hashes[d], init="kmeans++",
+    )
+    w = w.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["cluster"]) == list(w["cluster"])
+    assert np.array_equal(centers, centers_l)
+    assert g["cluster"].nunique() > 1
