@@ -188,13 +188,20 @@ def dtw_kmeans(
     df: DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
     window: int = 8, max_members: int = 256, dba_max_it: int = 2,
     id_col: str = "doc_id", value_col: str = "tokens",
-    init: str = "hash",
+    init: str = "hash", drop_stddev: float | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (assignments DataFrame, centers (k, length)).
 
     ``init``: 'hash' (k smallest xxhash64(doc_id), the default) or
     'kmeans++' (deterministic farthest-point seeding under DTW,
-    upstream's ``kmeansplusplus_centers`` option)."""
+    upstream's ``kmeansplusplus_centers`` option).
+
+    ``drop_stddev``: upstream's per-cluster variance monitor — members
+    whose assignment distance exceeds mean + drop_stddev * stddev_samp
+    of their cluster are EXCLUDED from that iteration's DBA update
+    (still assigned); clusters too small for a sample stddev keep all
+    members. Pure SQL aggregate + broadcast join, no extra kernel
+    work."""
     df = df.select(id_col, value_col).persist()
     if init == "kmeans++":
         centers = init_centers_pp(df, k, length, window, id_col, value_col)
@@ -203,7 +210,23 @@ def dtw_kmeans(
     assigned = None
     for _ in range(max_it):
         assigned = assign_step(df, centers, length, window, id_col, value_col)
-        members = df.join(assigned.select(id_col, "cluster"), id_col)
+        keep = assigned.select(id_col, "cluster")
+        if drop_stddev is not None:
+            from pyspark.sql.functions import broadcast
+
+            stats = assigned.groupBy("cluster").agg(
+                F.avg("dist").alias("_m"),
+                F.stddev_samp("dist").alias("_s"),
+            )
+            keep = (
+                assigned.join(broadcast(stats), "cluster")
+                .where(
+                    F.col("_s").isNull()
+                    | (F.col("dist") <= F.col("_m") + drop_stddev * F.col("_s"))
+                )
+                .select(id_col, "cluster")
+            )
+        members = df.join(keep, id_col)
         rolled = R.dba_rollup(
             members.withColumn("_ts", F.lit(_EPOCH).cast("timestamp")),
             tier="1 day", key_col="cluster", value_col=value_col,
@@ -222,7 +245,7 @@ def dtw_kmeans_local(
     pdf: pd.DataFrame, k: int = 3, max_it: int = 3, length: int = 64,
     window: int = 8, max_members: int = 256, dba_max_it: int = 2,
     id_col: str = "doc_id", value_col: str = "tokens",
-    hash_fn=None, init: str = "hash",
+    hash_fn=None, init: str = "hash", drop_stddev: float | None = None,
 ) -> tuple[pd.DataFrame, np.ndarray, int]:
     """Single-process exact twin (the parity oracle). ``hash_fn`` maps
     doc_id -> the same value Spark's xxhash64 produces (pass a dict
@@ -255,10 +278,22 @@ def dtw_kmeans_local(
 
     performed_it = 0
     for _ in range(max_it):
-        cl, _dist = assign(centers)
+        cl, dist_it = assign(centers)
+        trimmed = np.zeros(len(cl), dtype=bool)
+        if drop_stddev is not None:
+            for c in range(k):
+                sel = cl == c
+                if sel.sum() >= 2:
+                    m = float(np.mean(dist_it[sel]))
+                    s = float(np.std(dist_it[sel], ddof=1))
+                    trimmed |= sel & (dist_it > m + drop_stddev * s)
         new_centers = centers.copy()
         for c in range(k):
-            idx = [i for i in sorted(range(len(d)), key=lambda i: d[id_col].iloc[i]) if cl[i] == c]
+            idx = [
+                i
+                for i in sorted(range(len(d)), key=lambda i: d[id_col].iloc[i])
+                if cl[i] == c and not trimmed[i]
+            ]
             if not idx:
                 continue
             arrays = [np.asarray(d[value_col].iloc[i], dtype=np.float64) for i in idx]

@@ -354,10 +354,11 @@ class KMeans:
     (:func:`dtaidistance_spark.clustering.kmeans.dtw_kmeans_local`)."""
 
     def __init__(self, k, max_it=10, max_dba_it=2, window=8, length=64,
-                 initialize_with_kmeanspp=False, **_ignored):
+                 initialize_with_kmeanspp=False, drop_stddev=None, **_ignored):
         self.k, self.max_it = k, max_it
         self.max_dba_it, self.window, self.length = max_dba_it, window, length
         self.init = "kmeans++" if initialize_with_kmeanspp else "hash"
+        self.drop_stddev = drop_stddev
 
     def fit(self, series):
         import pandas as pd
@@ -373,6 +374,7 @@ class KMeans:
         out, self.centers, performed_it = dtw_kmeans_local(
             pdf, k=self.k, max_it=self.max_it, length=self.length,
             window=self.window, dba_max_it=self.max_dba_it, init=self.init,
+            drop_stddev=self.drop_stddev,
             hash_fn=lambda s: int.from_bytes(__import__("hashlib").md5(s.encode()).digest()[:8], "big"),
         )
         clusters: dict[int, set] = {}

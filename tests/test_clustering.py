@@ -173,3 +173,41 @@ def test_kmeanspp_spark_matches_local_and_spreads(spark, series_pdf):
     assert list(g["cluster"]) == list(w["cluster"])
     assert np.array_equal(centers, centers_l)
     assert g["cluster"].nunique() > 1
+
+
+def test_drop_stddev_trims_outlier_from_update(spark):
+    """drop_stddev (upstream's per-cluster variance monitor): a far
+    outlier is excluded from the DBA update — the k=1 center equals
+    the DBA of the tight blob alone — and Spark == local twin."""
+    from dtaidistance_spark.operators import rollup as R
+
+    rng = np.random.default_rng(3)
+    base = np.sin(np.linspace(0, 6, 64)) * 100
+    rows = [(f"d{i:02d}", (base + rng.normal(0, 1, 64)).tolist()) for i in range(20)]
+    rows.append(("d99", (base + 5000.0).tolist()))  # extreme outlier
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows], "tokens": [r[1] for r in rows]})
+    df = spark.createDataFrame(
+        [(a, [float(x) for x in b]) for a, b in rows],
+        "doc_id string, tokens array<double>",
+    )
+    _assigned, centers = KM.dtw_kmeans(
+        df, k=1, max_it=1, length=64, window=8, drop_stddev=2.0
+    )
+    blob = [np.asarray(b, dtype=np.float64) for a, b in rows if a != "d99"]
+    want, _, _ = R.rollup_group(blob, max_members=256, dba_window=8,
+                                dba_max_it=2, barycenter_len=64)
+    np.testing.assert_array_equal(centers[0], want)
+
+    hashes = {
+        r.doc_id: r.h
+        for r in df.selectExpr("doc_id", "xxhash64(doc_id) AS h").collect()
+    }
+    _w, centers_l, _ = KM.dtw_kmeans_local(
+        pdf, k=1, max_it=1, length=64, window=8,
+        hash_fn=lambda d: hashes[d], drop_stddev=2.0,
+    )
+    np.testing.assert_allclose(centers, centers_l, rtol=0, atol=1e-9)
+
+    # without the trim the outlier drags the center
+    _a2, centers_raw = KM.dtw_kmeans(df, k=1, max_it=1, length=64, window=8)
+    assert np.abs(centers_raw[0] - want).max() > 10
