@@ -56,11 +56,18 @@ def medoids(pairs: DataFrame, by: DataFrame | None = None, id_col: str = "doc_id
     )
 
 
-def single_linkage(pairs_rows, max_dist: float) -> dict:
+def single_linkage(pairs_rows, max_dist: float, on_merge=None) -> dict:
     """Driver-side Kruskal/union-find over collected sparse pairs:
     merge ascending by (dist, id_a, id_b) while dist <= max_dist.
     Returns {id: cluster_root} with the root = min id in the cluster
-    (canonical, deterministic)."""
+    (canonical, deterministic).
+
+    ``on_merge(merged_root, kept_root, dist)`` is invoked once per
+    effective merge in ascending-distance order — the upstream
+    ``Hierarchical(merge_hook=...)`` callback surface ([VERIFY] exact
+    upstream argument convention once the mount is populated; the
+    merged-into-kept direction with the pair distance is the natural
+    reading of the public API)."""
     parent: dict = {}
 
     def find(x):
@@ -69,17 +76,19 @@ def single_linkage(pairs_rows, max_dist: float) -> dict:
             x = parent[x]
         return x
 
-    def union(a, b):
+    def union(a, b, d):
         ra, rb = find(a), find(b)
         if ra == rb:
             return
         lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
         parent[hi] = lo
+        if on_merge is not None:
+            on_merge(hi, lo, d)
 
     for r in sorted(pairs_rows, key=lambda r: (r["dist"], str(r["id_a"]), str(r["id_b"]))):
         if r["dist"] > max_dist:
             break
-        union(r["id_a"], r["id_b"])
+        union(r["id_a"], r["id_b"], float(r["dist"]))
     return {x: find(x) for x in list(parent)}
 
 

@@ -390,15 +390,20 @@ class Hierarchical:
     signature parity; distances come from the engine's banded kernel
     with ``dists_options`` (e.g. ``{'window': 8}``)."""
 
-    def __init__(self, dists_fun=None, dists_options=None, max_dist=float("inf"), **_ignored):
+    def __init__(self, dists_fun=None, dists_options=None, max_dist=float("inf"),
+                 merge_hook=None, **_ignored):
         self.dists_options = dists_options or {}
         self.max_dist = max_dist
+        self.merge_hook = merge_hook
 
     def fit(self, series):
         from dtaidistance_spark.clustering.hierarchical import single_linkage
 
         rows = _pairwise_rows(series, **self.dists_options)
-        roots = single_linkage(rows, self.max_dist)
+        hook = None
+        if self.merge_hook is not None:
+            hook = lambda hi, lo, d: self.merge_hook(int(hi), int(lo), d)
+        roots = single_linkage(rows, self.max_dist, on_merge=hook)
         clusters: dict[int, set] = {}
         for i in range(len(series)):
             root = int(roots.get(str(i), str(i)))

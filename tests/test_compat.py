@@ -143,3 +143,25 @@ def test_dtw_settings_and_paths_fast():
     assert abs(d - dtw.distance(S1, S2, window=2, use_pruning=True)) < 1e-12
     d2, m = dtw.warping_paths_fast(S1, S2)
     assert abs(d2 - dtw.warping_paths(S1, S2)[0]) < 1e-12
+
+
+def test_hierarchical_merge_hook():
+    """merge_hook fires once per effective merge, ascending by distance,
+    with (merged_idx, kept_idx, dist); merging two tight blobs of 3
+    yields exactly 4 in-threshold merges (2 per blob... n - #clusters)."""
+    series = [
+        [0.0, 0, 0], [0.1, 0.1, 0.1], [0.2, 0.2, 0.2],
+        [50.0, 50, 50], [50.1, 50.1, 50.1], [50.2, 50.2, 50.2],
+    ]
+    calls = []
+    from dtaidistance_spark.compat import clustering
+
+    cl = clustering.hierarchical.Hierarchical(
+        None, {"window": 1}, max_dist=5.0,
+        merge_hook=lambda a, b, d: calls.append((a, b, d)),
+    ).fit(series)
+    assert len(cl) == 2  # two blobs
+    assert len(calls) == 4  # 6 leaves -> 2 clusters = 4 merges
+    assert [round(d, 6) for _, _, d in calls] == sorted(round(d, 6) for _, _, d in calls)
+    for a, b, _ in calls:
+        assert isinstance(a, int) and isinstance(b, int)
