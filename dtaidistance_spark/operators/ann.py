@@ -74,18 +74,32 @@ def brute_cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query side, rank
-    with a per-query window."""
+    with a per-query window.
+
+    Norms are materialized ONCE per row on each side before the join
+    (higher-order array functions are interpreted, not codegen'd — the
+    per-pair form recomputed every corpus norm per query and every
+    query norm per corpus row; hoisting is bit-identical, same left
+    fold per row, and cuts the interpreted work to the dot product)."""
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     corpus = emb.select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).cast("array<double>").alias("_c"),
-    )
+    ).withColumn("_cn", norm(F.col("_c")))
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_q"),
+    ).withColumn("_qn", norm(F.col("_q")))
+    dot = F.aggregate(
+        F.zip_with("_q", "_c", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     scored = (
         corpus.join(F.broadcast(qs), F.col("query_id") != F.col("nn_id"))
-        .withColumn("cosine", _norm_dot("_q", "_c"))
+        .withColumn("cosine", dot / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")
