@@ -549,13 +549,16 @@ def cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("nn_id"),
         F.col("embedding").cast("array<double>").alias("b_emb"),
     )
-    dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    nrm = (
-        "sqrt(aggregate(a_emb, 0D, (acc, v) -> acc + v * v)) * "
-        "sqrt(aggregate(b_emb, 0D, (acc, v) -> acc + v * v))"
+    # norms hoisted to once per row (interpreted HOFs — see ann.py note)
+    a = a.withColumn(
+        "_an", F.expr("sqrt(aggregate(a_emb, 0D, (acc, v) -> acc + v * v))")
     )
+    b = b.withColumn(
+        "_bn", F.expr("sqrt(aggregate(b_emb, 0D, (acc, v) -> acc + v * v))")
+    )
+    dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("nn_id")).withColumn(
-        "c_raw", F.expr(f"({dot}) / ({nrm})")
+        "c_raw", F.expr(f"({dot})") / (F.col("_an") * F.col("_bn"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_raw"), F.asc("nn_id"))
     return (
