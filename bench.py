@@ -215,6 +215,33 @@ def main() -> None:
         ),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+
+    # Two-cluster-size scaling evidence (the north rule's N -> 4N
+    # criterion): produced by scripts/scale_bench.py as literal
+    # spark-submit jobs at local[2]/local[8]/local[32] over the same
+    # persisted input and accumulated in BENCH_scaling.json — surfaced
+    # here so the per-round bench artifact carries throughput at both
+    # parallelism levels plus the efficiency, not just one config.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json"
+    )
+    if os.path.isfile(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                sc = json.load(fh)
+            lv = sc.get("levels", {})
+            result["scaling"] = {
+                "job": sc.get("job"),
+                "points": sc.get("points"),
+                "points_per_sec_by_master": {
+                    f"local[{k}]": v.get("points_per_sec") for k, v in lv.items()
+                },
+                "efficiency_N_to_4N_cores_2_8": sc.get("efficiency_2_8"),
+                "efficiency_8_32": sc.get("efficiency_8_32"),
+                "target": sc.get("target", 0.8),
+            }
+        except Exception as e:  # evidence embed is best-effort
+            print(f"# scaling embed failed: {e}", file=sys.stderr)
     print(json.dumps(result))
     spark.stop()
 

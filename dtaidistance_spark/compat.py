@@ -92,12 +92,24 @@ def _distance_matrix(
         pass
 
     series = [np.asarray(x, dtype=np.float64) for x in s]
-    n = len(series)
     kw = dict(
         window=window, max_dist=max_dist, max_step=max_step,
         max_length_diff=max_length_diff, penalty=penalty, psi=psi,
         use_pruning=use_pruning,
     )
+    return _matrix_from_fn(
+        series, lambda a, b: _K.dtw_distance(a, b, **kw),
+        block=block, compact=compact, only_triu=only_triu,
+    )
+
+
+def _matrix_from_fn(series, dist_fn, block=None, compact=False, only_triu=False):
+    """Shared upper-triangle matrix builder (upstream-v2 semantics) for
+    the local ``distance_matrix`` twins: compute only the upper
+    triangle (restricted to ``block`` if given), mirror + zero-diagonal
+    unless ``only_triu``, or return just the computed condensed entries
+    when ``compact``."""
+    n = len(series)
     if block is None:
         rb, re_, cb, ce = 0, n, 0, n
     else:
@@ -106,7 +118,7 @@ def _distance_matrix(
     compact_vals = []
     for i in range(rb, re_):
         for j in range(max(cb, i + 1), ce):
-            d = _K.dtw_distance(series[i], series[j], **kw)
+            d = dist_fn(series[i], series[j])
             dense[i, j] = d
             compact_vals.append(d)
     if compact:
@@ -210,9 +222,41 @@ ed = types.SimpleNamespace(
 
 # -- dtw_ndim ----------------------------------------------------------------
 
-dtw_ndim = types.SimpleNamespace(
-    distance=lambda s1, s2, **kw: _K.dtw_ndim_distance(
+def _ndim_distance(s1, s2, use_c=False, **kw):
+    return _K.dtw_ndim_distance(
         np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64), **kw
+    )
+
+
+def _ndim_distance_matrix(
+    s, block=None, compact=False, only_triu=False, window=None,
+    max_dist=None, psi=None, parallel=False, use_mp=False, use_c=False,
+    show_progress=False,
+):
+    """``ref:dtaidistance/dtw_ndim.py::distance_matrix`` — same
+    block/compact/only_triu semantics as the univariate
+    :func:`_distance_matrix`, dependent-warping multivariate kernel.
+    Local API-parity twin: the distributed hot paths stay univariate."""
+    series = [np.asarray(x, dtype=np.float64) for x in s]
+    return _matrix_from_fn(
+        series,
+        lambda a, b: _K.dtw_ndim_distance(a, b, window=window,
+                                          max_dist=max_dist, psi=psi),
+        block=block, compact=compact, only_triu=only_triu,
+    )
+
+
+dtw_ndim = types.SimpleNamespace(
+    distance=_ndim_distance,
+    distance_fast=_ndim_distance,
+    distance_matrix=_ndim_distance_matrix,
+    distance_matrix_fast=_ndim_distance_matrix,
+    warping_paths=lambda s1, s2, **kw: _K.dtw_ndim_warping_paths(
+        np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64), **kw
+    ),
+    warping_path=lambda from_s, to_s, **kw: _K.dtw_ndim_warping_path(
+        np.asarray(from_s, dtype=np.float64),
+        np.asarray(to_s, dtype=np.float64), **kw
     ),
 )
 

@@ -366,6 +366,17 @@ def dba_update(center, series_list, window=None):
     values (Petitjean 2011; ``ref:dtaidistance/dtw_barycenter.py::dba``)."""
     center = np.asarray(center, dtype=np.float64)
     n = len(center)
+    if center.ndim == 2:  # multivariate: one shared path, per-dim means
+        sums = np.zeros(center.shape)
+        cnts = np.zeros(n)
+        for s in series_list:
+            s = np.asarray(s, dtype=np.float64)
+            path = dtw_ndim_warping_path(center, s, window=window)
+            for i, j in path:
+                sums[i] += s[j]
+                cnts[i] += 1
+        cnts[cnts == 0] = 1.0
+        return sums / cnts[:, None]
     sums = np.zeros(n)
     cnts = np.zeros(n)
     for s in series_list:
@@ -812,6 +823,61 @@ def dtw_ndim_distance(s1, s2, window=None, max_dist=None, psi=None):
             np.min(last_col[max(0, r - psi_1e) : r + 1]),
         )
     return math.sqrt(best) if best <= md else INF
+
+
+def dtw_ndim_warping_paths(s1, s2, window=None, max_dist=None, psi=None):
+    """Full accumulated-cost matrix for dependent multivariate DTW
+    (``ref:dtaidistance/dtw_ndim.py::warping_paths``): inner cost of
+    cell (i, j) is the squared L2 distance between the d-dim points,
+    one shared warping path across dimensions, sqrt'ed matrix returned
+    (mirroring the univariate :func:`warping_paths` contract).
+
+    Returns ``(distance, matrix)`` with ``matrix`` shaped
+    ``(len(s1)+1, len(s2)+1)``; feed it to :func:`best_path`.
+    """
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    if s1.ndim == 1:
+        s1 = s1[:, None]
+    if s2.ndim == 1:
+        s2 = s2[:, None]
+    r, c = len(s1), len(s2)
+    md = INF if max_dist is None else max_dist * max_dist
+    psi_1b, psi_1e, psi_2b, psi_2e = _resolve_psi(psi)
+    window, a, b = _band_params(r, c, window)
+    matrix = np.full((r + 1, c + 1), INF)
+    matrix[0, 0] = 0.0
+    matrix[0, 1 : psi_2b + 1] = 0.0
+    matrix[1 : psi_1b + 1, 0] = 0.0
+    for i in range(1, r + 1):
+        jlo = max(1, i - a)
+        jhi = min(c, i + b)
+        if jlo <= jhi:
+            J = np.arange(jlo, jhi + 1)
+            diff = s1[i - 1][None, :] - s2[J - 1]
+            cost = np.einsum("ij,ij->i", diff, diff)
+            for idx, j in enumerate(J):
+                v = cost[idx] + min(
+                    matrix[i - 1, j - 1], matrix[i - 1, j], matrix[i, j - 1]
+                )
+                if v <= md:
+                    matrix[i, j] = v
+    if psi_1e == 0 and psi_2e == 0:
+        best = matrix[r, c]
+    else:
+        best = min(
+            np.min(matrix[r, max(0, c - psi_2e) : c + 1]),
+            np.min(matrix[max(0, r - psi_1e) : r + 1, c]),
+        )
+    matrix = np.sqrt(matrix)
+    return (math.sqrt(best) if best != INF else INF), matrix
+
+
+def dtw_ndim_warping_path(from_s, to_s, **kwargs):
+    """Optimal path between two multivariate series
+    (``ref:dtaidistance/dtw_ndim.py::warping_path``)."""
+    _, m = dtw_ndim_warping_paths(from_s, to_s, **kwargs)
+    return best_path(m)
 
 
 def dtw_weighted_distance(s1, s2, weights=None, window=None, max_dist=None):

@@ -205,6 +205,75 @@ def dtw_ndim_check(spark, sf_dir):
 
 
 @register(
+    "ndim_paths_check",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           true AS corner_ok, true AS path_ok, true AS dba_ok
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def ndim_paths_check(spark, sf_dir):
+    """Driver-checkable projection of the multivariate path/barycenter
+    surface (dtw_ndim.warping_paths / warping_path + ndim DBA): per
+    unordered event-type pair, the full-matrix corner must equal the
+    two-row distance kernel, the backtracked path must be a complete
+    monotone path, and the 2-dim DBA of the pair must be finite with
+    one barycenter point per center position and dimension."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    series = (
+        ev.withColumn("value2", F.lag("value", 1, 0.0).over(w))
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value", "value2"))
+            ).alias("evs")
+        )
+        .select(
+            "event_type",
+            F.slice(F.transform("evs", lambda e: e["value"]), 1, 120).alias("v1"),
+            F.slice(F.transform("evs", lambda e: e["value2"]), 1, 120).alias("v2"),
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            rows = sorted(zip(b["event_type"], b["v1"], b["v2"]))
+            out = {"type_a": [], "type_b": [], "corner_ok": [],
+                   "path_ok": [], "dba_ok": []}
+            for (ta, a1, a2), (tb, b1, b2) in [
+                (x, y) for x in rows for y in rows if x[0] < y[0]
+            ]:
+                sa = np.stack([np.asarray(a1), np.asarray(a2)], axis=1)
+                sb = np.stack([np.asarray(b1), np.asarray(b2)], axis=1)
+                d_two_row = K.dtw_ndim_distance(sa, sb, window=16)
+                d_mat, m = K.dtw_ndim_warping_paths(sa, sb, window=16)
+                path = K.best_path(m)
+                r, c = len(sa), len(sb)
+                center = K.dba([sa, sb], max_it=2, window=16)
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["corner_ok"].append(abs(d_two_row - d_mat) < 1e-9)
+                out["path_ok"].append(
+                    path[0] == (0, 0)
+                    and path[-1] == (r - 1, c - 1)
+                    and max(r, c) <= len(path) <= r + c - 1
+                )
+                out["dba_ok"].append(
+                    center.shape == (len(center), 2)
+                    and bool(np.all(np.isfinite(center)))
+                )
+            yield pd.DataFrame(out)
+
+    return series.coalesce(1).mapInPandas(
+        kernel,
+        "type_a string, type_b string, corner_ok boolean, "
+        "path_ok boolean, dba_ok boolean",
+    )
+
+
+@register(
     "smoothing_events",
     oracle="""
     SELECT event_id,

@@ -40,6 +40,94 @@ def test_ndim_psi_relaxation_not_larger():
     assert K.dtw_ndim_distance(a, b, psi=3) <= K.dtw_ndim_distance(a, b) + 1e-12
 
 
+def test_ndim_warping_paths_distance_matches_kernel():
+    """Matrix corner (and the psi-relaxed reduction) must equal the
+    two-row distance kernel across random ragged multivariate pairs."""
+    rng = np.random.default_rng(11)
+    for psi in (None, 2):
+        for window in (None, 5):
+            a = rng.normal(0, 1, (24, 3))
+            b = rng.normal(0, 1, (19, 3))
+            d_k = K.dtw_ndim_distance(a, b, window=window, psi=psi)
+            d_m, m = K.dtw_ndim_warping_paths(a, b, window=window, psi=psi)
+            assert abs(d_k - d_m) < 1e-12
+            assert m.shape == (25, 20)
+
+
+def test_ndim_warping_paths_1dim_equals_univariate():
+    """d=1 multivariate matrix is bit-identical to the univariate
+    warping_paths matrix (same DP, same sqrt contract)."""
+    rng = np.random.default_rng(12)
+    a, b = rng.normal(0, 1, 20), rng.normal(0, 1, 17)
+    d1, m1 = K.warping_paths(a, b, window=6)
+    dn, mn = K.dtw_ndim_warping_paths(a[:, None], b[:, None], window=6)
+    assert abs(d1 - dn) < 1e-12
+    assert np.array_equal(np.nan_to_num(m1, posinf=-1.0),
+                          np.nan_to_num(mn, posinf=-1.0))
+    assert K.warping_path(a, b, window=6) == K.dtw_ndim_warping_path(
+        a[:, None], b[:, None], window=6
+    )
+
+
+def test_ndim_warping_path_valid_monotone():
+    rng = np.random.default_rng(13)
+    a = rng.normal(0, 1, (15, 2))
+    b = rng.normal(0, 1, (22, 2))
+    path = K.dtw_ndim_warping_path(a, b)
+    assert path[0] == (0, 0) and path[-1] == (14, 21)
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        assert i1 - i0 in (0, 1) and j1 - j0 in (0, 1)
+        assert (i1, j1) != (i0, j0)
+
+
+def test_ndim_dba_1dim_equals_univariate():
+    """Multivariate DBA with d=1 reproduces the univariate barycenter
+    bit-exactly (shared initial-center rule, same paths)."""
+    rng = np.random.default_rng(14)
+    series = [rng.normal(0, 1, rng.integers(18, 25)) for _ in range(6)]
+    c1 = K.dba(series, max_it=4, window=5)
+    cn = K.dba([s[:, None] for s in series], max_it=4, window=5)
+    assert cn.shape == (len(c1), 1)
+    assert np.array_equal(c1, cn[:, 0])
+
+
+def test_ndim_dba_identical_members_fixed_point():
+    rng = np.random.default_rng(15)
+    s = rng.normal(0, 1, (20, 3))
+    c = K.dba([s.copy() for _ in range(4)], max_it=5)
+    assert np.allclose(c, s, atol=1e-12)
+
+
+def test_compat_dtw_ndim_surface():
+    """compat.dtw_ndim mirrors the upstream module surface: distance /
+    distance_matrix (+block/compact/only_triu) / warping_paths /
+    warping_path, and dtw_barycenter.dba accepts multivariate series."""
+    from dtaidistance_spark import compat as C
+
+    rng = np.random.default_rng(16)
+    series = [rng.normal(0, 1, (rng.integers(12, 18), 2)) for _ in range(5)]
+    n = len(series)
+    m = C.dtw_ndim.distance_matrix(series)
+    assert m.shape == (n, n)
+    assert np.array_equal(m, m.T) and np.all(np.diag(m) == 0.0)
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert abs(m[i, j] - C.dtw_ndim.distance(series[i], series[j])) < 1e-12
+    cm = C.dtw_ndim.distance_matrix(series, compact=True)
+    assert cm.shape == (n * (n - 1) // 2,)
+    assert np.allclose(cm, m[np.triu_indices(n, 1)])
+    tri = C.dtw_ndim.distance_matrix(series, only_triu=True)
+    assert np.all(np.isinf(tri[np.tril_indices(n)]))
+    blk = C.dtw_ndim.distance_matrix(series, block=((0, 2), (2, n)), compact=True)
+    assert blk.shape == (2 * (n - 2),)
+    d, mat = C.dtw_ndim.warping_paths(series[0], series[1], window=6)
+    assert abs(d - C.dtw_ndim.distance(series[0], series[1], window=6)) < 1e-12
+    path = C.dtw_ndim.warping_path(series[0], series[1])
+    assert path[0] == (0, 0)
+    c = C.dtw_barycenter.dba(series, max_it=3)
+    assert c.ndim == 2 and c.shape[1] == 2
+
+
 # --- P6 ---------------------------------------------------------------
 
 
