@@ -440,10 +440,10 @@ class Hierarchical:
         self.max_dist = max_dist
         self.merge_hook = merge_hook
 
-    def fit(self, series):
+    def fit(self, series, _rows=None):
         from dtaidistance_spark.clustering.hierarchical import single_linkage
 
-        rows = _pairwise_rows(series, **self.dists_options)
+        rows = _pairwise_rows(series, **self.dists_options) if _rows is None else _rows
         hook = None
         if self.merge_hook is not None:
             hook = lambda hi, lo, d: self.merge_hook(int(hi), int(lo), d)
@@ -453,6 +453,54 @@ class Hierarchical:
             root = int(roots.get(str(i), str(i)))
             clusters.setdefault(root, set()).add(i)
         return clusters
+
+
+class HierarchicalTree:
+    """``ref:dtaidistance/clustering/hierarchical.py::HierarchicalTree``
+    shape: wraps a ``Hierarchical`` model, forces a full merge to one
+    root (upstream overrides max_dist to inf), and records the
+    dendrogram on ``self.linkage`` — here as the scipy Z-format matrix
+    from :func:`~dtaidistance_spark.clustering.hierarchical.linkage_matrix`
+    ([VERIFY] upstream keeps per-merge tuples collected via hooks; the
+    Z rows carry the same merges in the same ascending order)."""
+
+    def __init__(self, model=None, **kwargs):
+        kwargs.pop("max_dist", None)
+        self._model = model if model is not None else Hierarchical(**kwargs)
+        self._model.max_dist = float("inf")
+        self.linkage = None
+
+    def fit(self, series):
+        from dtaidistance_spark.clustering.hierarchical import linkage_matrix
+
+        rows = _pairwise_rows(series, **self._model.dists_options)
+        self.linkage = linkage_matrix(rows, len(series))
+        return self._model.fit(series, _rows=rows)
+
+
+class LinkageTree:
+    """``ref:dtaidistance/clustering/hierarchical.py::LinkageTree``
+    (computation half; the matplotlib dendrogram wrapper stays out of
+    scope): ``fit(series)`` computes ``self.linkage`` in scipy Z-format.
+    Only single linkage is offered — the method whose merges are exactly
+    derivable from the engine's distributed (LB-pruned) pair set."""
+
+    def __init__(self, dists_fun=None, dists_options=None, method="single",
+                 **_ignored):
+        if method != "single":
+            raise NotImplementedError(
+                "LinkageTree supports method='single' (the distributed-"
+                "pairs-derivable linkage); scipy offers the rest locally"
+            )
+        self.dists_options = dists_options or {}
+        self.linkage = None
+
+    def fit(self, series):
+        from dtaidistance_spark.clustering.hierarchical import linkage_matrix
+
+        rows = _pairwise_rows(series, **self.dists_options)
+        self.linkage = linkage_matrix(rows, len(series))
+        return self.linkage
 
 
 class KMedoids:
@@ -477,7 +525,11 @@ class KMedoids:
 
 clustering = types.SimpleNamespace(
     kmeans=types.SimpleNamespace(KMeans=KMeans),
-    hierarchical=types.SimpleNamespace(Hierarchical=Hierarchical),
+    hierarchical=types.SimpleNamespace(
+        Hierarchical=Hierarchical,
+        HierarchicalTree=HierarchicalTree,
+        LinkageTree=LinkageTree,
+    ),
     kmedoids=types.SimpleNamespace(KMedoids=KMedoids),
 )
 

@@ -460,43 +460,44 @@ def paa_fold(s, m: int):
 # ---------------------------------------------------------------------------
 
 
-def _dba_paths_batch(center, batch, window=None):
-    """Forward DP for all members at once (uniform length, penalty 0,
-    squared-euclidean inner — the DBA configuration). Returns the step-code
-    tensor steps[k, b, i] ∈ {0 diag, 1 up, 2 left} for backtracking.
-
-    Tie preference diag > up > left matches :func:`best_path` exactly, so
-    per-member results are identical to the scalar pipeline's paths."""
-    r = len(center)
-    B, c = batch.shape
+def _band_bounds(r, c, window):
+    """Per-anti-diagonal band bounds [ilo(k), ihi(k)] for k = 1..r+c,
+    as two int64 arrays indexed by k-1. Both are nondecreasing in k (the
+    margin-fill reuse in the DP kernels relies on this)."""
     if window is None or window <= 0:
         window = max(r, c)
     a = max(0, r - c) + window - 1
     b_ = max(0, c - r) + window - 1
-    steps = np.zeros((r + c + 1, B, r + 1), dtype=np.uint8)
-    d_km2 = np.full((B, r + 1), INF)
-    d_km1 = np.full((B, r + 1), INF)
-    d_km1[:, 0] = 0.0
-    for k in range(1, r + c + 1):
-        d_k = np.full((B, r + 1), INF)
-        ilo = max(1, k - c, -((-(k - b_)) // 2))
-        ihi = min(r, k - 1, (k + a) // 2)
-        if ilo <= ihi:
-            I = np.arange(ilo, ihi + 1)
-            cost = center[I - 1][None, :] - batch[:, k - I - 1]
-            cost *= cost
-            diag = d_km2[:, I - 1]
-            up = d_km1[:, I - 1]
-            left = d_km1[:, I]
-            take_diag = (diag <= up) & (diag <= left)
-            take_up = ~take_diag & (up <= left)
-            best = np.where(take_diag, diag, np.where(take_up, up, left))
-            d_k[:, ilo : ihi + 1] = cost + best
-            steps[k, :, ilo : ihi + 1] = np.where(
-                take_diag, 0, np.where(take_up, 1, 2)
-            )
-        d_km2, d_km1 = d_km1, d_k
-    return steps
+    ks = np.arange(1, r + c + 1, dtype=np.int64)
+    ilo = np.maximum(np.maximum(1, ks - c), -((-(ks - b_)) // 2))
+    ihi = np.minimum(np.minimum(r, ks - 1), (ks + a) // 2)
+    return ilo, ihi
+
+
+def _dba_paths_batch(center, batch, window=None):
+    """Forward DP for all members at once (uniform length, penalty 0,
+    squared-euclidean inner — the DBA configuration). Returns
+    ``(steps, ilo_k)``: the band-compressed step-code tensor
+    steps[k, i - ilo_k[k], b] ∈ {0 diag, 1 up, 2 left} for backtracking.
+
+    Tie preference diag > up > left matches :func:`best_path` exactly, so
+    per-member results are identical to the scalar pipeline's paths.
+
+    Memory shape: the band index range per anti-diagonal is contiguous,
+    so all reads are slice VIEWS (no fancy-indexing gathers), the three
+    rolling cost diagonals are preallocated and recycled (a 2-column INF
+    margin fill on the nondecreasing band's trailing edge replaces the
+    full-width refill), and ``steps`` stores only the band width instead
+    of r+1 codes per diagonal — ~8x less memory traffic at the rollup
+    shape, bit-identical results."""
+    r = len(center)
+    B, c = batch.shape
+    # one shared center == the multi kernel with every row's center equal
+    # (broadcast_to is a zero-copy view; the multi kernel transposes it
+    # into its contiguous working layout anyway)
+    return _dba_paths_batch_multi(
+        np.broadcast_to(center, (B, r)), batch, window=window
+    )
 
 
 def dba_update_batch(center, batch, window=None):
@@ -508,7 +509,7 @@ def dba_update_batch(center, batch, window=None):
     batch = np.asarray(batch, dtype=np.float64)
     r = len(center)
     B, c = batch.shape
-    steps = _dba_paths_batch(center, batch, window=window)
+    steps, ilo_k = _dba_paths_batch(center, batch, window=window)
     sums = np.zeros(r)
     cnts = np.zeros(r)
     i = np.full(B, r, dtype=np.int64)
@@ -519,7 +520,8 @@ def dba_update_batch(center, batch, window=None):
         ia, ja, ba = i[active], j[active], brange[active]
         np.add.at(sums, ia - 1, batch[ba, ja - 1])
         np.add.at(cnts, ia - 1, 1.0)
-        code = steps[ia + ja, ba, ia]
+        kk = ia + ja
+        code = steps[kk, ia - ilo_k[kk], ba]
         i[active] = ia - (code != 2)
         j[active] = ja - (code != 1)
         active = (i > 0) & (j > 0)
@@ -545,40 +547,79 @@ def dba_batch(members, center=None, max_it=10, thr=1e-5, window=None):
     return center
 
 
-def _dba_paths_batch_multi(centers_per_row, batch, window=None):
+_DP_WORKSPACE: dict = {}
+
+
+def _dp_buffers(r, B):
+    """Three recycled (r+1, B) cost-diagonal buffers per worker process
+    (one shape at a time — the mega kernel calls with one chunk shape;
+    workers are single-threaded per task so no sharing hazard). The INF
+    re-fill below is required state reset; the cache only avoids the
+    alloc + first-touch page faults on every call."""
+    key = (r, B)
+    if _DP_WORKSPACE.get("key") != key:
+        _DP_WORKSPACE["key"] = key
+        _DP_WORKSPACE["bufs"] = tuple(np.empty((r + 1, B)) for _ in range(3))
+    return _DP_WORKSPACE["bufs"]
+
+
+def _dba_paths_batch_multi(centers_per_row, batch, window=None, batchT=None):
     """Forward DP where each row has its own alignment target (used to
     run many groups' DBA in ONE DP — centers_per_row[b] is row b's group
-    center). Same step-code semantics as :func:`_dba_paths_batch`."""
+    center). Same step-code semantics and band-compressed
+    ``(steps, ilo_k)`` return as :func:`_dba_paths_batch`.
+
+    ``batchT``: optional precomputed ``ascontiguousarray(batch.T)`` so
+    a caller iterating with an unchanged batch pays the transpose once."""
     B, r = centers_per_row.shape
     c = batch.shape[1]
-    if window is None or window <= 0:
-        window = max(r, c)
-    a = max(0, r - c) + window - 1
-    b_ = max(0, c - r) + window - 1
-    steps = np.zeros((r + c + 1, B, r + 1), dtype=np.uint8)
-    d_km2 = np.full((B, r + 1), INF)
-    d_km1 = np.full((B, r + 1), INF)
-    d_km1[:, 0] = 0.0
+    ilo_a, ihi_a = _band_bounds(r, c, window)
+    bw = int(max(1, (ihi_a - ilo_a + 1).max()))
+    # transposed working layout: DP state is (position, member) so every
+    # band slice is a block of CONTIGUOUS rows of B values — the k-loop
+    # then runs entirely on contiguous memory (the (member, position)
+    # layout made every operand a strided column gather)
+    centersT = np.ascontiguousarray(centers_per_row.T)  # (r, B)
+    if batchT is None:
+        batchT = np.ascontiguousarray(batch.T)  # (c, B)
+    # np.empty, not zeros: the backtrack only ever reads in-band cells,
+    # all of which are written below (s_k[:] = 2 covers the band width)
+    steps = np.empty((r + c + 1, bw, B), dtype=np.uint8)
+    ilo_k = np.zeros(r + c + 1, dtype=np.int64)
+    ilo_k[1:] = ilo_a
+    d_km2, d_km1, d_cur = _dp_buffers(r, B)
+    d_km2[:] = INF
+    d_km1[:] = INF
+    d_cur[:] = INF
+    d_km1[0, :] = 0.0
     for k in range(1, r + c + 1):
-        d_k = np.full((B, r + 1), INF)
-        ilo = max(1, k - c, -((-(k - b_)) // 2))
-        ihi = min(r, k - 1, (k + a) // 2)
+        d_k = d_cur
+        ilo = int(ilo_a[k - 1])
+        ihi = int(ihi_a[k - 1])
         if ilo <= ihi:
-            I = np.arange(ilo, ihi + 1)
-            cost = centers_per_row[:, I - 1] - batch[:, k - I - 1]
+            # clear stale values the recycled buffer may hold just left
+            # of the band (band bounds only move right — see _band_bounds)
+            d_k[max(0, ilo - 2) : ilo, :] = INF
+            cost = centersT[ilo - 1 : ihi] - batchT[k - ihi - 1 : k - ilo][::-1]
             cost *= cost
-            diag = d_km2[:, I - 1]
-            up = d_km1[:, I - 1]
-            left = d_km1[:, I]
+            diag = d_km2[ilo - 1 : ihi]
+            up = d_km1[ilo - 1 : ihi]
+            left = d_km1[ilo : ihi + 1]
             take_diag = (diag <= up) & (diag <= left)
-            take_up = ~take_diag & (up <= left)
-            best = np.where(take_diag, diag, np.where(take_up, up, left))
-            d_k[:, ilo : ihi + 1] = cost + best
-            steps[k, :, ilo : ihi + 1] = np.where(
-                take_diag, 0, np.where(take_up, 1, 2)
-            )
-        d_km2, d_km1 = d_km1, d_k
-    return steps
+            take_up = (~take_diag) & (up <= left)
+            best = np.minimum(np.minimum(diag, up), left)
+            cost += best
+            d_k[ilo : ihi + 1] = cost
+            # codes 0/1/2 (diag/up/left) in one uint8 expression
+            w_ = ihi - ilo + 1
+            s_k = steps[k, :w_]
+            s_k[:] = 2
+            s_k -= take_up.view(np.uint8)
+            s_k -= 2 * take_diag.view(np.uint8)
+        else:  # empty band (degenerate window): nothing valid on this diag
+            d_k[:] = INF
+        d_km2, d_km1, d_cur = d_km1, d_k, d_km2
+    return steps, ilo_k
 
 
 def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=None):
@@ -603,11 +644,22 @@ def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=N
     centers[:] = members[starts + sizes // 2]
     active = np.ones(n_groups, dtype=bool)
     brange = np.arange(B)
+    prev_mask = None
+    mb = gb = mbT = None
     for _ in range(max_it):
         row_active = active[group_idx]
-        mb = members[row_active]
-        gb = group_idx[row_active]
-        steps = _dba_paths_batch_multi(centers[gb], mb, window=window)
+        if prev_mask is None or not np.array_equal(row_active, prev_mask):
+            # all-active (the common case before convergence) needs no copy
+            if row_active.all():
+                mb, gb = members, group_idx
+            else:
+                mb = members[row_active]
+                gb = group_idx[row_active]
+            mbT = np.ascontiguousarray(mb.T)
+            prev_mask = row_active.copy()
+        steps, ilo_k = _dba_paths_batch_multi(
+            centers[gb], mb, window=window, batchT=mbT
+        )
         sums = np.zeros((n_groups, L))
         cnts = np.zeros((n_groups, L))
         nb = mb.shape[0]
@@ -620,7 +672,8 @@ def dba_batch_groups(members, group_idx, n_groups, max_it=10, thr=1e-5, window=N
             ga = gb[ra]
             np.add.at(sums, (ga, ia - 1), mb[ra, ja - 1])
             np.add.at(cnts, (ga, ia - 1), 1.0)
-            code = steps[ia + ja, ra, ia]
+            kk = ia + ja
+            code = steps[kk, ia - ilo_k[kk], ra]
             i[alive] = ia - (code != 2)
             j[alive] = ja - (code != 1)
             alive = (i > 0) & (j > 0)
@@ -677,6 +730,11 @@ def dtw_distance_batch(
     mcr = np.maximum(0, lengths - r)
     a = mrc + win - 1  # j >= i - a
     b = mcr + win - 1  # j <= i + b
+    # global anti-diagonal bounds from the WIDEST member band (superset
+    # of every member's band, so narrowing skips only always-INF cells —
+    # bit-identical results, ~(L/2w)x less work at small windows)
+    a_max = int(a.max())
+    b_max = int(b.max())
 
     d_km2 = np.full((B, r + 1), INF)
     d_km1 = np.full((B, r + 1), INF)  # diag 0 at k=1
@@ -694,8 +752,11 @@ def dtw_distance_batch(
             )  # cell (0, k) valid only if k <= c_m
         if k <= r:
             d_k[:, k] = 0.0 if k <= psi_1b else INF
-        ilo = max(1, k - c_pad)
-        ihi = min(r, k - 1)
+        # member band: j_seq in [i_seq - a_m, i_seq + b_m] with cell
+        # (i_seq, j_seq) = (I-1, k-I-1) gives I in
+        # [ceil((k-b_m)/2), floor((k+a_m)/2)] — bound by the widest member
+        ilo = max(1, k - c_pad, -((-(k - b_max)) // 2))
+        ihi = min(r, k - 1, (k + a_max) // 2)
         if ilo <= ihi:
             I = I_full[ilo : ihi + 1]
             x = query[I - 1]  # (n,)
@@ -745,6 +806,9 @@ def dtw_distance_batch(
                 batch = batch[keep]
                 lengths = lengths[keep]
                 a, b = a[keep], b[keep]
+                if len(a):
+                    a_max = int(a.max())
+                    b_max = int(b.max())
                 d_km1, d_km2 = d_km1[keep], d_km2[keep]
                 last_row, last_col = last_row[keep], last_col[keep]
                 active = active[keep]

@@ -165,3 +165,33 @@ def test_hierarchical_merge_hook():
     assert [round(d, 6) for _, _, d in calls] == sorted(round(d, 6) for _, _, d in calls)
     for a, b, _ in calls:
         assert isinstance(a, int) and isinstance(b, int)
+
+
+def test_hierarchical_tree_and_linkage_tree():
+    """HierarchicalTree forces a full merge to ONE root and records the
+    scipy-Z dendrogram on .linkage; LinkageTree computes the same Z
+    (single linkage); non-single methods raise."""
+    import pytest
+
+    from dtaidistance_spark.compat import clustering
+
+    series = [
+        [0.0, 0, 0], [0.1, 0.1, 0.1], [0.2, 0.2, 0.2],
+        [50.0, 50, 50], [50.1, 50.1, 50.1], [50.2, 50.2, 50.2],
+    ]
+    tree = clustering.hierarchical.HierarchicalTree(dists_options={"window": 1})
+    cl = tree.fit(series)
+    assert len(cl) == 1 and next(iter(cl.values())) == set(range(6))
+    Z = tree.linkage
+    assert Z.shape == (5, 4)
+    assert list(Z[:, 2]) == sorted(Z[:, 2])  # ascending merge distances
+    assert Z[-1, 3] == 6  # final merge spans all leaves
+    # the cross-blob merge is the largest and much bigger than in-blob
+    assert Z[-1, 2] > 10 * Z[-2, 2]
+
+    lt = clustering.hierarchical.LinkageTree(None, {"window": 1})
+    Z2 = lt.fit(series)
+    assert np.array_equal(Z, Z2) and np.array_equal(lt.linkage, Z2)
+
+    with pytest.raises(NotImplementedError):
+        clustering.hierarchical.LinkageTree(None, {}, method="complete")
