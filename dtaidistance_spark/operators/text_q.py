@@ -124,6 +124,87 @@ def token_stats(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               string_split(lower(text), ' ') AS ws,
+               len(string_split(text, ' ')) AS ws_tokens,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_dedup
+        FROM documents
+    ), f AS (
+        SELECT source, ws_tokens, keep_dedup,
+               len(list_filter(ws, x -> x IN ({_STOP_SQL})))::DOUBLE
+                   / len(ws) >= 0.05 AS is_en,
+               least(1.0, len(ws) / 64.0)
+                   * (len(list_distinct(ws))::DOUBLE / len(ws)) AS quality
+        FROM s
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_raw,
+           sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
+           sum(CASE WHEN keep_dedup AND is_en THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+           sum(CASE WHEN keep_dedup AND is_en AND quality >= 0.5
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(sum(CASE WHEN keep_dedup AND is_en AND quality >= 0.5
+                             THEN ws_tokens END), 0)::BIGINT AS kept_tokens,
+           round(avg(CASE WHEN keep_dedup AND is_en AND quality >= 0.5
+                          THEN quality END), 4) AS avg_kept_quality
+    FROM f GROUP BY source
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation funnel in ONE pass: exact dedup
+    (md5 window keeper), language gate (the ``lang_id`` stopword rule),
+    quality gate (the ``doc_quality`` score >= 0.5), then per-source
+    funnel counts + kept token volume — the composition a real corpus
+    pipeline runs, entirely JVM-side SQL (one window + one aggregate,
+    both shuffles on small keys; the oracle re-runs the identical funnel
+    in DuckDB)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.split(F.lower("text"), " ").alias("_ws")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    n_words = F.size("_ws")
+    is_en = (
+        F.size(F.filter("_ws", lambda x: F.array_contains(stop_arr, x)))
+        / n_words
+        >= 0.05
+    )
+    quality = (
+        F.least(F.lit(1.0), n_words / F.lit(64.0))
+        * (F.size(F.array_distinct("_ws")) / n_words)
+    )
+    keep_dedup = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
+    )
+    kept = F.col("keep_dedup") & F.col("is_en") & (F.col("quality") >= 0.5)
+    staged = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        keep_dedup.alias("keep_dedup"),
+        is_en.alias("is_en"),
+        quality.alias("quality"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("keep_dedup"), 1).otherwise(0)).alias("n_dedup"),
+        F.sum(F.when(F.col("keep_dedup") & F.col("is_en"), 1).otherwise(0)).alias(
+            "n_lang"
+        ),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("ws_tokens"))), F.lit(0)).alias(
+            "kept_tokens"
+        ),
+        F.round(F.avg(F.when(kept, F.col("quality"))), 4).alias(
+            "avg_kept_quality"
+        ),
+    )
+
+
 @register("winnowing_overlap")
 def winnowing_overlap(spark, sf_dir):
     """Copy-detection via winnowing fingerprints: pairs of docs sharing
