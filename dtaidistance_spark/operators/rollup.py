@@ -153,6 +153,7 @@ def dba_rollup(
     dba_window: int = 16,
     dba_max_it: int = 2,
     barycenter_len: int = 128,
+    paa_map_side: bool = True,
 ) -> DataFrame:
     """Roll ``df`` up to ``tier`` windows: one DBA barycenter per
     (key, window). Returns ROLLUP_SCHEMA DataFrame.
@@ -167,15 +168,28 @@ def dba_rollup(
     not heap) instead of an unbounded in-memory collect_list — the
     round-1 hot-group OOM hazard. Counts (n_series/n_points) still cover
     every member via unbounded-frame window aggregates in the same pass.
-    Output is bit-identical to the former collect-then-sample plan."""
-    # ship the payload in its NATIVE element type: int32 token arrays
-    # cross the shuffle + Arrow boundary at 4 bytes/point instead of 8
-    # (the kernel casts to float64; int32 -> float64 is exact), while
-    # cascade tiers (already double barycenters) pass through unchanged
+    Output is bit-identical to the former collect-then-sample plan.
+
+    ``paa_map_side=True`` (default for ragged raw input) runs the PAA
+    resample onto the ``barycenter_len`` grid as an Arrow-batched stage
+    BEFORE the shuffle, using the exact same :func:`kernels.paa` the
+    group kernel applies — so the window sort, shuffle, collect_list
+    buffer and reduce-side Arrow crossing all carry ~barycenter_len
+    doubles per member instead of the raw token payload (~10x less for
+    the mean sequence, 64x for 8192-token long-tail rows), and the
+    reduce-side K.paa call degenerates to an exact copy: output is
+    bit-identical either way (gated). Raw point counts are taken
+    JVM-side before the resample. Set False when the value column is
+    already on the barycenter grid (cascade upper tiers) to skip a
+    pointless Python round-trip. (This is the Arrow/numpy form of the
+    idea :func:`paa_sql` keeps as an option — the interpreted-HOF SQL
+    variant measured slower.)"""
     # degenerate-row policy: null/empty payloads carry no signal for a
     # barycenter and would poison the kernel — drop them JVM-side
     # (size(NULL) = -1, so one predicate covers both); the local parity
-    # twin applies the identical filter
+    # twin applies the identical filter. When PAA stays kernel-side,
+    # int32 token arrays cross shuffle+Arrow in their NATIVE 4-byte type
+    # (kernel casts to float64; int32 -> float64 is exact).
     from pyspark.sql import Window
 
     prepared = df.where(F.size(F.col(value_col)) > 0).select(
@@ -183,7 +197,27 @@ def dba_rollup(
         F.window(F.col(ts_col), tier)["start"].alias("_w"),
         F.col(value_col).alias("_value"),
         F.col(id_col).cast("string").alias("_sort_id"),
+        F.size(F.col(value_col)).cast("long").alias("_sz"),
     )
+    if paa_map_side:
+        _blen = barycenter_len
+
+        def _paa_stage(batches):
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.assign(
+                        _value=[
+                            K.paa(np.asarray(v, dtype=np.float64), _blen)
+                            for v in pdf["_value"]
+                        ]
+                    )
+                yield pdf
+
+        prepared = prepared.mapInPandas(
+            _paa_stage,
+            "_key string, _w timestamp, _value array<double>, "
+            "_sort_id string, _sz long",
+        )
     m = max_members
     wsort = Window.partitionBy("_key", "_w").orderBy("_sort_id")
     wall = Window.partitionBy("_key", "_w")
@@ -193,7 +227,7 @@ def dba_rollup(
         "*",
         (F.row_number().over(wsort) - 1).alias("_i"),
         F.count(F.lit(1)).over(wall).alias("n_series"),
-        F.sum(F.size("_value")).over(wall).alias("n_points"),
+        F.sum("_sz").over(wall).alias("n_points"),
     )
     # 0-based index i is in the stride set {(j*n)//m : 0 <= j < m} iff
     # ceil(i*m/n)*n < (i+1)*m  (j -> (j*n)//m is strictly increasing for
@@ -240,10 +274,15 @@ def cascade(
     out: dict[str, DataFrame] = {}
     cur = df
     value_col, ts_col, key_col, id_col = kw.pop("value_col", "tokens"), "ts", "source", "doc_id"
+    # map-side PAA pays off only for the raw (ragged) tier; upper tiers
+    # are already on the barycenter grid, where it is an identity
+    # round-trip — auto-gate unless the caller pinned it
+    pms_user = kw.pop("paa_map_side", None)
     for i, tier in enumerate(tiers):
         rolled = dba_rollup(
             cur, tier=tier, key_col=key_col, value_col=value_col,
-            ts_col=ts_col, id_col=id_col, **kw,
+            ts_col=ts_col, id_col=id_col,
+            paa_map_side=(i == 0) if pms_user is None else pms_user, **kw,
         )
         if persist:
             rolled = rolled.persist()
