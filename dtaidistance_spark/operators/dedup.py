@@ -330,3 +330,89 @@ def cosine_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components -> canonical doc per cluster
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(
+    pairs: DataFrame, max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph, then the
+    canonical-doc assignment a dedup pipeline actually keeps: each doc
+    appearing in >= 1 pair gets ``component_id`` = the smallest doc id
+    reachable from it, plus the component size and an ``is_canonical``
+    flag (the doc every other member is deduped against).
+
+    Algorithm: iterative min-label propagation — labels start at the
+    doc's own id; each round every vertex takes the min of its own label
+    and its neighbours' labels (one shuffle join + one aggregate per
+    round), stopping at the first round with zero changes. Near-dup
+    graphs are unions of near-cliques (members of a dup cluster pair
+    with most other members), so the label diameter is tiny and this
+    converges in 2-3 rounds; for adversarially deep graphs the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves the diameter per round
+    — same join shape, worth swapping in only if profiles show deep
+    chains. Each round's frontier is persisted and the previous one
+    dropped, so lineage stays O(1) deep and a 1000-executor run shuffles
+    only the (vertex, label) pairs, never the corpus.
+
+    ``pairs``: any DataFrame with ``id_a``/``id_b`` string columns
+    (e.g. ``minhash_lsh_pairs`` / ``simhash_candidates`` output).
+    """
+    edges = pairs.select("id_a", "id_b")
+    und = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        und.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("id").alias("id_b"), "comp"), "id_b"
+            )
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("_nbr_min"))
+            .select(F.col("id_a").alias("id"), "_nbr_min")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_nbr_min", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("_nbr_min", F.col("comp")) < F.col("comp")).alias(
+                    "_chg"
+                ),
+            )
+            .persist()
+        )
+        changed = new.where("_chg").count()
+        labels.unpersist()
+        labels = new.select("id", "comp")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        # comp-keyed shuffle join (component count is data-dependent —
+        # could be millions of dup clusters at corpus scale, so no
+        # forced broadcast; AQE picks broadcast when sizes is tiny)
+        labels.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+    und.unpersist()
+    return out

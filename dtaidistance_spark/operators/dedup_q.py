@@ -135,3 +135,35 @@ def simhash_neardups_md5(spark, sf_dir):
 )
 def cosine_neardup_pairs_q(spark, sf_dir):
     return D.cosine_neardup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "neardup_components",
+    oracle=_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT s, d FROM e
+        UNION
+        SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    sizes AS (SELECT component_id, count(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT comp.id AS doc_id, comp.component_id, sizes.cluster_size,
+           comp.id = comp.component_id AS is_canonical
+    FROM comp JOIN sizes USING (component_id)
+    """,
+)
+def neardup_components_q(spark, sf_dir):
+    """Dedup cluster assignment: connected components (iterative
+    min-label propagation, one shuffle join per round) over the
+    MinHash-LSH pair graph at jaccard >= 0.8, yielding the canonical
+    doc per cluster; the oracle recomputes the transitive closure in
+    DuckDB with a recursive CTE over the brute-force pair graph."""
+    pairs = D.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+    return D.neardup_components(pairs)

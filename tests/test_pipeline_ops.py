@@ -238,3 +238,35 @@ def test_lang_id_ngram_spark_matches_local(spark, sf_dir):
     for r in got:
         lang, score = FP.lang_id_ngram(docs[r.doc_id])
         assert (r.pred_lang, r.score) == (lang, score), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# neardup connected components
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_components_chain_and_islands(spark):
+    """A 4-doc chain (a-b, b-c, c-d) must collapse to ONE component with
+    min-id canonical even though a and d never pair directly (needs >1
+    propagation round); a separate 2-doc island stays its own
+    component; docs absent from any pair never appear."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": ["d_a", "d_b", "d_c", "x_1"],
+                "id_b": ["d_b", "d_c", "d_d", "x_2"],
+            }
+        )
+    )
+    rows = {r.doc_id: r for r in D.neardup_components(pairs).collect()}
+    assert set(rows) == {"d_a", "d_b", "d_c", "d_d", "x_1", "x_2"}
+    for d in ("d_a", "d_b", "d_c", "d_d"):
+        assert rows[d].component_id == "d_a"
+        assert rows[d].cluster_size == 4
+    assert rows["d_a"].is_canonical and not rows["d_b"].is_canonical
+    for d in ("x_1", "x_2"):
+        assert rows[d].component_id == "x_1"
+        assert rows[d].cluster_size == 2
+    assert rows["x_1"].is_canonical and not rows["x_2"].is_canonical

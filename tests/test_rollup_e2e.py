@@ -257,3 +257,12 @@ def test_event_series_point_cap(spark, sf_dir):
             assert v == full[k]
         else:
             assert len(v) == 4
+
+
+def test_paa_map_side_bit_identical(spark, seq_df):
+    """Map-side PAA (pre-shuffle Arrow resample) must produce the exact
+    same rollup as the kernel-side path — same K.paa, reduce-side call
+    degenerates to a copy. Covers ragged lengths incl. the long tail."""
+    a = _rolled_to_pdf(R.dba_rollup(seq_df, tier="1 minute", paa_map_side=False))
+    b = _rolled_to_pdf(R.dba_rollup(seq_df, tier="1 minute", paa_map_side=True))
+    _assert_rollup_equal(a, b)
