@@ -19,6 +19,8 @@ pair directions) — no driver-side matrix.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -223,3 +225,68 @@ def linkage_matrix(pairs_rows, n: int):
         for rb in roots[1:]:
             merge(find(roots[0]), find(rb), float("inf"))
     return np.asarray(Z, dtype=np.float64)
+
+
+def newick(Z, labels=None) -> str:
+    """Serialize a scipy-Z-format linkage matrix as a Newick tree string
+    — the rendering half of C3 (``ref:dtaidistance/clustering/
+    hierarchical.py::LinkageTree.plot``) without a plotting dependency:
+    every standard tree viewer (ete3, iTOL, Bio.Phylo, R ape) reads
+    Newick. Branch length = parent merge height − child height (0 for
+    leaves); +inf merges (disconnected pruned components) serialize as
+    ``inf``. Runs driver-side on the already-tiny post-rollup Z."""
+    import numpy as np
+
+    Z = np.asarray(Z, dtype=np.float64)
+    n = len(Z) + 1
+    if labels is None:
+        labels = [str(i) for i in range(n)]
+
+    def height(node):
+        return 0.0 if node < n else float(Z[node - n][2])
+
+    def render(node, parent_h):
+        bl = parent_h - height(node)
+        bls = "inf" if math.isinf(bl) else f"{bl:.6g}"
+        if node < n:
+            return f"{labels[node]}:{bls}"
+        a, b = int(Z[node - n][0]), int(Z[node - n][1])
+        h = height(node)
+        return f"({render(a, h)},{render(b, h)}):{bls}"
+
+    root = 2 * n - 2
+    h = height(root)
+    a, b = int(Z[-1][0]), int(Z[-1][1])
+    return f"({render(a, h)},{render(b, h)});"
+
+
+def ascii_dendrogram(Z, labels=None) -> str:
+    """Plain-text dendrogram of a scipy-Z linkage matrix (box-drawing
+    indentation, children sorted by size then id for a stable layout) —
+    the no-dependency stand-in for upstream's matplotlib ``plot``."""
+    import numpy as np
+
+    Z = np.asarray(Z, dtype=np.float64)
+    n = len(Z) + 1
+    if labels is None:
+        labels = [str(i) for i in range(n)]
+    lines = []
+
+    def walk(node, prefix, tail):
+        branch = "└─ " if tail else "├─ "
+        if node < n:
+            lines.append(prefix + branch + labels[node])
+            return
+        d = Z[node - n][2]
+        ds = "inf" if math.isinf(d) else f"{d:.4g}"
+        lines.append(prefix + branch + f"[h={ds}]")
+        kids = sorted(
+            (int(Z[node - n][0]), int(Z[node - n][1])),
+            key=lambda c: (-(1 if c < n else int(Z[c - n][3])), c),
+        )
+        ext = "   " if tail else "│  "
+        for i, k in enumerate(kids):
+            walk(k, prefix + ext, i == len(kids) - 1)
+
+    walk(2 * n - 2, "", True)
+    return "\n".join(lines)

@@ -502,6 +502,26 @@ class LinkageTree:
         self.linkage = linkage_matrix(rows, len(series))
         return self.linkage
 
+    def to_newick(self, labels=None) -> str:
+        """Newick serialization of the fitted dendrogram — the
+        no-dependency stand-in for upstream's ``plot`` (every standard
+        tree viewer reads Newick)."""
+        from dtaidistance_spark.clustering.hierarchical import newick
+
+        if self.linkage is None:
+            raise ValueError("call fit() first")
+        return newick(self.linkage, labels)
+
+    def to_ascii(self, labels=None) -> str:
+        """Plain-text dendrogram of the fitted linkage."""
+        from dtaidistance_spark.clustering.hierarchical import (
+            ascii_dendrogram,
+        )
+
+        if self.linkage is None:
+            raise ValueError("call fit() first")
+        return ascii_dendrogram(self.linkage, labels)
+
 
 class KMedoids:
     """``ref:dtaidistance/clustering/kmedoids.py::KMedoids`` shape:

@@ -252,3 +252,154 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
         (F.coalesce(F.col("hits"), F.lit(0)) / F.col("total")).alias("recall"),
     )
     return per_q.agg(F.round(F.avg("recall"), 4).alias("recall_at_k"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes on the inverted lists (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+# FAISS IVFPQ layout, here with by_residual=False: codes quantize the
+# normalized vectors themselves, the coarse quantizer only routes).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    emb: DataFrame, dim: int, m: int = 8, ks: int = 32, sample: int = 4096,
+    max_it: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the product quantizer: split the (unit-normalized) vector
+    into ``m`` subspaces of ``dim/m`` dims, run a seeded L2 Lloyd
+    k-means with ``ks`` centroids independently in each subspace, on the
+    same deterministic hash-ordered sample as the coarse quantizer.
+    Returns ``(m, ks, dim/m)``. Like the IVF centroids, the trained
+    object is tiny (m*ks*dsub floats) — train driver-side once,
+    broadcast into the encode/search UDFs."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(SEED)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)]
+        for _ in range(max_it):
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, : len(C)] = C
+        if len(C) < ks:  # degenerate tiny-sample case: pad by repeat
+            books[j, len(C):] = C[0]
+    return books
+
+
+def encode_pq(
+    emb: DataFrame, codebooks: np.ndarray,
+    vec_col: str = "embedding", out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``pq_code array<int>`` (m sub-codes per vector): one
+    vectorized argmin per subspace per Arrow batch. This column — a few
+    BYTES per vector instead of dim floats — is what the corpus side of
+    the search shuffles and stores; at 100 TB the raw embedding column
+    never leaves the scan."""
+    m, ks, dsub = codebooks.shape
+    CB = codebooks
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            S = mat[:, j * dsub : (j + 1) * dsub]
+            C = CB[j]
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return emb.withColumn(out_col, codes(F.col(vec_col)))
+
+
+def ivf_pq_topk(
+    emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_list: int = 16, n_probe: int = 4, m: int = 8, ks: int = 32,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-bounded scale tier below
+    IVF-Flat: the corpus crosses the list shuffle as (id, m sub-codes)
+    only, and candidates are ranked by asymmetric distance (query side
+    exact, corpus side reconstructed from the codebooks). The scoring
+    UDF reconstructs gathered centroids and dots them against the
+    normalized query — arithmetically the SAME sum as the classic
+    per-query ADC lookup table (grouped by subspace), kept in gather
+    form so one einsum per Arrow batch covers all queries in the batch.
+    Approximation error vs IVF-Flat is the PQ quantization distortion;
+    measured by ``ann_ivfpq_recall``."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, dim, n_list=n_list, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, dim, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+        )
+    mm, _, dsub = codebooks.shape
+    CB = codebooks
+
+    corpus = encode_pq(
+        add_ivf_lists(emb, centroids, 1, vec_col), codebooks, vec_col
+    ).select(
+        F.col(id_col).alias("nn_id"),
+        "pq_code",
+        F.explode("list_ids").alias("_list"),
+    )
+    qs = add_ivf_lists(queries, centroids, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+        F.explode("list_ids").alias("_list"),
+    )
+
+    @pandas_udf("double")
+    def adc(code: pd.Series, q: pd.Series) -> pd.Series:
+        codes_ = np.asarray([np.asarray(c, dtype=np.int64) for c in code])
+        qmat = np.asarray([np.asarray(x, dtype=np.float64) for x in q])
+        qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        recon = CB[np.arange(mm)[None, :], codes_]  # (b, m, dsub)
+        recon = recon.reshape(len(codes_), mm * dsub)
+        return pd.Series(np.einsum("bd,bd->b", qmat, recon))
+
+    cands = (
+        corpus.join(qs, on="_list")
+        .where(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "_q", "nn_id", "pq_code")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("nn_id")
+    )
+    return (
+        cands.withColumn("approx_cosine", adc("pq_code", "_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nn_id", "rank",
+            F.round("approx_cosine", 4).alias("approx_cosine"),
+        )
+    )

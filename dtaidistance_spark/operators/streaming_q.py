@@ -160,3 +160,62 @@ _ORACLE["stream_dba_counts"] = _synth_sql(256) + """
            count(*) AS n_series, sum(n_tok)::BIGINT AS n_points
     FROM synth GROUP BY 1, 2
 """
+
+
+@register(
+    "stream_exact_dedup",
+    oracle="SELECT DISTINCT md5(text) AS content_md5 FROM documents",
+)
+def stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup — the ingest-time twin of the batch
+    ``exact_dedup`` operator: documents arrive as a file stream, each
+    doc's content hash is checked against bounded streaming state
+    (``dropDuplicatesWithinWatermark``: state evicted once the event-time
+    watermark passes, so a 24/7 ingest never accumulates unbounded seen
+    keys — the production shape; an unbounded-retention variant is just
+    ``dropDuplicates``). The second micro-batch REPLAYS the first 50
+    docs, so cross-batch duplicate suppression is actually exercised,
+    not just within-batch. Emitted keys must equal DuckDB's
+    ``SELECT DISTINCT md5(text)`` over the corpus — exactly-once
+    emission per key is on the hash path."""
+    import shutil
+    import tempfile
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        # deterministic event time: corpus epoch + doc_id seconds
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, ts timestamp"
+        ).parquet(src)
+        deduped = (
+            stream.withColumn("content_md5", F.md5("text"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["content_md5"])
+            .select("content_md5")
+        )
+        q = (
+            deduped.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        docs.write.parquet(src)
+        drain()
+        docs.where(F.col("doc_id") < 50).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink)
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

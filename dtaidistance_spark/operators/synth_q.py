@@ -130,3 +130,71 @@ def seq_cascade_counts(spark, sf_dir):
     for df in tiers.values():
         df.unpersist()
     return out
+
+
+@register(
+    "sequence_packing",
+    oracle=_SYNTH_SQL
+    + """
+    , c AS (
+        SELECT source, doc_id, n_tok::BIGINT AS n_tok,
+               sum(n_tok::BIGINT) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               )::BIGINT AS cum
+        FROM synth
+    )
+    SELECT source, doc_id, t.chunk_id,
+           greatest(cum - n_tok, t.chunk_id * 2048) - (cum - n_tok)
+               AS tok_start,
+           least(cum, (t.chunk_id + 1) * 2048) - (cum - n_tok) AS tok_end,
+           least(cum, (t.chunk_id + 1) * 2048)
+               - greatest(cum - n_tok, t.chunk_id * 2048) AS n_span
+    FROM c, unnest(generate_series((cum - n_tok) // 2048,
+                                   (cum - 1) // 2048)) AS t(chunk_id)
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chop sequence packing — the op that turns a
+    curated corpus into fixed-width training rows: docs are laid
+    end-to-end in a deterministic order per source stream and chopped
+    into 2048-token context windows; a doc straddling a boundary is
+    split, so the output is one row per (doc, window) span with the
+    in-doc token range. Pure window SQL: one cumsum per source stream,
+    then an explode over each doc's touched windows — zero waste by
+    construction (every window except each stream's last is exactly
+    full). Scale: the window is partitioned by source, so streams pack
+    in parallel; a single hot source is packed two-level at corpus
+    scale (shard cumsums, then re-base each shard by the exclusive
+    prefix total of the shards before it — same arithmetic, one extra
+    tiny aggregate) rather than forcing one task through 10^12 rows."""
+    from pyspark.sql import Window
+
+    B = 2048
+    seq = synth.sequences_df(spark, _N).select(
+        "source", "doc_id", F.col("n_tok").cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = seq.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tok")
+    )
+    spans = c.select(
+        "source",
+        "doc_id",
+        "cum",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / B), F.floor((F.col("cum") - 1) / B)
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("chunk_id") * B)
+    hi = F.least(F.col("cum"), (F.col("chunk_id") + 1) * B)
+    return spans.select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        (lo - F.col("start")).alias("tok_start"),
+        (hi - F.col("start")).alias("tok_end"),
+        (hi - lo).alias("n_span"),
+    )

@@ -299,3 +299,170 @@ def lang_id_ngram_check(spark, sf_dir):
         F.col("pred_lang").isin("en", "fr", "de", "es", "und").alias("lang_known"),
         ((F.col("score") >= 0) & (F.col("score") <= 1)).alias("score_ok"),
     )
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS tot FROM v),
+    lp AS (SELECT tok, ln(cnt::DOUBLE / tot) AS logp FROM v, tot),
+    s AS (
+        SELECT doc_id, count(*)::BIGINT AS n_tok, avg(-logp) AS anlp
+        FROM t JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+           round(anlp, 4) AS avg_neg_logprob,
+           anlp <= 3.45 AS keep
+    FROM s
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality filter (the CCNet recipe, with the
+    corpus itself as the LM): train a unigram language model over the
+    corpus in one aggregation, score every doc by its mean negative
+    log-probability, keep the low-perplexity side of a fixed threshold.
+    Entirely JVM-side SQL — explode -> count = the LM "training" (one
+    shuffle on token, map-side combined), join the logprobs back onto
+    the exploded tokens (token-keyed shuffle join; Zipf-skewed keys like
+    'the' are exactly what AQE skew-join splitting is enabled for), one
+    doc-keyed aggregate for the scores. At corpus scale the vocab table
+    is millions of rows — small enough that AQE turns the score join
+    into a broadcast, and the "model" could be persisted and reused
+    across scoring runs, which is how the real pipeline ships it."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("tot")).alias("logp")
+    )
+    anlp = F.avg(-F.col("logp"))
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(anlp, 4).alias("avg_neg_logprob"),
+            (anlp <= 3.45).alias("keep"),
+        )
+    )
+
+
+@register(
+    "gopher_repetition",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(ws)::BIGINT AS n_words,
+               list_aggregate(list_transform(ws, w -> len(w)), 'sum')::DOUBLE
+                   / len(ws) AS mwl
+        FROM d
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM d WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (
+        SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2 FROM bgc GROUP BY 1
+    ),
+    fg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 4),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM d WHERE len(ws) >= 5
+    ),
+    fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+    fga AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c)
+                   AS dup5
+        FROM fgc GROUP BY 1
+    )
+    SELECT base.doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(coalesce(top2, 0), 4) AS top_2gram_frac,
+           round(coalesce(dup5, 0), 4) AS dup_5gram_frac,
+           (coalesce(top2, 0) <= 0.08 AND coalesce(dup5, 0) <= 0.15
+            AND mwl BETWEEN 3 AND 10) AS keep
+    FROM base
+    LEFT JOIN bga ON base.doc_id = bga.doc_id
+    LEFT JOIN fga ON base.doc_id = fga.doc_id
+    """,
+)
+def gopher_repetition(spark, sf_dir):
+    """Repetition-based quality filters from Gopher (Rae et al. 2021,
+    Appendix A1.1), the occurrence-fraction variant: mean word length
+    band, fraction of word-bigrams taken by the single most repeated
+    bigram, fraction of word-5-grams that are duplicated — the signals
+    that catch boilerplate/spam which per-doc diversity scores miss.
+    All JVM-side SQL: two explode->count aggregations keyed on
+    (doc_id, gram) — naturally parallel keys, no skew (each doc owns
+    its grams), map-side combined — left-joined back onto the doc-level
+    stats; thresholds chosen at ~p90 of the corpus distribution."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (
+            F.aggregate("ws", F.lit(0), lambda acc, w: acc + F.length(w))
+            .cast("double")
+            / F.size("ws")
+        ).alias("mwl"),
+    )
+
+    def grams(n: int):
+        expr = (
+            "transform(sequence(1, size(ws) - {b}), i -> "
+            + " || ' ' || ".join(
+                f"element_at(ws, i + {j})" for j in range(n)
+            )
+            + ")"
+        ).format(b=n - 1)
+        return (
+            d.where(F.size("ws") >= n)
+            .select("doc_id", F.explode(F.expr(expr)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bga = grams(2).groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top2")
+    )
+    fga = grams(5).groupBy("doc_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).cast("double")
+            / F.sum("c")
+        ).alias("dup5")
+    )
+    top2 = F.coalesce("top2", F.lit(0.0))
+    dup5 = F.coalesce("dup5", F.lit(0.0))
+    return (
+        base.join(bga, "doc_id", "left")
+        .join(fga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("mwl", 4).alias("mean_word_len"),
+            F.round(top2, 4).alias("top_2gram_frac"),
+            F.round(dup5, 4).alias("dup_5gram_frac"),
+            (
+                (top2 <= 0.08) & (dup5 <= 0.15) & F.col("mwl").between(3, 10)
+            ).alias("keep"),
+        )
+    )

@@ -195,3 +195,45 @@ def test_hierarchical_tree_and_linkage_tree():
 
     with pytest.raises(NotImplementedError):
         clustering.hierarchical.LinkageTree(None, {}, method="complete")
+
+
+def test_linkage_tree_newick_and_ascii():
+    """The dependency-free dendrogram exports: Newick is well-formed,
+    ultrametric (root->leaf branch sums all equal the root height —
+    the single-linkage invariant), contains every leaf exactly once;
+    ASCII has one line per tree node and every label."""
+    import re
+
+    from dtaidistance_spark.clustering.hierarchical import (
+        ascii_dendrogram, linkage_matrix, newick,
+    )
+    from dtaidistance_spark.compat import clustering
+
+    rows = [
+        {"id_a": 0, "id_b": 1, "dist": 1.0},
+        {"id_a": 2, "id_b": 3, "dist": 1.5},
+        {"id_a": 0, "id_b": 2, "dist": 3.0},
+    ]
+    Z = linkage_matrix(rows, 4)
+    nw = newick(Z, ["a", "b", "c", "d"])
+    assert nw == "((a:1,b:1):2,(c:1.5,d:1.5):1.5);"
+    # ultrametric: walk depths by parsing parens
+    depth, sums = 0.0, {}
+    for label, bl in re.findall(r"([a-z]+):([0-9.]+)", nw):
+        sums[label] = float(bl)
+    # a,b sit under a node with branch 2 to root: 1+2 == 3 == root h
+    assert sums == {"a": 1.0, "b": 1.0, "c": 1.5, "d": 1.5}
+    art = ascii_dendrogram(Z, ["a", "b", "c", "d"])
+    assert len(art.splitlines()) == 7  # 2n-1 nodes
+    for lab in "abcd":
+        assert lab in art
+
+    # end-to-end through the compat surface
+    series = [[0.0, 0, 0], [0.1, 0.1, 0.1], [5.0, 5, 5], [5.1, 5.1, 5.1]]
+    lt = clustering.hierarchical.LinkageTree(None, {"window": 1})
+    lt.fit(series)
+    nw2 = lt.to_newick()
+    assert nw2.count("(") == 3 and nw2.endswith(";")
+    for leaf in "0123":
+        assert f"{leaf}:" in nw2
+    assert lt.to_ascii().count("\n") == 6

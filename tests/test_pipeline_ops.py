@@ -270,3 +270,175 @@ def test_neardup_components_chain_and_islands(spark):
         assert rows[d].component_id == "x_1"
         assert rows[d].cluster_size == 2
     assert rows["x_1"].is_canonical and not rows["x_2"].is_canonical
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    """PQ encoding is seeded + partitioning-independent: same codes on
+    every run and under a different partitioning; every sub-code in
+    [0, ks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = A.train_pq_codebooks(emb, dim=64, m=16, ks=64)
+    assert books.shape == (16, 64, 4)
+    a = {
+        r.vec_id: list(r.pq_code)
+        for r in A.encode_pq(emb, books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in A.encode_pq(emb.repartition(7), books)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= c < 64 for codes in a.values() for c in codes)
+
+
+def test_ivfpq_adc_matches_numpy_reconstruction(spark, sf_dir):
+    """The ADC score Spark ranks by == the numpy codebook-reconstruction
+    dot product, row for row (the gather form IS the per-subspace LUT
+    sum, reordered)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = A.train_pq_codebooks(emb, dim=64, m=16, ks=64)
+    qs = emb.where(F.col("vec_id") < 2)
+    got = A.ivf_pq_topk(
+        emb, qs, dim=64, k=5, n_list=4, n_probe=4, m=16, ks=64,
+        codebooks=books,
+    ).collect()
+    assert got, "no candidates returned"
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    codes = {
+        r.vec_id: np.asarray(r.pq_code)
+        for r in A.encode_pq(emb, books).select("vec_id", "pq_code").collect()
+    }
+    for r in got:
+        q = vecs[r.query_id]
+        q = q / np.linalg.norm(q)
+        recon = books[np.arange(16), codes[r.nn_id]].reshape(64)
+        # per-subspace LUT sum (classic ADC formulation)
+        lut = sum(
+            float(q[j * 4 : (j + 1) * 4] @ books[j, codes[r.nn_id][j]])
+            for j in range(16)
+        )
+        assert abs(float(q @ recon) - lut) < 1e-9
+        assert round(lut, 4) == pytest.approx(r.approx_cosine, abs=1e-4)
+
+
+def test_ivfpq_full_probe_recall_floor(spark, sf_dir):
+    """With every list probed, routing loss is zero and the remaining
+    error is pure PQ distortion — recall@10 must clear the documented
+    floor on the worst-case near-uniform corpus."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    approx = A.ivf_pq_topk(
+        emb, qs, dim=64, k=10, n_list=8, n_probe=8, m=16, ks=64
+    )
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    rec = A.recall_at_k(approx, exact, k=10).collect()[0].recall_at_k
+    assert rec >= 0.5, rec
+
+
+# ---------------------------------------------------------------------------
+# unigram logprob quality filter
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_matches_local(spark, sf_dir):
+    """Spark unigram-LM scores == plain-Python Counter computation,
+    doc for doc (round 4), keep flag consistent with the threshold."""
+    import math
+    from collections import Counter
+
+    from dtaidistance_spark.operators.text_q import unigram_logprob
+
+    got = {r.doc_id: r for r in unigram_logprob(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    cnt = Counter(t for ws in docs.values() for t in ws)
+    tot = sum(cnt.values())
+    assert set(got) == set(docs)
+    for doc_id, ws in docs.items():
+        anlp = sum(-math.log(cnt[t] / tot) for t in ws) / len(ws)
+        r = got[doc_id]
+        assert r.n_tok == len(ws)
+        assert r.avg_neg_logprob == pytest.approx(round(anlp, 4), abs=1e-4)
+        assert r.keep == (anlp <= 3.45)
+
+
+def test_gopher_repetition_flags_spam(spark, tmp_path):
+    """The synthetic corpus has zero duplicated 5-grams, so exercise the
+    repetition branches directly: a spam doc (one bigram looping) must
+    show top_2gram_frac ~1 and dup_5gram_frac 1 and be dropped; a
+    diverse doc passes; a doc of huge 'words' fails the word-length
+    band."""
+    import pandas as pd
+
+    from dtaidistance_spark.operators.text_q import gopher_repetition
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "buy now " * 20,
+                " ".join(f"word{i}" for i in range(60)),
+                "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb cccccccccccccccc",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    docs["text"] = docs["text"].str.strip()
+    sf = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in gopher_repetition(spark, sf).collect()}
+    spam, good, longw = rows[1], rows[2], rows[3]
+    assert spam.dup_5gram_frac == 1.0 and spam.top_2gram_frac > 0.4
+    assert not spam.keep
+    assert good.dup_5gram_frac == 0.0 and good.keep
+    assert longw.mean_word_len > 10 and not longw.keep
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing must tile: per doc the spans cover [0, n_tok) contiguously;
+    per source stream every window except the last is exactly full."""
+    from collections import defaultdict
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.synth_q import sequence_packing, _N
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    n_tok = {r.doc_id: r.n_tok for r in synth.sequences_df(spark, _N).collect()}
+    per_doc = defaultdict(list)
+    per_chunk = defaultdict(int)
+    for r in rows:
+        assert r.n_span == r.tok_end - r.tok_start > 0
+        per_doc[r.doc_id].append((r.chunk_id, r.tok_start, r.tok_end))
+        per_chunk[(r.source, r.chunk_id)] += r.n_span
+    assert set(per_doc) == set(n_tok)
+    for doc_id, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0 and spans[-1][2] == n_tok[doc_id]
+        for (c0, _, e0), (c1, s1, _) in zip(spans, spans[1:]):
+            assert c1 == c0 + 1 and s1 == e0  # contiguous, one span/window
+    for src in {s for s, _ in per_chunk}:
+        chunks = sorted(c for s, c in per_chunk if s == src)
+        for c in chunks[:-1]:
+            assert per_chunk[(src, c)] == 2048, (src, c)
+        assert 0 < per_chunk[(src, chunks[-1])] <= 2048
