@@ -466,3 +466,93 @@ def gopher_repetition(spark, sf_dir):
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "dsir_weights",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bkt
+        FROM t
+    ),
+    raw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+    tgt AS (
+        SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en'
+        GROUP BY bkt
+    ),
+    tots AS (
+        SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt
+    ),
+    model AS (
+        SELECT raw.bkt,
+               ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                   - ln((cr + 1.0) / (tr + 4096.0)) AS logratio
+        FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt, tots
+    )
+    SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+           round(avg(logratio), 4) AS dsir_weight
+    FROM b JOIN model USING (bkt)
+    GROUP BY doc_id, lang
+    """,
+)
+def dsir_weights(spark, sf_dir):
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): per-doc importance weight = mean log-ratio of a target-domain
+    hashed-feature unigram LM (here: the English-language slice as
+    the target domain) over the raw-corpus LM, Laplace-smoothed, features = word
+    unigrams hashed into 4096 buckets. The DSIR recipe without the
+    Gumbel sampling step (nondeterministic by design — the weights ARE
+    the deliverable; resampling is one ORDER BY weight + rand away).
+    Entirely JVM SQL: one explode + md5-bucket projection, two bucket
+    count aggregates (4096-row model tables — broadcast-join territory,
+    and the trained model persists/reuses across scoring runs at
+    scale), one doc aggregate. Hash is the portable md5-prefix trick so
+    DuckDB re-derives bit-identical buckets."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % 4096
+        ).alias("bkt"),
+    )
+    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        b.where(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    model = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + 4096.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + 4096.0))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        b.join(F.broadcast(model), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg("logratio"), 4).alias("dsir_weight"),
+        )
+    )

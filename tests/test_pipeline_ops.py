@@ -442,3 +442,24 @@ def test_sequence_packing_invariants(spark, sf_dir):
         for c in chunks[:-1]:
             assert per_chunk[(src, c)] == 2048, (src, c)
         assert 0 < per_chunk[(src, chunks[-1])] <= 2048
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """DSIR importance weights must rank the target domain (lang='en')
+    above every other language on average — the defining property of
+    importance resampling — and be finite for every doc."""
+    import math
+    from collections import defaultdict
+
+    from dtaidistance_spark.operators.text_q import dsir_weights
+
+    rows = dsir_weights(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert math.isfinite(r.dsir_weight)
+        by_lang[r.lang].append(r.dsir_weight)
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    assert set(means) > {"en"}
+    for lang, mu in means.items():
+        if lang != "en":
+            assert means["en"] > mu, (lang, mu, means["en"])
