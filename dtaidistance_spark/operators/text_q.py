@@ -337,7 +337,12 @@ def unigram_logprob(spark, sf_dir):
     toks = T(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted so the LM is trained ONCE — both the total and the
+    # scoring join read the materialized vocab instead of re-running
+    # the explode+count over the corpus (2 redundant full scans at
+    # 100 TB otherwise); this is also the "ship the trained model"
+    # hook: persist -> write once, reuse across scoring runs
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = vocab.agg(F.sum("cnt").alias("tot"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "tok", F.log(F.col("cnt") / F.col("tot")).alias("logp")

@@ -69,6 +69,12 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "gorilla_roundtrip",     # encode/decode mapInPandas
         "minhash_lsh_neardups",  # pure SQL — no Python at all
         "ann_ivf_topk",          # pandas_udf assignment
+        "ann_ivfpq_topk",        # PQ encode + ADC pandas_udfs
+        "unigram_logprob",       # pure SQL curation op
+        "gopher_repetition",     # pure SQL curation op
+        "dsir_weights",          # pure SQL curation op
+        "sequence_packing",      # window SQL packing
+        "neardup_components",    # iterative join rounds
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
