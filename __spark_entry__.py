@@ -29,6 +29,7 @@ def _registry():
         flagship,
         multimodal_q,
         queries,
+        sampling_q,
         streaming_q,
         synth_q,
         text_q,

@@ -12,6 +12,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     encoding_q,
     flagship,
     multimodal_q,
+    sampling_q,
     streaming_q,
     text_q,
 )

@@ -75,6 +75,10 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "dsir_weights",          # pure SQL curation op
         "sequence_packing",      # window SQL packing
         "neardup_components",    # iterative join rounds
+        "decontaminate",         # gram explode + broadcast semi join
+        "domain_mixing_sample",  # pure SQL hash sampling
+        "train_split_assign",    # pure SQL hash split
+        "bloom_dedup_check",     # bloom probe pandas_udf
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
