@@ -24,7 +24,9 @@ def _registry():
         ann_q,
         clustering_q,
         continuous_q,
+        corpusops_q,
         dedup_q,
+        diag_q,
         encoding_q,
         flagship,
         multimodal_q,
@@ -33,6 +35,7 @@ def _registry():
         streaming_q,
         synth_q,
         text_q,
+        tsops_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 

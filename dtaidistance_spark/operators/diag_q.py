@@ -1,0 +1,331 @@
+"""Full-value DuckDB oracles for the DTW kernel family via band
+degeneration.
+
+The round-1 verdict left the DTW/DBA operators "rows-only": their
+outputs are not SQL-expressible in general, so the driver could only
+count rows while pytest carried the exactness evidence. This module
+closes that gap with a *degenerate-configuration* trick: with
+``window=1`` and equal-length series the Sakoe-Chiba band collapses to
+the main diagonal (``_band_params``: a = b = 0, so anti-diagonal k has
+an empty interior unless i == j), and banded DTW *is* the Euclidean
+distance — which DuckDB recomputes independently with list lambdas over
+the re-derived synthetic table (``synth_q.synth_sql``).
+
+Crucially these queries drive the PRODUCTION operators (``dtw_pairs``'s
+LB cascade + cogrouped batch DP, ``dtw_knn``'s running-kth cascade,
+``dba_rollup``'s full shuffle/stride/Arrow pipeline, ``medoids``'s
+min_by aggregation) — only the kernel *configuration* degenerates, no
+code path is swapped. Every arithmetic step stays integer-valued in
+float64 (token values < 5e4, squared sums < 2^53), so Spark and DuckDB
+produce bit-identical doubles and the driver's value hash matches
+exactly — no rounding tolerance needed.
+
+Identity oracles complete the family: DBA of k identical series is that
+series exactly ((k*v)/k round-trips exactly in IEEE-754 when k*v is
+representable), the warping path of (s, s) under window=1 is the pure
+diagonal, NW(s, s) = len(s)*match and NW(s, s[1:]) = len(s)-2 for any
+token content, and a query that is a verbatim slice of one document
+subsequence-matches it at value 0 at the known offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import kernels as K
+from dtaidistance_spark import synth
+from dtaidistance_spark.clustering import hierarchical as H
+from dtaidistance_spark.operators import pairs as P
+from dtaidistance_spark.operators import rollup as R
+from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+_L = 64
+
+
+def _sliced(spark, n: int, length: int = _L):
+    """First ``length`` tokens of every synthetic series: equal-length
+    corpus, SQL twin = ``tokens[1:length]`` on the re-derived table."""
+    return synth.sequences_df(spark, n).withColumn(
+        "tokens", F.slice("tokens", 1, length)
+    )
+
+
+def _euclid_sql(ta: str, tb: str, length: int = _L) -> str:
+    """DuckDB expression: Euclidean distance between two equal-length
+    BIGINT lists (exact integer sum, then one correctly-rounded sqrt —
+    bit-identical to the kernel's float64 diagonal DP)."""
+    return (
+        f"sqrt(list_sum(list_transform(range({length}), "
+        f"j -> ({ta}[j+1] - {tb}[j+1]) * ({ta}[j+1] - {tb}[j+1])))::DOUBLE)"
+    )
+
+
+@register(
+    "dtw_diag_pairs",
+    oracle=synth_sql(160)
+    + f"""
+    , s AS (SELECT doc_id, tokens[1:{_L}] AS t FROM synth)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_euclid_sql('a.t', 'b.t')} AS dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    """,
+)
+def dtw_diag_pairs(spark, sf_dir):
+    """K1/K2/M1 full-value oracle: the complete LB-cascade pairs
+    pipeline (bucket join, LB_Kim SQL filter, LB_Keogh envelope filter,
+    cogrouped batched anti-diagonal DP) at window=1 over the
+    equal-length corpus — every one of the 12720 distances must equal
+    DuckDB's independent Euclidean recomputation bit-for-bit."""
+    df = _sliced(spark, 160)
+    out = P.dtw_pairs(df, threshold=1e9, window=1, max_length_diff=0)
+    return out.select("id_a", "id_b", "dist")
+
+
+@register(
+    "dtw_diag_knn",
+    oracle=synth_sql(160)
+    + f"""
+    , s AS (SELECT doc_id, tokens[1:{_L}] AS t FROM synth),
+    q AS (
+      SELECT 'q0' AS query_id, t FROM s WHERE doc_id = 'doc000000000000'
+      UNION ALL
+      SELECT 'q1', t FROM s WHERE doc_id = 'doc000000000007'
+    ),
+    d AS (
+      SELECT q.query_id, s.doc_id,
+             {_euclid_sql('q.t', 's.t')} AS dist
+      FROM q CROSS JOIN s
+    )
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id)::INT AS rank,
+           dist
+    FROM d
+    QUALIFY rank <= 5
+    """,
+)
+def dtw_diag_knn(spark, sf_dir):
+    """M5/kNN full-value oracle: the LB_Kim/LB_Keogh + running-kth
+    cascade at window=1 — top-5 per query with exact distances and the
+    doc_id tie-break, vs DuckDB's window-rank over brute Euclidean."""
+    df = _sliced(spark, 160)
+    pdf = synth.sequences_local(8)
+    qs = [
+        ("q0", [float(x) for x in pdf["tokens"].iloc[0][:_L]]),
+        ("q1", [float(x) for x in pdf["tokens"].iloc[7][:_L]]),
+    ]
+    out = P.dtw_knn(df, qs, k=5, window=1)
+    return out.select("query_id", "doc_id", "rank", "dist")
+
+
+@register(
+    "dtw_ndim_diag",
+    oracle=synth_sql(24)
+    + """
+    , s AS (
+      SELECT doc_id, tokens[1:64] AS t1, tokens[65:128] AS t2
+      FROM synth WHERE n_tok >= 128
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           sqrt(list_sum(list_transform(range(64), j ->
+             (a.t1[j+1] - b.t1[j+1]) * (a.t1[j+1] - b.t1[j+1])
+           + (a.t2[j+1] - b.t2[j+1]) * (a.t2[j+1] - b.t2[j+1])))::DOUBLE) AS dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    """,
+)
+def dtw_ndim_diag(spark, sf_dir):
+    """K7 full-value oracle: dependent multi-dim DTW at window=1 ==
+    sqrt(sum_t ||a_t - b_t||^2); dims are two disjoint 64-token slices
+    of each synthetic series, both re-derivable in SQL."""
+    df = (
+        synth.sequences_df(spark, 24)
+        .where(F.col("n_tok") >= 128)
+        .select(
+            "doc_id",
+            F.slice("tokens", 1, 64).alias("t1"),
+            F.slice("tokens", 65, 64).alias("t2"),
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            rows = sorted(zip(b["doc_id"], b["t1"], b["t2"]))
+            out = {"id_a": [], "id_b": [], "dist": []}
+            for (da, a1, a2), (db, b1, b2) in (
+                (x, y) for x in rows for y in rows if x[0] < y[0]
+            ):
+                sa = np.stack([a1, a2], axis=1).astype(np.float64)
+                sb = np.stack([b1, b2], axis=1).astype(np.float64)
+                out["id_a"].append(da)
+                out["id_b"].append(db)
+                out["dist"].append(K.dtw_ndim_distance(sa, sb, window=1))
+            yield pd.DataFrame(out)
+
+    return df.coalesce(1).mapInPandas(
+        kernel, "id_a string, id_b string, dist double"
+    )
+
+
+@register(
+    "rollup_diag_identity",
+    oracle=synth_sql(48)
+    + f"""
+    SELECT doc_id AS key,
+           date_trunc('minute', ts)::TIMESTAMP AS window_start,
+           3::BIGINT AS n_series, {3 * _L}::BIGINT AS n_points,
+           md5(array_to_string(tokens[1:{_L}], ',')) AS bary_md5
+    FROM synth
+    """,
+)
+def rollup_diag_identity(spark, sf_dir):
+    """A1 (DBA rollup) identity oracle through the FULL production
+    pipeline — map-side PAA, window-rank stride sample, shuffle,
+    collect_list, batched DBA DP: three identical copies of each series
+    roll up to that series exactly, so the barycenter's integer CSV md5
+    must equal DuckDB's md5 over the re-derived tokens."""
+    base = _sliced(spark, 48)
+    df = base.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+        F.col("doc_id").alias("orig"),
+        "tokens",
+        "ts",
+    ).select(
+        F.concat("orig", F.lit("#"), F.col("r").cast("string")).alias("doc_id"),
+        "tokens",
+        F.col("orig").alias("source"),
+        "ts",
+    )
+    out = R.dba_rollup(
+        df, tier="1 minute", barycenter_len=_L, dba_window=4
+    )
+    return out.select(
+        "key",
+        "window_start",
+        "n_series",
+        "n_points",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "barycenter",
+                    lambda x: F.round(x).cast("bigint").cast("string"),
+                ),
+            )
+        ).alias("bary_md5"),
+    )
+
+
+@register(
+    "medoid_diag",
+    oracle=synth_sql(96)
+    + f"""
+    , s AS (SELECT doc_id, source, tokens[1:{_L}] AS t FROM synth),
+    d AS (
+      SELECT a.source AS cluster, a.doc_id AS _id,
+             {_euclid_sql('a.t', 'b.t')} AS dist
+      FROM s a JOIN s b
+        ON a.source = b.source AND a.doc_id <> b.doc_id
+    ),
+    sums AS (
+      SELECT cluster, _id, sum(dist) AS _total,
+             row_number() OVER (PARTITION BY cluster ORDER BY sum(dist), _id) AS rn
+      FROM d GROUP BY cluster, _id
+    )
+    SELECT cluster, _id AS medoid, round(_total, 2) AS sum_dist
+    FROM sums WHERE rn = 1
+    """,
+)
+def medoid_diag(spark, sf_dir):
+    """A3 full-value oracle: per-source medoid over window=1 pair
+    distances — the distributed union-both-directions + min_by
+    aggregation vs DuckDB's row-sum argmin (round(,2) absorbs
+    summation-order ulps; the argmin itself is far from any tie)."""
+    df = _sliced(spark, 96)
+    prs = P.dtw_pairs(df, threshold=1e12, window=1, max_length_diff=0)
+    by = df.select("doc_id", F.col("source").alias("cluster"))
+    return H.medoids(prs, by=by).select(
+        "cluster", "medoid", F.round("sum_dist", 2).alias("sum_dist")
+    )
+
+
+@register(
+    "warp_diag_identity",
+    oracle=synth_sql(48)
+    + """
+    SELECT doc_id, least(n_tok, 128)::INT AS n_steps,
+           0 AS n_warped, 0.0 AS dist
+    FROM synth
+    """,
+)
+def warp_diag_identity(spark, sf_dir):
+    """P1-P3/P5 oracle: the warping path of (s, s) under window=1 is
+    the pure diagonal — path length = series length (per-row from the
+    SQL-re-derived n_tok), zero non-diagonal moves (warping_amount),
+    zero distance. Drives the matrix fill + best_path backtrack."""
+    df = _sliced(spark, 48, length=128)
+
+    def kernel(batches):
+        for b in batches:
+            out = {"doc_id": [], "n_steps": [], "n_warped": [], "dist": []}
+            for did, toks in zip(b["doc_id"], b["tokens"]):
+                s = np.asarray(toks, dtype=np.float64)
+                path = K.warping_path(s, s, window=1)
+                out["doc_id"].append(did)
+                out["n_steps"].append(len(path))
+                out["n_warped"].append(K.warping_amount(path))
+                out["dist"].append(K.dtw_distance(s, s, window=1))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel, "doc_id string, n_steps int, n_warped int, dist double"
+    )
+
+
+@register(
+    "nw_diag",
+    oracle=synth_sql(24)
+    + """
+    SELECT doc_id,
+           least(n_tok, 96)::DOUBLE AS self_score,
+           (least(n_tok, 96) - 2)::DOUBLE AS del_score
+    FROM synth
+    """,
+)
+def nw_diag(spark, sf_dir):
+    """P6 oracle: NW(s, s) = len(s)*match and NW(s, s[1:]) = len(s)-2
+    for ANY token content at unit match/gap costs — per-row scores from
+    the real DP matrix, lengths re-derived in SQL."""
+    df = _sliced(spark, 24, length=96)
+
+    def kernel(batches):
+        for b in batches:
+            out = {"doc_id": [], "self_score": [], "del_score": []}
+            for did, toks in zip(b["doc_id"], b["tokens"]):
+                s = [int(x) for x in toks]
+                sc_self, _ = K.needleman_wunsch(s, s)
+                sc_del, _ = K.needleman_wunsch(s, s[1:])
+                out["doc_id"].append(did)
+                out["self_score"].append(sc_self)
+                out["del_score"].append(sc_del)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel, "doc_id string, self_score double, del_score double"
+    )
+
+
+@register(
+    "subsequence_diag_identity",
+    oracle="SELECT 'doc000000000007' AS doc_id, 16 AS start, 47 AS \"end\", 0.0 AS value",
+)
+def subsequence_diag_identity(spark, sf_dir):
+    """M4/M5 oracle: a query that is a verbatim 32-token slice of doc 7
+    must win the global ranking at value 0 with the exact (start, end)
+    of that slice."""
+    df = _sliced(spark, 40, length=96)
+    pdf = synth.sequences_local(8)
+    q = [float(x) for x in pdf["tokens"].iloc[7][16:48]]
+    out = P.subsequence_search(df, q, k=1, window=8)
+    return out.select("doc_id", "start", "end", "value")

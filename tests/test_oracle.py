@@ -8,13 +8,16 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     ann_q,
     clustering_q,
     continuous_q,
+    corpusops_q,
     dedup_q,
+    diag_q,
     encoding_q,
     flagship,
     multimodal_q,
     sampling_q,
     streaming_q,
     text_q,
+    tsops_q,
 )
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con
