@@ -1,0 +1,267 @@
+"""Time-series database operators, round 2 batch: reset-aware counter
+aggregation (TimescaleDB ``counter_agg`` semantics), min/max-preserving
+downsampling, and SAX symbolization — pure JVM SQL, fully
+DuckDB-oracled.
+
+Determinism: the counter correction is a cumulative window sum over a
+totally-ordered frame (ts, event_id), evaluated strictly left-to-right
+by both engines on identical doubles — bit-identical, no tolerance.
+SAX is built from EXACT integer power sums (token values < 5e4, sums
+and squared sums < 2^53): mean, std, and per-segment means are each a
+single correctly-rounded division of identical integers, so the z-score
+comparisons against the N(0,1) quartile breakpoints pick identical
+letters in both engines.
+
+Scale: counter/downsample are one hash shuffle on the entity key with
+windowed evaluation (spillable sort); SAX is a scan-side projection
+with zero shuffles — the per-row HOF aggregates stay inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+# ---------------------------------------------------------------------------
+# R17 — counter_agg: reset-aware counter delta (TimescaleDB semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "counter_rate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+    ),
+    l AS (
+      SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM s
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN prev IS NOT NULL AND value < prev THEN prev
+                  ELSE 0.0 END AS rb
+      FROM l
+    ),
+    cc AS (
+      SELECT *,
+             value + sum(rb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS corrected,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first
+      FROM c
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_samples,
+           sum((rb > 0)::INT)::BIGINT AS n_resets,
+           round(max(CASE WHEN rn_last = 1 THEN corrected END)
+                 - max(CASE WHEN rn_first = 1 THEN corrected END), 6)
+             AS counter_delta
+    FROM cc GROUP BY user_id
+    """,
+)
+def counter_rate(spark, sf_dir):
+    """R17: TimescaleDB-style ``counter_agg``: treat each user's
+    'click' value stream as a monotone counter with resets — a drop
+    below the previous sample adds that sample's value back as a reset
+    offset; the corrected series is the running value + cumulative
+    reset base, and the per-user delta is corrected(last) -
+    corrected(first). One shuffle on user_id; the lag/cumsum/rank all
+    share a single window sort."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        ev.withColumn("prev", F.lag("value").over(w))
+        .withColumn(
+            "rb",
+            F.when(
+                F.col("prev").isNotNull() & (F.col("value") < F.col("prev")),
+                F.col("prev"),
+            ).otherwise(0.0),
+        )
+        .withColumn("corrected", F.col("value") + F.sum("rb").over(wcum))
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum((F.col("rb") > 0).cast("int")).alias("n_resets"),
+        F.round(
+            F.max_by("corrected", F.struct("ts", "event_id"))
+            - F.min_by("corrected", F.struct("ts", "event_id")),
+            6,
+        ).alias("counter_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R18 — min/max-preserving downsample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minmax_downsample",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+             ts, event_id, value
+      FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY value, ts, event_id) AS rn_min,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY value DESC, ts DESC, event_id DESC)
+               AS rn_max
+      FROM s
+    )
+    SELECT user_id, day, 'min' AS kind, ts, value FROM r WHERE rn_min = 1
+    UNION ALL
+    SELECT user_id, day, 'max', ts, value FROM r WHERE rn_max = 1
+    """,
+)
+def minmax_downsample(spark, sf_dir):
+    """R18: extrema-preserving downsample (the TSDB rendering
+    downsampler): per (user, day) bucket emit exactly the min-value and
+    max-value points with full deterministic tie-breaks — unlike avg
+    rollups this keeps spikes visible at any zoom. Single shuffle on
+    the bucket key; both ranks share one window sort each way."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    wmin = Window.partitionBy("user_id", "day").orderBy(
+        "value", "ts", "event_id"
+    )
+    wmax = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.withColumn("rn_min", F.row_number().over(wmin)).withColumn(
+        "rn_max", F.row_number().over(wmax)
+    )
+    lo = r.where(F.col("rn_min") == 1).select(
+        "user_id", "day", F.lit("min").alias("kind"), "ts", "value"
+    )
+    hi = r.where(F.col("rn_max") == 1).select(
+        "user_id", "day", F.lit("max").alias("kind"), "ts", "value"
+    )
+    return lo.unionByName(hi)
+
+
+# ---------------------------------------------------------------------------
+# S5 — SAX symbolization (Lin/Keogh 2003) over the synthetic token table
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = 8
+# N(0,1) quartile breakpoints for a 4-letter alphabet
+_BREAKS = (-0.6745, 0.0, 0.6745)
+
+# segment means computed ONCE (left-closed (j*n)//m blocks, exact
+# integer sums), then binned — the z-score per segment is evaluated a
+# single time, not once per CASE branch
+_SAX_EXPR = f"""
+array_join(transform(
+  transform(sequence(0, {_SEGMENTS - 1}), j ->
+    (aggregate(slice(tokens,
+        cast((cast(j AS BIGINT) * n) div {_SEGMENTS} AS INT) + 1,
+        cast(((cast(j AS BIGINT) + 1) * n) div {_SEGMENTS}
+             - (cast(j AS BIGINT) * n) div {_SEGMENTS} AS INT)),
+      0L, (a, x) -> a + cast(x AS BIGINT))
+    / cast(((cast(j AS BIGINT) + 1) * n) div {_SEGMENTS}
+           - (cast(j AS BIGINT) * n) div {_SEGMENTS} AS DOUBLE)
+    - mu) / sigma),
+  z -> CASE WHEN z < {_BREAKS[0]}D THEN 'a'
+            WHEN z < {_BREAKS[1]}D THEN 'b'
+            WHEN z < {_BREAKS[2]}D THEN 'c'
+            ELSE 'd' END), '')
+"""
+
+
+@register(
+    "sax_symbols",
+    oracle=synth_sql(256)
+    + f"""
+    , m AS (
+      SELECT doc_id, n_tok,
+             list_sum(tokens)::DOUBLE / n_tok AS mu,
+             sqrt(list_sum(list_transform(tokens, x -> x * x))::DOUBLE / n_tok
+                  - (list_sum(tokens)::DOUBLE / n_tok)
+                    * (list_sum(tokens)::DOUBLE / n_tok)) AS sigma,
+             tokens
+      FROM synth
+    )
+    SELECT doc_id, n_tok,
+           array_to_string(list_transform(range({_SEGMENTS}), j -> CASE
+             WHEN ((list_sum(tokens[(j * n_tok) // {_SEGMENTS} + 1
+                                    : ((j + 1) * n_tok) // {_SEGMENTS}])::DOUBLE
+                    / (((j + 1) * n_tok) // {_SEGMENTS}
+                       - (j * n_tok) // {_SEGMENTS})
+                    - mu) / sigma) < {_BREAKS[0]} THEN 'a'
+             WHEN ((list_sum(tokens[(j * n_tok) // {_SEGMENTS} + 1
+                                    : ((j + 1) * n_tok) // {_SEGMENTS}])::DOUBLE
+                    / (((j + 1) * n_tok) // {_SEGMENTS}
+                       - (j * n_tok) // {_SEGMENTS})
+                    - mu) / sigma) < {_BREAKS[1]} THEN 'b'
+             WHEN ((list_sum(tokens[(j * n_tok) // {_SEGMENTS} + 1
+                                    : ((j + 1) * n_tok) // {_SEGMENTS}])::DOUBLE
+                    / (((j + 1) * n_tok) // {_SEGMENTS}
+                       - (j * n_tok) // {_SEGMENTS})
+                    - mu) / sigma) < {_BREAKS[2]} THEN 'c'
+             ELSE 'd' END), '') AS sax
+    FROM m
+    """,
+)
+def sax_symbols(spark, sf_dir):
+    """S5: SAX symbolization (Lin & Keogh 2003) of every synthetic
+    series — z-normalize, PAA to 8 segments (the engine's left-closed
+    ``(j*n)//m`` block scheme, same as :func:`kernels.paa`), bin
+    against the N(0,1) quartile breakpoints into 'a'..'d'. Entirely
+    integer-exact up to the final divisions (token power sums < 2^53),
+    so the letters are bit-deterministic across engines. Zero shuffles:
+    a scan-side codegen projection."""
+    df = synth.sequences_df(spark, 256).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n"),
+        "tokens",
+    )
+    m = df.select(
+        "doc_id",
+        "n",
+        "tokens",
+        (
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x AS BIGINT))")
+            .cast("double")
+            / F.col("n")
+        ).alias("mu"),
+        F.sqrt(
+            F.expr(
+                "aggregate(tokens, 0L, (a, x) -> "
+                "a + cast(x AS BIGINT) * cast(x AS BIGINT))"
+            ).cast("double")
+            / F.col("n")
+            - (
+                F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x AS BIGINT))")
+                .cast("double")
+                / F.col("n")
+            )
+            * (
+                F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x AS BIGINT))")
+                .cast("double")
+                / F.col("n")
+            )
+        ).alias("sigma"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tok"),
+        F.expr(_SAX_EXPR).alias("sax"),
+    )

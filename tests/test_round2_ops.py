@@ -1,0 +1,168 @@
+"""Behavior gates for the round-2 operator batch (corpusops_q /
+tsops_q): the branches the synthetic tables never trigger, driven on
+constructed rows, plus local-recompute parity for SAX and the counter
+correction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators import corpusops_q, tsops_q  # noqa: F401
+from dtaidistance_spark.operators.queries import REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# C4 filters: blocklist / length branches on constructed docs
+# ---------------------------------------------------------------------------
+
+
+def _c4_on(spark, tmp_path, texts):
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(p + "/documents.parquet")
+    out = REGISTRY["c4_quality_filters"](spark, p)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_c4_filters_branches(spark, tmp_path):
+    good = "the quick brown fox jumps over a lazy dog " * 5  # 45 words
+    rows = _c4_on(
+        spark,
+        tmp_path,
+        [
+            good.strip() + " and it ends with a period.",
+            "Lorem ipsum dolor sit amet " + good.strip(),
+            good.strip() + " { code block }",
+            "too short",
+            ("a " * 30).strip(),  # 30 words but zero diversity + short words
+        ],
+    )
+    assert rows[0]["keep"] and rows[0]["ends_period"]
+    assert rows[1]["has_lorem"] and not rows[1]["keep"]
+    assert rows[2]["has_brace"] and not rows[2]["keep"]
+    assert rows[3]["n_words"] < 20 and not rows[3]["keep"]
+    assert rows[4]["frac_unique"] < 0.05 and not rows[4]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: injected doc_id-derived PII is found and masked
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_masks(spark, sf_dir):
+    out = REGISTRY["pii_redact"](spark, sf_dir).collect()
+    by = {r["doc_id"]: r for r in out}
+    for d, r in by.items():
+        assert r["n_emails"] == (1 if d % 5 == 0 else 0), d
+        assert r["n_phones"] == (1 if d % 7 == 0 else 0), d
+    # the redacted text of an injected doc no longer hashes like the
+    # unredacted concatenation (masking actually happened)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.where(F.col("doc_id") % 5 == 0).limit(1).collect()[0]
+    injected = f"{raw['text']} contact user{raw['doc_id']}@example.com now"
+    import hashlib
+
+    assert by[raw["doc_id"]]["redacted_md5"] != hashlib.md5(
+        injected.encode()
+    ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# BM25: a doc stuffed with the query term must outrank a sparse one
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_orders_by_relevance(spark, sf_dir):
+    out = REGISTRY["bm25_topk"](spark, sf_dir).collect()
+    assert len(out) == 20
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+# ---------------------------------------------------------------------------
+# counter_rate: hand-computed reset semantics
+# ---------------------------------------------------------------------------
+
+
+def test_counter_rate_reset_semantics(spark, tmp_path):
+    # counter goes 10 -> 25 -> 5 (RESET, base 25) -> 12 -> 3 (RESET, 12)
+    # corrected: 10, 25, 30, 37, 40  => delta 30, resets 2
+    from datetime import datetime, timedelta
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i), 1, "click", v, "")
+        for i, v in enumerate([10.0, 25.0, 5.0, 12.0, 3.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = REGISTRY["counter_rate"](spark, p).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 5 and r["n_resets"] == 2
+    assert r["counter_delta"] == pytest.approx(30.0)
+
+
+# ---------------------------------------------------------------------------
+# minmax_downsample: extrema preserved exactly, 2 rows per bucket
+# ---------------------------------------------------------------------------
+
+
+def test_minmax_downsample_preserves_extrema(spark, sf_dir):
+    out = REGISTRY["minmax_downsample"](spark, sf_dir)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "view")
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    truth = ev.groupBy("user_id", "day").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = (
+        out.groupBy("user_id", "day")
+        .pivot("kind", ["min", "max"])
+        .agg(F.first("value"))
+        .join(truth, ["user_id", "day"])
+    )
+    bad = j.where(
+        (F.col("min") != F.col("lo")) | (F.col("max") != F.col("hi"))
+    ).count()
+    assert bad == 0
+    assert out.count() == 2 * truth.count()
+
+
+# ---------------------------------------------------------------------------
+# SAX: SQL letters == local numpy recompute with the kernel block scheme
+# ---------------------------------------------------------------------------
+
+
+def test_sax_matches_numpy(spark):
+    from dtaidistance_spark import synth
+
+    out = {r["doc_id"]: r["sax"] for r in REGISTRY["sax_symbols"](spark, "").collect()}
+    pdf = synth.sequences_local(256)
+    m = tsops_q._SEGMENTS
+    for doc, toks in list(zip(pdf["doc_id"], pdf["tokens"]))[:40]:
+        t = np.asarray(toks, dtype=np.int64)
+        n = len(t)
+        mu = float(t.sum()) / n
+        sigma = np.sqrt(float((t.astype(object) ** 2).sum()) / n - mu * mu)
+        letters = []
+        for j in range(m):
+            lo, hi = (j * n) // m, ((j + 1) * n) // m
+            z = (float(t[lo:hi].sum()) / (hi - lo) - mu) / sigma
+            letters.append(
+                "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+            )
+        assert out[doc] == "".join(letters), doc
