@@ -119,6 +119,33 @@ def main() -> None:
         final_plan(reg["bloom_dedup_check"](spark, SF)),
     ))
 
+    sections.append((
+        "bm25_topk (BM25 ranked retrieval, T25)",
+        "explode -> per-(doc,term) tf; the vocabulary-sized df/idf "
+        "table and the 1-row corpus stats BROADCAST onto the tf "
+        "stream; one global window rank for top-k. The only exchanges "
+        "are the tf aggregate and the final single-partition rank.",
+        final_plan(reg["bm25_topk"](spark, SF)),
+    ))
+
+    sections.append((
+        "counter_rate (reset-aware counter_agg, R17)",
+        "ONE hash exchange on user_id feeds a single window sort that "
+        "evaluates lag, the cumulative reset base, and both rank "
+        "directions; the per-user aggregate rides the same "
+        "partitioning. No Python anywhere.",
+        final_plan(reg["counter_rate"](spark, SF)),
+    ))
+
+    sections.append((
+        "sax_symbols (SAX symbolization, S5)",
+        "ZERO exchanges: z-norm moments and 8 segment means are "
+        "integer-exact HOF aggregates evaluated scan-side; the "
+        "distributed generator is the only non-SQL node (gated "
+        "shuffle-free in tests/test_plans.py).",
+        final_plan(reg["sax_symbols"](spark, SF)),
+    ))
+
     out = [
         "# PLANS — final executed physical plans of the headline pipelines",
         "",

@@ -79,6 +79,13 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "domain_mixing_sample",  # pure SQL hash sampling
         "train_split_assign",    # pure SQL hash split
         "bloom_dedup_check",     # bloom probe pandas_udf
+        "c4_quality_filters",    # pure SQL rule gate
+        "pii_redact",            # JVM regex count + mask
+        "bm25_topk",             # explode + broadcast df/idf + window rank
+        "counter_rate",          # window lag/cumsum per user
+        "minmax_downsample",     # window ranks per bucket
+        "sax_symbols",           # HOF aggregates, zero shuffles
+        "dtw_diag_pairs",        # diag-oracle pairs (Arrow kernel only)
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
@@ -128,3 +135,27 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         BK.drop_bucketed(spark, "t_bkt_gate")
+
+
+def test_sax_is_shuffle_free(spark, sf_dir):
+    """S5 claim: SAX symbolization is a scan-side codegen projection —
+    ZERO Exchange nodes in the executed plan."""
+    import re
+
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["sax_symbols"](spark, sf_dir))
+    assert not re.findall(r"Exchange hashpartitioning", plan), plan
+
+
+def test_counter_rate_single_user_shuffle(spark, sf_dir):
+    """R17 claim: lag + cumulative reset base + first/last all share
+    ONE hash exchange on user_id (a second exchange appears only for
+    the final aggregate's partials, which AQE coalesces)."""
+    import re
+
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["counter_rate"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert n <= 2, plan
