@@ -32,6 +32,7 @@ def _registry():
         multimodal_q,
         queries,
         sampling_q,
+        sketch_q,
         streaming_q,
         synth_q,
         text_q,

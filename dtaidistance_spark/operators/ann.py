@@ -403,3 +403,68 @@ def ivf_pq_topk(
             F.round("approx_cosine", 4).alias("approx_cosine"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    dim: int,
+    n_list: int = 16,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by cosine
+    similarity WITHIN k-means clusters — a document is dropped iff some
+    lower-id document in its cluster is >= ``tau`` cosine-similar
+    (lowest id = canonical keeper, deterministic).
+
+    Scale shape: the cluster assignment reuses the IVF coarse quantizer
+    (driver-trained on a bounded hash-ordered sample, broadcast into
+    one BLAS matmul per Arrow batch), so the pair generation is a
+    self-join ON THE CLUSTER KEY — work scales with sum(cluster_size^2)
+    = N^2/n_list for balanced clusters, never all-pairs; n_list grows
+    with the corpus (FAISS sizing: ~sqrt(N) lists) to hold the
+    per-cluster quadratic cost constant. Invariant (gated): among kept
+    rows no same-cluster pair reaches tau, because a would-be duplicate
+    always has the lower-id end as witness regardless of that witness's
+    own keep status.
+
+    Returns (id, cluster, keep boolean).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, dim, n_list=n_list, id_col=id_col, vec_col=vec_col
+        )
+    assigned = (
+        add_ivf_lists(emb, centroids, n_probe=1, vec_col=vec_col, out_col="_l")
+        .withColumn("cluster", F.element_at("_l", 1))
+        .drop("_l")
+    ).persist()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        "cluster",
+    )
+    dup_of = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(_norm_dot("va", "vb") >= tau)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_of.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -180,3 +180,49 @@ def ann_ivfpq_recall_check(spark, sf_dir):
         F.lit(0.45).alias("floor"),
         (F.col("recall_at_k") >= 0.45).alias("met"),
     )
+
+
+@register("semdedup")
+def semdedup_q(spark, sf_dir):
+    """T26 SemDeDup (Abbas et al. 2023): semantic dedup within IVF
+    k-means clusters (rows-only — cluster ids come from the
+    driver-trained quantizer; deterministic but not SQL-derivable; the
+    keep-set invariants are driver-checked by semdedup_check and the
+    injected-duplicate behavior by tests/test_round2_ops.py)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return A.semdedup(emb, dim=64, n_list=16, tau=0.9)
+
+
+@register(
+    "semdedup_check",
+    oracle="""
+    SELECT (SELECT count(*) FROM embeddings) AS n_total,
+           true AS all_assigned, true AS no_dup_kept
+    """,
+)
+def semdedup_check(spark, sf_dir):
+    """Driver-checkable projection of SemDeDup: every vector gets a
+    row and a cluster (n_total oracled against plain SQL), and the
+    kept set contains NO same-cluster pair at cosine >= tau — verified
+    by recomputing pair similarities over the kept rows (the lower-id
+    witness argument makes this a theorem for the operator; the check
+    would catch a broken join or keep flag)."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = A.semdedup(emb, dim=64, n_list=16, tau=0.9).persist()
+    kept = out.where("keep").join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    a = kept.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = kept.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    n_viol = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(A._norm_dot("va", "vb") >= 0.9)
+        .count()
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        (F.sum(F.col("cluster").isNull().cast("int")) == 0).alias("all_assigned"),
+        F.lit(n_viol == 0).alias("no_dup_kept"),
+    )

@@ -1,0 +1,277 @@
+"""Distributed-sketch and sampling operators, round 2: Count-Min
+heavy hitters, deterministic stratified sampling, bigram PMI — all
+pure JVM SQL, all fully DuckDB-oracled.
+
+The Count-Min sketch uses the same portable-hash-twin trick as the
+Bloom dedup operator: bucket indexes come from md5 (computable
+identically in Spark SQL and DuckDB), so the oracle REBUILDS the
+identical 4x256 counter array and recomputes the exact same estimates
+— the sketch itself is hash-verified, not just its invariants. The
+sketch is a sum-merge of per-partition counts (map-side combinable,
+associative — the tree-aggregate shape), which is what makes it a
+single-shuffle operator at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators.queries import T, register
+
+_D = 4      # CMS depth (hash rows)
+_W = 256    # CMS width (counters per row)
+_TOPK = 20
+
+
+def _bucket_expr(i: int, tok: str) -> str:
+    """Portable md5 bucket: first 8 hex chars -> uint32 -> % width.
+    Spark: conv(...,16,10) returns a decimal STRING -> cast; DuckDB:
+    ('0x' || substr)::BIGINT. Both nonnegative, same modulus."""
+    return (
+        f"pmod(cast(conv(substr(md5(concat('{i}:', {tok})), 1, 8), 16, 10) "
+        f"AS BIGINT), {_W})"
+    )
+
+
+def _bucket_sql(i: int, tok: str) -> str:
+    return f"((('0x' || substr(md5('{i}:' || {tok}), 1, 8))::BIGINT % {_W} + {_W}) % {_W})"
+
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+exact AS (
+  SELECT t, count(*) AS true_cnt FROM tok GROUP BY t
+),
+top AS (
+  SELECT t, true_cnt,
+         row_number() OVER (ORDER BY true_cnt DESC, t) AS rnk
+  FROM exact QUALIFY rnk <= {_TOPK}
+),
+sketch AS (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS row_i, {_bucket_sql(i, 't')} AS bucket, "
+      f"count(*) AS cnt FROM tok GROUP BY 1, 2"
+      for i in range(_D)
+  )}
+),
+est AS (
+  SELECT top.t, top.true_cnt, top.rnk, min(sketch.cnt) AS cms_est
+  FROM top JOIN sketch
+    ON sketch.row_i = 0 AND sketch.bucket = {_bucket_sql(0, "top.t")}
+    OR sketch.row_i = 1 AND sketch.bucket = {_bucket_sql(1, "top.t")}
+    OR sketch.row_i = 2 AND sketch.bucket = {_bucket_sql(2, "top.t")}
+    OR sketch.row_i = 3 AND sketch.bucket = {_bucket_sql(3, "top.t")}
+  GROUP BY 1, 2, 3
+)
+SELECT t AS tok, true_cnt, rnk AS rank, cms_est,
+       cms_est >= true_cnt AS no_underestimate
+FROM est
+"""
+
+
+@register("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark, sf_dir):
+    """T27: Count-Min sketch (Cormode/Muthukrishnan 2005) heavy
+    hitters: a 4x256 counter array built as ONE map-side-combined
+    (row, bucket) count aggregate over the exploded corpus — the
+    per-partition sketches merge by addition, the classic distributed
+    sketch. The top-20 exact tokens are then estimated from the sketch
+    (min over the 4 hashed counters) and the CMS no-underestimate
+    theorem is surfaced as a column. md5 bucket twins let DuckDB
+    rebuild the IDENTICAL sketch, so the estimates themselves
+    hash-match, not just the invariant."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("true_cnt").desc(), F.col("t"))
+            ),
+        )
+        .where(F.col("rank") <= _TOPK)
+    )
+    # sketch: explode each token into its _D (row, bucket) cells, one
+    # hash aggregate — partial counts ARE the per-partition sketches
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        F.expr(_bucket_expr(i, "t")).alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    sketch = cells.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # estimate: join the candidate's _D buckets against the sketch
+    probes = top.select(
+        "t",
+        "true_cnt",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        F.expr(_bucket_expr(i, "t")).alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("t", "true_cnt", "rank", "p.row_i", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("t", "true_cnt", "rank")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("t").alias("tok"),
+        "true_cnt",
+        "rank",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_cnt")).alias("no_underestimate"),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, rnk AS rank FROM r WHERE rnk <= 25
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """T28: deterministic stratified sampling — exactly k=25 documents
+    per source, chosen by md5 hash rank. Unlike ``randomSplit``/
+    ``sample`` this is idempotent across retries, partitionings, and
+    corpus APPENDS that don't touch the hash order's winners — the
+    right way to pin eval slices at 100 TB (same argument as
+    train_split_assign / domain_mixing_sample, but exact-k per
+    stratum). One window sort per stratum; no Python."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+        .select("doc_id", "source", "rank")
+    )
+
+
+@register(
+    "token_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM d
+    ),
+    bc AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+    un AS (
+      SELECT unnest(ws) AS t FROM d
+    ),
+    uc AS (SELECT t, count(*) AS n FROM un GROUP BY t),
+    tot AS (
+      SELECT (SELECT count(*) FROM un) AS n_tok,
+             (SELECT count(*) FROM bg) AS n_bg
+    ),
+    pmi AS (
+      SELECT bc.bigram, bc.n_ab,
+             round(ln(
+               (bc.n_ab::DOUBLE / tot.n_bg)
+               / ((a.n::DOUBLE / tot.n_tok) * (b.n::DOUBLE / tot.n_tok))
+             ), 6) AS pmi
+      FROM bc
+      JOIN uc a ON a.t = string_split(bc.bigram, ' ')[1]
+      JOIN uc b ON b.t = string_split(bc.bigram, ' ')[2]
+      CROSS JOIN tot
+      WHERE bc.n_ab >= 5
+    )
+    SELECT bigram, n_ab, pmi,
+           row_number() OVER (ORDER BY pmi DESC, bigram)::INT AS rank
+    FROM pmi QUALIFY rank <= 30
+    """,
+)
+def token_pmi(spark, sf_dir):
+    """T29: bigram pointwise mutual information (collocation mining /
+    tokenizer-merge scoring): bigram counts via a JVM transform+explode
+    (the decontaminate gram pattern), unigram counts broadcast onto the
+    bigram stream, PMI = ln(p(ab) / (p(a)p(b))) rounded(6) both sides
+    (libm ln ulps), min support 5, top 30. Two explode aggregates and
+    two broadcast joins — no Python, no N² anywhere."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(F.split("text", " ").alias("ws"))
+    # guard on the bigram side only: Spark's sequence(1, 0) steps
+    # DOWNWARD (a 1-word doc would yield [1, 0] and an invalid
+    # element_at) — DuckDB's range(1, 1) is naturally empty; unigram
+    # counts must keep every doc on both sides
+    bg = d.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    un = d.select(F.explode("ws").alias("t"))
+    uc = un.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = un.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    pmi = (
+        bc.where(F.col("n_ab") >= 5)
+        .withColumn("_a", F.split("bigram", " ")[0])
+        .withColumn("_b", F.split("bigram", " ")[1])
+        .join(
+            F.broadcast(uc.select(F.col("t").alias("_a"), F.col("n").alias("na"))),
+            "_a",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("t").alias("_b"), F.col("n").alias("nb"))),
+            "_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("n_bg"))
+                    / (
+                        (F.col("na").cast("double") / F.col("n_tok"))
+                        * (F.col("nb").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        pmi.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 30)
+        .select("bigram", "n_ab", "pmi", "rank")
+    )

@@ -265,3 +265,92 @@ def sax_symbols(spark, sf_dir):
         F.col("n").cast("int").alias("n_tok"),
         F.expr(_SAX_EXPR).alias("sax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R19 — exact percentile rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_percentiles(spark, sf_dir):
+    """R19: exact linear-interpolated percentiles per event type
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` on identical
+    sorted sets; the two engines factor the interpolation differently,
+    so round(6) absorbs the last-ulp disagreement). The production
+    scale path for heavy groups is ``approx_percentile`` (t-digest-
+    style sketch, map-side combinable) — exact here because the oracle
+    must hash-match."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R20 — session windows (R13 family, batch evidence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    )
+    SELECT user_id,
+           min(ts)::TIMESTAMP AS session_start,
+           (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark, sf_dir):
+    """R20 (the R13 session-window operator, batch form): per-user
+    activity sessions with a 30-minute inactivity gap via Spark's
+    native ``session_window`` — the oracle re-derives the identical
+    sessions with the gaps-and-islands idiom (new session iff the gap
+    >= 30 min, matching the half-open [ts, ts+gap) window). The same
+    expression runs under ``readStream`` + watermark for the streaming
+    twin (stream_events_hourly's pattern); window end = last event +
+    gap in both engines."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -15,6 +15,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     flagship,
     multimodal_q,
     sampling_q,
+    sketch_q,
     streaming_q,
     text_q,
     tsops_q,

@@ -86,6 +86,12 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "minmax_downsample",     # window ranks per bucket
         "sax_symbols",           # HOF aggregates, zero shuffles
         "dtw_diag_pairs",        # diag-oracle pairs (Arrow kernel only)
+        "events_percentiles",    # exact percentile agg
+        "session_windows",       # native session_window agg
+        "semdedup",              # quantizer pandas_udf + cluster join
+        "cms_heavy_hitters",     # sketch aggregate + broadcast probe
+        "stratified_sample",     # hash-rank window
+        "token_pmi",             # bigram explode + broadcast unigrams
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name

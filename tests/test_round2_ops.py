@@ -9,7 +9,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from dtaidistance_spark.operators import corpusops_q, tsops_q  # noqa: F401
+from dtaidistance_spark.operators import (  # noqa: F401
+    ann_q,
+    corpusops_q,
+    sketch_q,
+    tsops_q,
+)
 from dtaidistance_spark.operators.queries import REGISTRY
 
 
@@ -166,3 +171,81 @@ def test_sax_matches_numpy(spark):
                 "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
             )
         assert out[doc] == "".join(letters), doc
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: injected exact/near duplicates
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_injected_duplicates(spark):
+    from dtaidistance_spark.operators import ann as A
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(40)]
+    # ids 100..104 duplicate vectors 0..4 exactly (cos == 1)
+    rows += [(100 + i, [float(x) for x in base[i]], 0) for i in range(5)]
+    # id 200: genuinely novel direction, must be kept
+    v = rng.normal(size=16)
+    rows.append((200, [float(x) for x in v / np.linalg.norm(v)], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in A.semdedup(emb, dim=16, n_list=4, tau=0.95).collect()
+    }
+    assert len(out) == 46
+    for i in range(5):
+        assert out[100 + i] is False, i  # duplicate dropped
+        assert out[i] is True, i  # canonical (lowest id) kept
+    assert out[200] is True
+
+
+# ---------------------------------------------------------------------------
+# Sketch trio (sketch_q)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows = REGISTRY["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["no_underestimate"] for r in rows)
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark, sf_dir):
+    a = REGISTRY["stratified_sample"](spark, sf_dir)
+    counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in counts.items():
+        assert n == min(25, per_src[s]), s
+    # identical across independent evaluations (hash rank, no RNG)
+    ids1 = sorted(r["doc_id"] for r in a.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in REGISTRY["stratified_sample"](spark, sf_dir)
+        .repartition(7).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_token_pmi_counts_recount(spark, sf_dir):
+    rows = REGISTRY["token_pmi"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    top = rows[0]
+    w1, w2 = top["bigram"].split(" ")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_ab = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("b")
+    ).where(F.col("b") == top["bigram"]).count()
+    assert n_ab == top["n_ab"]
+    assert all(r["n_ab"] >= 5 for r in rows)
