@@ -219,3 +219,90 @@ def stream_exact_dedup(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    )
+    SELECT user_id,
+           min(ts)::TIMESTAMP AS session_start,
+           (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_counts(spark, sf_dir):
+    """R13/R20 streaming twin, FULLY oracled: per-user session windows
+    (30-minute gap) computed by Structured Streaming with a watermark
+    over the replayed events file stream — the closing-row flush makes
+    append mode emit every session, and the result must equal the
+    batch gaps-and-islands sessionization bit-for-bit (total_value is
+    a within-session sum; round(6) absorbs engine summation order).
+    The batch twin is ``session_windows``; this proves the SAME
+    session semantics hold under incremental watermarked execution
+    with cross-batch session state."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("ts", "user_id", "value")
+    )
+    root = tempfile.mkdtemp(prefix="stream_sess_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.col("user_id"),
+                F.session_window("ts", "30 minutes").alias("sw"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, 0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

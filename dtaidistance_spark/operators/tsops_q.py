@@ -354,3 +354,81 @@ def session_windows(spark, sf_dir):
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# R21 — LTTB downsample (Steinarsson 2013)
+# ---------------------------------------------------------------------------
+
+_LTTB_N = 16
+
+
+def _lttb_points(spark, sf_dir):
+    import pandas as pd
+    import numpy as np
+
+    from dtaidistance_spark.functions.lttb import lttb
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts")
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            out = {"user_id": [], "idx": [], "ts": [], "value": []}
+            for uid, pts in zip(b["user_id"], b["pts"]):
+                x = np.asarray(
+                    [p["ts"].timestamp() for p in pts], dtype=np.float64
+                )
+                y = np.asarray([p["value"] for p in pts], dtype=np.float64)
+                for i, j in enumerate(lttb(x, y, _LTTB_N)):
+                    out["user_id"].append(uid)
+                    out["idx"].append(i)
+                    out["ts"].append(pts[int(j)]["ts"])
+                    out["value"].append(float(y[int(j)]))
+            yield pd.DataFrame(out)
+
+    return ev.mapInPandas(
+        kernel, "user_id long, idx int, ts timestamp, value double"
+    )
+
+
+@register("lttb_downsample")
+def lttb_downsample(spark, sf_dir):
+    """R21: Largest-Triangle-Three-Buckets downsample of each user's
+    'click' series to 16 perceptually-representative points (rows-only;
+    the SQL-expressible invariants are oracled by lttb_check and the
+    kernel is property-gated in tests/test_round2_ops.py). Same shape
+    as the DBA rollup: one shuffle onto the series key, Arrow-batched
+    kernel, bounded output."""
+    return _lttb_points(spark, sf_dir)
+
+
+@register(
+    "lttb_check",
+    oracle=f"""
+    SELECT user_id,
+           least(count(*), {_LTTB_N})::BIGINT AS n_points,
+           min(ts)::TIMESTAMP AS first_ts,
+           max(ts)::TIMESTAMP AS last_ts
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def lttb_check(spark, sf_dir):
+    """Oracled LTTB invariants: exactly min(n, 16) points per user and
+    the first/last points of every series preserved verbatim (the LTTB
+    contract) — per-user values re-derived by plain SQL."""
+    pts = _lttb_points(spark, sf_dir)
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -92,6 +92,7 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "cms_heavy_hitters",     # sketch aggregate + broadcast probe
         "stratified_sample",     # hash-rank window
         "token_pmi",             # bigram explode + broadcast unigrams
+        "lttb_downsample",       # per-series Arrow kernel
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name

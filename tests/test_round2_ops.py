@@ -249,3 +249,56 @@ def test_token_pmi_counts_recount(spark, sf_dir):
     ).where(F.col("b") == top["bigram"]).count()
     assert n_ab == top["n_ab"]
     assert all(r["n_ab"] >= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# LTTB: kernel vs naive reference on a series long enough for the
+# real bucketed path (the sf0.01 per-user series are shorter than 16)
+# ---------------------------------------------------------------------------
+
+
+def _naive_lttb(x, y, n_out):
+    n = len(x)
+    if n_out >= n:
+        return list(range(n))
+    bounds = [1 + (b * (n - 2)) // (n_out - 2) for b in range(n_out - 1)]
+    sel = [0]
+    for b in range(n_out - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        if b + 2 <= n_out - 2:
+            nlo, nhi = bounds[b + 1], bounds[b + 2]
+        else:
+            nlo, nhi = n - 1, n
+        cx = sum(x[nlo:nhi]) / (nhi - nlo)
+        cy = sum(y[nlo:nhi]) / (nhi - nlo)
+        ax, ay = x[sel[-1]], y[sel[-1]]
+        best, best_i = -1.0, lo
+        for i in range(lo, hi):
+            area = abs((ax - cx) * (y[i] - ay) - (ax - x[i]) * (cy - ay))
+            if area > best:
+                best, best_i = area, i
+        sel.append(best_i)
+    sel.append(n - 1)
+    return sel
+
+
+@pytest.mark.parametrize("seed,n,n_out", [(0, 200, 16), (1, 97, 12), (2, 1000, 64)])
+def test_lttb_matches_naive(seed, n, n_out):
+    from dtaidistance_spark.functions.lttb import lttb
+
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 1000, n))
+    y = np.cumsum(rng.normal(size=n))
+    got = list(lttb(x, y, n_out))
+    assert got == _naive_lttb(list(x), list(y), n_out)
+    assert got[0] == 0 and got[-1] == n - 1
+    assert got == sorted(got)
+
+
+def test_lttb_keeps_extreme_spike():
+    from dtaidistance_spark.functions.lttb import lttb
+
+    x = np.arange(300, dtype=float)
+    y = np.zeros(300)
+    y[137] = 1e6  # an isolated spike a mean-downsampler would dilute
+    assert 137 in set(lttb(x, y, 20))
