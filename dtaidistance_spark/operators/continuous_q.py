@@ -94,3 +94,67 @@ def retention_expiry_counts(spark, sf_dir):
         return detach(spark, out)  # survive rmtree of the temp tier files
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "lineage_resume_check",
+    oracle="""
+WITH ids AS (SELECT unnest(range(256)) AS i),
+base AS (SELECT i, 'doc' || lpad(i::VARCHAR, 12, '0') AS doc_id FROM ids),
+h AS (SELECT i, ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS hh FROM base),
+m AS (SELECT i, hh % 100 AS m FROM h)
+SELECT CASE WHEN m < 80 THEN 'web' WHEN m < 95 THEN 'code' ELSE 'books' END
+         AS source,
+       count(*) AS rows,
+       true AS checksum_stable,
+       2 AS n_snapshots,
+       true AS has_metrics
+FROM m GROUP BY 1
+    """,
+)
+def lineage_resume_check(spark, sf_dir):
+    """North-rule lineage + resume evidence, driver-oracled: ingest the
+    synthetic token table into a manifest table partitioned by source
+    (snapshot 1), then REPLAY one partition's ingest as a dynamic
+    overwrite with identical data (snapshot 2 — the checkpoint-resume
+    shape: a retried partition commits idempotently). The per-partition
+    lineage ROW COUNTS must equal DuckDB's independent re-derivation of
+    the synth table's source distribution, the replayed partition's
+    order-insensitive checksum must be UNCHANGED across snapshots
+    (bit_xor of row hashes — partitioning/order independent, which is
+    exactly what makes retries verifiable), and every snapshot carries
+    wall-time metrics."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 256)
+    root = tempfile.mkdtemp(prefix="lin_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        t.write(df, mode="overwrite")
+        # resume/retry: re-commit ONE partition with identical data
+        t.write(df.where(F.col("source") == "web"), mode="dynamic")
+        snaps = t.snapshots()
+        by_part_1 = {
+            e["partition"]["source"]: e["checksum"]
+            for e in snaps[0]["added"]
+        }
+        rows = []
+        for e in t.entries():
+            src = e["partition"]["source"]
+            stable = (src != "web") or (e["checksum"] == by_part_1["web"])
+            rows.append(
+                (
+                    src,
+                    int(e["rows"]),
+                    bool(stable),
+                    len(snaps),
+                    all(s.get("wall_ms", -1) >= 0 for s in snaps),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "source string, rows long, checksum_stable boolean, "
+            "n_snapshots int, has_metrics boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
