@@ -329,3 +329,116 @@ def subsequence_diag_identity(spark, sf_dir):
     q = [float(x) for x in pdf["tokens"].iloc[7][16:48]]
     out = P.subsequence_search(df, q, k=1, window=8)
     return out.select("doc_id", "start", "end", "value")
+
+
+@register(
+    "dtw_weighted_diag",
+    oracle=synth_sql(64)
+    + f"""
+    , s AS (SELECT doc_id, tokens[1:{_L}] AS t,
+                   ('0x' || substr(md5(doc_id), 1, 15))::BIGINT % 2 AS par
+            FROM synth),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           sqrt(list_sum(list_transform(range({_L}), j ->
+             (greatest(abs(ta[j+1] - tb[j+1]) - 100 * (j % 3), 0)
+              * (1 + j % 2))
+             * (greatest(abs(ta[j+1] - tb[j+1]) - 100 * (j % 3), 0)
+                * (1 + j % 2))
+           ))::DOUBLE) AS dist
+    FROM pr
+    """,
+)
+def dtw_weighted_diag(spark, sf_dir):
+    """C5 full-value oracle with REAL (non-identity) weights: at
+    window=1 the weighted DP visits only the diagonal, so the distance
+    is sqrt(sum_i rectifier(|a_i - b_i|)^2) with the per-index
+    dead-zone x_i = 100*(i%3) and slope w_i = 1 + i%2 — every step
+    integer-valued in float64, recomputed bit-for-bit by DuckDB. The
+    dead-zone (residual clamped to 0), the per-side slope, AND the
+    band machinery are all on the driven path."""
+    df = _sliced(spark, 64)
+
+    W = np.stack(
+        [
+            100.0 * (np.arange(_L) % 3),      # x_neg
+            1.0 + (np.arange(_L) % 2),        # w_neg
+            100.0 * (np.arange(_L) % 3),      # x_pos
+            1.0 + (np.arange(_L) % 2),        # w_pos
+        ],
+        axis=1,
+    )
+
+    def kernel(batches):
+        for b in batches:
+            rows = sorted(zip(b["doc_id"], b["tokens"]))
+            out = {"id_a": [], "id_b": [], "dist": []}
+            for (da, ta), (db, tb) in (
+                (x, y) for x in rows for y in rows if x[0] < y[0]
+            ):
+                out["id_a"].append(da)
+                out["id_b"].append(db)
+                out["dist"].append(
+                    K.dtw_weighted_distance(
+                        np.asarray(ta, dtype=np.float64),
+                        np.asarray(tb, dtype=np.float64),
+                        weights=W,
+                        window=1,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.coalesce(1).mapInPandas(
+        kernel, "id_a string, id_b string, dist double"
+    )
+
+
+@register(
+    "warp_cross_identity",
+    oracle=synth_sql(48)
+    + f"""
+    , s AS (SELECT doc_id, tokens[1:{_L}] AS t,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM synth)
+    SELECT a.doc_id AS id_from, b.doc_id AS id_to,
+           md5(array_to_string(a.t, ',')) AS warped_md5
+    FROM s a JOIN s b ON b.rn = (a.rn + 1) % 48
+    """,
+)
+def warp_cross_identity(spark, sf_dir):
+    """P4 (warp) full-value oracle: warping doc A onto doc B's time
+    axis at window=1 follows the forced diagonal path, so the warped
+    series IS A verbatim — for every cyclically-adjacent (A, B) pair
+    the md5 of the warped output must equal DuckDB's md5 of A's
+    re-derived tokens. Drives warping_path + the per-position
+    mean-mapping of warp() on non-identical inputs."""
+    df = _sliced(spark, 48)
+
+    def kernel(batches):
+        for b in batches:
+            rows = sorted(zip(b["doc_id"], b["tokens"]))
+            out = {"id_from": [], "id_to": [], "warped_md5": []}
+            n = len(rows)
+            for i, (da, ta) in enumerate(rows):
+                db, tb = rows[(i + 1) % n]
+                w = K.warp(
+                    np.asarray(ta, dtype=np.float64),
+                    np.asarray(tb, dtype=np.float64),
+                    window=1,
+                )
+                import hashlib
+
+                csv = ",".join(str(int(round(x))) for x in w)
+                out["id_from"].append(da)
+                out["id_to"].append(db)
+                out["warped_md5"].append(
+                    hashlib.md5(csv.encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.coalesce(1).mapInPandas(
+        kernel, "id_from string, id_to string, warped_md5 string"
+    )

@@ -61,3 +61,33 @@ def test_nw_identity_scores(n):
     s = list(rng.integers(0, 50257, n))
     assert K.needleman_wunsch(s, s)[0] == float(n)
     assert K.needleman_wunsch(s, s[1:])[0] == float(n - 2)
+
+
+def test_weighted_window1_matches_rectifier_formula():
+    """C5 premise: at window=1 the weighted DP is the per-index
+    rectifier sum — dead zone, per-side slopes, exact integers."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 50257, 64).astype(np.float64)
+    b = rng.integers(0, 50257, 64).astype(np.float64)
+    j = np.arange(64)
+    W = np.stack([100.0 * (j % 3), 1.0 + (j % 2),
+                  100.0 * (j % 3), 1.0 + (j % 2)], axis=1)
+    d = np.abs(a - b)
+    resid = np.maximum(d - 100.0 * (j % 3), 0.0) * (1.0 + (j % 2))
+    assert K.dtw_weighted_distance(a, b, weights=W, window=1) == np.sqrt(
+        (resid * resid).sum()
+    )
+    # identity weights == plain K1 (the compat contract)
+    I = np.stack([np.zeros(64), np.ones(64), np.zeros(64), np.ones(64)], axis=1)
+    assert K.dtw_weighted_distance(a, b, weights=I, window=1) == K.dtw_distance(
+        a, b, window=1
+    )
+
+
+def test_warp_window1_is_source_series():
+    """P4 premise: at window=1 the path is diagonal, so warping A onto
+    any equal-length B returns A verbatim."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 50257, 50).astype(np.float64)
+    b = rng.integers(0, 50257, 50).astype(np.float64)
+    assert np.array_equal(K.warp(a, b, window=1), a)
