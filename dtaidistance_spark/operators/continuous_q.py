@@ -158,3 +158,65 @@ def lineage_resume_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "time_travel_check",
+    oracle="""
+WITH ids AS (SELECT unnest(range(384)) AS i),
+src AS (
+  SELECT i,
+         CASE WHEN ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT % 100 < 80
+              THEN 'web'
+              WHEN ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT % 100 < 95
+              THEN 'code' ELSE 'books' END AS source
+  FROM ids
+)
+SELECT 'snap1' AS label,
+       count(*) FILTER (i < 256) AS n_rows,
+       count(*) FILTER (i < 256 AND source = 'web') AS n_web
+FROM src
+UNION ALL
+SELECT 'snap2', count(*), count(*) FILTER (source = 'web') FROM src
+UNION ALL
+SELECT 'after_delete', count(*) FILTER (source <> 'web'), 0 FROM src
+UNION ALL
+SELECT 'travel_back', count(*), count(*) FILTER (source = 'web') FROM src
+    """,
+)
+def time_travel_check(spark, sf_dir):
+    """Snapshot isolation + time travel + partition retention as one
+    driver-oracled query (§2.8): overwrite 256 synth rows (snapshot 1),
+    append 128 more (snapshot 2), drop the 'web' partition (snapshot 3,
+    the retention delete — a metadata-only commit). Then read FOUR
+    views whose exact row counts DuckDB re-derives from the md5 source
+    distribution: snapshot 1 as-of, snapshot 2 as-of, the current
+    post-delete table, and time-travel BACK to snapshot 2 (expired
+    rows still reachable — delete is metadata, vacuum is the separate
+    storage reclaim)."""
+    from dtaidistance_spark import synth
+
+    root = tempfile.mkdtemp(prefix="tt_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        full = synth.sequences_df(spark, 384)
+        t.write(full.where(F.col("doc_id") < "doc000000000256"), mode="overwrite")
+        t.write(full.where(F.col("doc_id") >= "doc000000000256"), mode="append")
+        t.delete_partitions(lambda p: p["source"] == "web")
+
+        def counts(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("source") == "web").cast("long")).alias("w"),
+            ).collect()[0]
+            return int(r["n"]), int(r["w"] or 0)
+
+        rows = []
+        for label, snap in (("snap1", 1), ("snap2", 2), ("travel_back", 2)):
+            n, w = counts(t.read(spark, snapshot=snap))
+            rows.append((label, n, w))
+        n, w = counts(t.read(spark))
+        rows.append(("after_delete", n, w))
+        return spark.createDataFrame(rows, "label string, n_rows long, n_web long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
