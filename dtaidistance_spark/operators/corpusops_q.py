@@ -268,3 +268,105 @@ def bm25_topk(spark, sf_dir):
         .where(F.col("rank") <= _TOPK)
         .select("doc_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# T30 — cross-document repeated-substring dedup (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+_SUB_K = 4  # gram width in words (Lee et al. use 50 BPE tokens; the
+            # synthetic vocab is tiny, so 4 words already collides)
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(ws[i : i + {_SUB_K} - 1], ' ')) AS gh
+      FROM d, unnest(range(1, len(ws) - {_SUB_K} + 2)) AS t(i)
+    ),
+    dup AS (
+      SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {_SUB_K} AS e
+      FROM g JOIN dup USING (gh)
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_i
+      FROM cov
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, min(s)::INT AS span_start, max(e)::INT AS span_end,
+           (max(e) - min(s))::INT AS span_len
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def substring_dedup_spans(spark, sf_dir):
+    """T30: cross-document repeated-substring detection (the Spark
+    shape of Lee et al. 2022's suffix-array dedup): hash every
+    {_SUB_K}-word gram, find grams occurring in >= 2 DISTINCT
+    documents, cover each occurrence's [pos, pos+k) span, and merge
+    overlapping spans per document with the gaps-and-islands window
+    (running max of span ends). Returns the mergeable cut-list
+    (doc_id, span_start, span_end) a removal pass would apply.
+
+    Scale shape: one shuffle on the gram hash for the duplicate-gram
+    aggregate (map-side combined), one semi-join back (the dup-gram
+    table is corpus-shrinking — broadcast when it fits), one window
+    sort per doc for the merge. All JVM SQL; the md5 gram hash is the
+    DuckDB-portable twin of the production xxhash64."""
+    docs = T(spark, sf_dir, "documents")
+    k = _SUB_K
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+                f"i -> struct(i AS pos, md5(array_join(slice(split(text, ' '), "
+                f"i + 1, {k}), ' ')) AS gh))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.pos", "x.gh")
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    cov = g.join(dup, "gh").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + k).alias("e")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = cov.withColumn(
+        "new_i",
+        (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_i").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        F.max("e").cast("int").alias("span_end"),
+        (F.max("e") - F.min("s")).cast("int").alias("span_len"),
+    ).drop("island")

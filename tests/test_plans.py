@@ -93,6 +93,7 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "stratified_sample",     # hash-rank window
         "token_pmi",             # bigram explode + broadcast unigrams
         "lttb_downsample",       # per-series Arrow kernel
+        "substring_dedup_spans", # gram explode + island merge, pure SQL
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name

@@ -302,3 +302,28 @@ def test_lttb_keeps_extreme_spike():
     y = np.zeros(300)
     y[137] = 1e6  # an isolated spike a mean-downsampler would dilute
     assert 137 in set(lttb(x, y, 20))
+
+
+# ---------------------------------------------------------------------------
+# substring dedup: hand-constructed shared substring => exact merged span
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_exact_span(spark, tmp_path):
+    # docs 0 and 1 share words 3..8 (six words => three 4-grams at
+    # positions 3,4,5 covering [3, 9)); doc 2 shares nothing
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"a0 b0 c0 {shared} x0 y0 z0 w0",
+        f"a1 b1 c1 {shared} x1 y1 z1 w1",
+        "totally different words with no overlap at all here ok",
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(p + "/documents.parquet")
+    out = REGISTRY["substring_dedup_spans"](spark, p).collect()
+    spans = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"]) for r in out}
+    assert spans == {(0, 3, 9, 6), (1, 3, 9, 6)}
