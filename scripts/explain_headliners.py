@@ -138,6 +138,15 @@ def main() -> None:
     ))
 
     sections.append((
+        "substring_dedup_spans (repeated-substring dedup, T30)",
+        "gram explode -> map-side-combined duplicate aggregate -> "
+        "semi-join back (broadcast when the dup-gram table fits) -> "
+        "ONE window sort per doc for the gaps-and-islands span merge. "
+        "All JVM SQL; no Python anywhere.",
+        final_plan(reg["substring_dedup_spans"](spark, SF)),
+    ))
+
+    sections.append((
         "sax_symbols (SAX symbolization, S5)",
         "ZERO exchanges: z-norm moments and 8 segment means are "
         "integer-exact HOF aggregates evaluated scan-side; the "
