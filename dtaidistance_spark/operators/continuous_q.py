@@ -220,3 +220,74 @@ def time_travel_check(spark, sf_dir):
         return spark.createDataFrame(rows, "label string, n_rows long, n_web long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "invalidation_recompute_check",
+    oracle="""
+    WITH scal AS (
+      SELECT
+        (SELECT count(DISTINCT date_trunc('day', ts)) FROM events
+          WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-08 00:00:00')
+          AS n_recomputed_days,
+        (SELECT count(DISTINCT date_trunc('day', ts)) FROM events
+          WHERE ts < TIMESTAMP '2024-01-08 00:00:00') AS n_removed_days
+    )
+    SELECT 'all' AS key, date_trunc('day', ts)::TIMESTAMP AS window_start,
+           count(DISTINCT user_id) AS n_series,
+           count(*) AS n_points,
+           scal.n_recomputed_days, scal.n_removed_days
+    FROM events CROSS JOIN scal
+    WHERE user_id <> 7 AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 2, scal.n_recomputed_days, scal.n_removed_days
+    """,
+)
+def invalidation_recompute_check(spark, sf_dir):
+    """Continuous-aggregate INVALIDATION, driver-oracled end-to-end
+    (the TimescaleDB semantics the north rule's 'incrementally
+    maintained' demands): materialize the daily tier, then (A) forget
+    user 7 GDPR-style by rewriting only the partitions they appear in
+    (dynamic overwrite), and (B) expire the first week by dropping
+    source partitions. One refresh later the tier must equal
+    from-scratch SQL over the mutated source — user gone, week gone
+    (tier partitions DROPPED, not stale) — and the refresh must have
+    been incremental: exactly the user's surviving days recomputed,
+    exactly the expired days removed (both counts re-derived by the
+    oracle)."""
+    series = _event_series(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="inv_q_")
+    try:
+        src = TableIO(root, "series", partition_by=["p_day"])
+        ca = ContinuousAggregate(
+            root, tiers=("1 day",),
+            rollup_kw=dict(barycenter_len=48, dba_window=8),
+        )
+        ingest(series, src, mode="overwrite")
+        ca.refresh(spark, src)
+        # (A) GDPR: rewrite only the affected days without user 7
+        touched = [
+            r["p_day"]
+            for r in series.where(F.col("doc_id").like("7@%"))
+            .select(F.date_format("ts", "yyyy-MM-dd").alias("p_day"))
+            .distinct()
+            .collect()
+        ]
+        keep = series.where(
+            F.date_format("ts", "yyyy-MM-dd").isin(touched)
+            & ~F.col("doc_id").like("7@%")
+        )
+        ingest(keep, src, mode="dynamic")
+        # (B) retention: expire the first week at the source
+        src.delete_partitions(lambda p: p["p_day"] < "2024-01-08")
+        rep = ca.refresh(spark, src)["1 day"]
+        out = ca.read_tier(spark, "1 day").select(
+            "key",
+            "window_start",
+            "n_series",
+            "n_points",
+            F.lit(len(rep.get("days", []))).cast("long").alias("n_recomputed_days"),
+            F.lit(len(rep.get("removed_days", []))).cast("long").alias("n_removed_days"),
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -75,23 +75,42 @@ class ContinuousAggregate:
 
     # ------------------------------------------------------------------
     def _changed_partitions(self, upstream: TableIO, since: int | None):
-        """p_day partitions whose file set changed after snapshot
-        ``since`` (None -> everything)."""
+        """Invalidation scan: (changed_days, removed_days, full).
+
+        A day is *changed* when its current (path, checksum) entry SET
+        differs from the set at snapshot ``since`` — this covers
+        appends, rewrites (GDPR-style row deletion via dynamic
+        overwrite), AND partial entry removal within a surviving day.
+        A day is *removed* when it existed at ``since`` but has no
+        current entries at all (retention expiry) — the tier must drop
+        it, not just skip it, or expired source days would live on in
+        every downstream rollup."""
         cur_entries = upstream.entries()
         if since is None:
-            return sorted({e["partition"].get("p_day") for e in cur_entries}), True
-        old = {
-            (e["path"], e["checksum"])
+            return (
+                sorted({e["partition"].get("p_day") for e in cur_entries}),
+                [],
+                True,
+            )
+        old_entries = [
+            e
             for s in upstream.snapshots()
             if s["id"] == since
             for e in s["entries"]
-        }
-        changed = {
-            e["partition"].get("p_day")
-            for e in cur_entries
-            if (e["path"], e["checksum"]) not in old
-        }
-        return sorted(changed), False
+        ]
+
+        def by_day(entries):
+            m: dict = {}
+            for e in entries:
+                m.setdefault(e["partition"].get("p_day"), set()).add(
+                    (e["path"], e["checksum"])
+                )
+            return m
+
+        cur_m, old_m = by_day(cur_entries), by_day(old_entries)
+        changed = [d for d in cur_m if cur_m[d] != old_m.get(d, set())]
+        removed = [d for d in old_m if d not in cur_m]
+        return sorted(changed), sorted(removed), False
 
     def _tier_input(self, spark: SparkSession, tier_idx: int, days: list[str]) -> DataFrame:
         """Upstream rows for the affected days, mapped to the rollup
@@ -134,11 +153,25 @@ class ContinuousAggregate:
             if since is not None and since == cur:
                 report[tier] = {"status": "noop", "upstream_snapshot": cur}
                 continue
-            days, full = self._changed_partitions(up, since)
+            days, removed, full = self._changed_partitions(up, since)
             days = [d for d in days if d is not None]
+            removed = [d for d in removed if d is not None]
+            if removed and io.exists():
+                # propagate retention: drop the tier's partitions for
+                # expired upstream days (a metadata-only commit; the
+                # delete's snapshot is what the NEXT tier's invalidation
+                # scan sees, so expiry cascades down the whole chain).
+                # Idempotent under crash-replay: a re-run finds no
+                # matching entries and delete_partitions no-ops.
+                rm = set(removed)
+                io.delete_partitions(lambda p: p.get("p_day") in rm)
             if not days:
                 io.set_property("upstream_snapshot", cur)
-                report[tier] = {"status": "noop", "upstream_snapshot": cur}
+                report[tier] = {
+                    "status": "retention-only" if removed else "noop",
+                    "upstream_snapshot": cur,
+                    "removed_days": removed,
+                }
                 continue
             inp = self._tier_input(spark, i, days)
             rolled = R.dba_rollup(inp, tier=tier, **self.rollup_kw).withColumn(
@@ -158,6 +191,7 @@ class ContinuousAggregate:
             report[tier] = {
                 "status": "refreshed",
                 "days": days,
+                "removed_days": removed,
                 "input_rows": in_rows,
                 "output_rows": out_rows,
                 "snapshot": snap,

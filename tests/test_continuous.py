@@ -261,3 +261,53 @@ def test_tableio_op_sequence_model(spark, tmp_path):
     io.write(df_for({"c": 1, "d": 2}), mode="dynamic")
     model = {"b": 5, "c": 1, "d": 2}
     check()
+
+
+def test_mutation_and_expiry_invalidation(spark, tmp_path, batches):
+    """GDPR-style row deletion (partition rewrite) and retention expiry
+    (partition removal) both propagate through refresh: the tiers end
+    equal to a from-scratch run over the post-mutation source, and the
+    expired day's tier partitions are DROPPED, not left stale."""
+    b1, b2 = batches
+    src = TableIO(str(tmp_path / "inc"), "tokens", partition_by=["p_day"])
+    ca = ContinuousAggregate(str(tmp_path / "inc"), tiers=TIERS)
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    ca.refresh(spark, src)
+
+    # mutation A — forget every 'books' doc on day 2 (rewrite the
+    # partition with the rows removed; dynamic overwrite)
+    import pyspark.sql.functions as SF
+
+    day2 = src.read(spark, partition_filter=lambda p: p["p_day"] == "2026-01-02")
+    ingest(
+        day2.where(SF.col("source") != "books").drop("p_day"),
+        src,
+        mode="dynamic",
+    )
+    # mutation B — retention: expire day 1 entirely
+    src.delete_partitions(lambda p: p["p_day"] == "2026-01-01")
+    rep = ca.refresh(spark, src)
+    assert rep["1 minute"]["days"] == ["2026-01-02"]
+    assert rep["1 minute"]["removed_days"] == ["2026-01-01"]
+
+    # oracle: from-scratch over the mutated source content
+    clean_b1 = b1.where(SF.col("ts") >= "2026-01-02")
+    clean_b2 = b2
+    full_src = TableIO(str(tmp_path / "full"), "tokens", partition_by=["p_day"])
+    ingest(
+        clean_b1.union(clean_b2).where(
+            ~((SF.col("source") == "books")
+              & (SF.col("ts") < "2026-01-03") & (SF.col("ts") >= "2026-01-02"))
+        ),
+        full_src,
+        mode="overwrite",
+    )
+    full = ContinuousAggregate(str(tmp_path / "full"), tiers=TIERS)
+    full.refresh(spark, full_src)
+    for tier in TIERS:
+        assert _tier_rows(spark, ca, tier) == _tier_rows(spark, full, tier), tier
+    # the expired day is gone from every tier's partition list
+    for tier in TIERS:
+        days = {e["partition"]["p_day"] for e in ca.tier_io[tier].entries()}
+        assert "2026-01-01" not in days, tier
