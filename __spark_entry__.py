@@ -29,6 +29,7 @@ def _registry():
         diag_q,
         encoding_q,
         flagship,
+        motif_q,
         multimodal_q,
         queries,
         sampling_q,

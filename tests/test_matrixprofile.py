@@ -1,0 +1,99 @@
+"""Matrix-profile kernel gates: blocked BLAS kernel == naive O(q^2 m)
+loop (values AND tie-broken argmins), exclusion-zone semantics, short-
+series behavior, and the Spark operator's exact row parity with the
+local kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import matrixprofile as MP
+
+
+def naive_mp(a, m, excl):
+    a = np.asarray(a, dtype=np.int64)
+    q = a.size - m + 1
+    if q <= excl + 1:
+        return None
+    d2 = np.empty(q, dtype=np.int64)
+    nn = np.empty(q, dtype=np.int64)
+    for i in range(q):
+        best, bj = None, -1
+        wi = a[i : i + m]
+        for j in range(q):
+            if abs(i - j) <= excl:
+                continue
+            d = int(((wi - a[j : j + m]) ** 2).sum())
+            if best is None or d < best:  # strict < == first-occurrence tie rule
+                best, bj = d, j
+        d2[i] = best
+        nn[i] = bj
+    return d2, nn
+
+
+@pytest.mark.parametrize("n,m,excl,block", [
+    (40, 8, 4, 512),   # single block
+    (40, 8, 4, 7),     # many ragged blocks
+    (65, 5, 2, 16),    # block boundary not aligned to q
+    (200, 16, 8, 64),
+])
+def test_kernel_matches_naive(n, m, excl, block):
+    rng = np.random.default_rng(n * 1000 + m)
+    # small vocab forces many exact ties -> exercises the argmin tie rule
+    a = rng.integers(0, 4, size=n)
+    d2, nn = MP.mp_self(a, m, excl, block=block)
+    nd2, nnn = naive_mp(a, m, excl)
+    assert np.array_equal(d2, nd2)
+    assert np.array_equal(nn, nnn)
+
+
+def test_exclusion_zone_and_short_series():
+    a = np.arange(20)
+    # q = 13 with m=8; excl=12 leaves no admissible neighbor pair
+    assert MP.mp_self(a, 8, 12) is None
+    # excl=11: only (0, 12) admissible; middle positions have NO
+    # admissible neighbor -> defined sentinel, not garbage
+    d2, nn = MP.mp_self(a, 8, 11)
+    assert nn[0] == 12 and nn[12] == 0
+    assert d2[0] == d2[12] == 8 * 12 * 12
+    assert all(d2[i] == -1 and nn[i] == -1 for i in range(1, 12))
+    # trivial self-match must never win: identical halves, excl big
+    b = np.tile(np.arange(10), 2)
+    d2b, nnb = MP.mp_self(b, 4, 5)
+    assert d2b[0] == 0 and nnb[0] == 10  # exact repeat 10 apart
+
+
+def test_real_token_values_exact():
+    # top-of-vocab values: products ~2.5e9, sums ~2e10 — still exact
+    a = np.array([50256, 0] * 30 + [50256, 50256] * 10, dtype=np.int64)
+    d2, nn = MP.mp_self(a, 8, 4, block=9)
+    nd2, nnn = naive_mp(a, 8, 4)
+    assert np.array_equal(d2, nd2) and np.array_equal(nn, nnn)
+
+
+def test_spark_operator_parity(spark):
+    n_docs, maxlen, m, excl = 12, 96, 8, 4
+    import pyspark.sql.functions as F
+
+    seqs = synth.sequences_df(spark, n_docs).withColumn(
+        "tokens", F.slice("tokens", 1, maxlen)
+    )
+    got = {
+        (r.doc_id, r.pos): (r.nn_pos, r.d2)
+        for r in MP.matrix_profile(seqs, m=m, excl=excl, block=17).collect()
+    }
+    pdf = synth.sequences_local(n_docs)
+    want = {}
+    for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+        d2, nn = MP.mp_self(np.asarray(toks)[:maxlen], m, excl)
+        for i in range(d2.size):
+            want[(doc_id, i)] = (nn[i], d2[i])
+    assert got == want
+
+
+def test_zero_shuffle_plan(spark):
+    seqs = synth.sequences_df(spark, 8)
+    plan = MP.matrix_profile(seqs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
