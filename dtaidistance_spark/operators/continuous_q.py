@@ -291,3 +291,167 @@ def invalidation_recompute_check(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "compaction_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(768)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          % 100 AS mm
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i, CASE WHEN mm < 80 THEN 'web' WHEN mm < 95 THEN 'code'
+                     ELSE 'books' END AS source
+      FROM hh
+    )
+    SELECT source,
+           count(DISTINCT i // 128) AS entries_before,
+           1 AS entries_after,
+           count(*) AS rows,
+           true AS checksum_preserved,
+           count(*) AS readback_rows
+    FROM ss GROUP BY 1
+    """,
+)
+def compaction_check(spark, sf_dir):
+    """Small-file compaction, driver-oracled end-to-end: six 128-row
+    appends of the synthetic token table into a source-partitioned
+    manifest table (each append adds one entry per source it touches —
+    the streaming small-file problem in miniature), then one
+    ``compact()`` bin-packs every multi-entry partition into a single
+    entry in one atomic commit. DuckDB independently re-derives the
+    per-source entry counts BEFORE compaction (how many 128-id batches
+    contain each source), the row counts, and the read-back counts; the
+    order-insensitive checksum equality (XOR of old entry checksums ==
+    new entry checksum) is verified by compact() itself and surfaced as
+    a hashed boolean."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 768)
+    root = tempfile.mkdtemp(prefix="compact_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        for k in range(6):
+            batch = df.where(
+                (F.col("doc_id") >= f"doc{128 * k:012d}")
+                & (F.col("doc_id") < f"doc{128 * (k + 1):012d}")
+            )
+            t.write(batch, mode="overwrite" if k == 0 else "append")
+        before = {}
+        for e in t.entries():
+            s = e["partition"]["source"]
+            before[s] = before.get(s, 0) + 1
+        rep = t.compact(spark, min_entries=2)
+        assert rep["verified"] and rep["snapshot"] == 7
+        after, rows_after = {}, {}
+        for e in t.entries():
+            s = e["partition"]["source"]
+            after[s] = after.get(s, 0) + 1
+            rows_after[s] = rows_after.get(s, 0) + int(e["rows"])
+        readback = {
+            r["source"]: r["cnt"]
+            for r in t.read(spark).groupBy("source").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        rows = [
+            (
+                s,
+                before[s],
+                after[s],
+                rows_after[s],
+                True,  # compact() raised otherwise
+                int(readback[s]),
+            )
+            for s in sorted(before)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, entries_before long, entries_after int, "
+            "rows long, checksum_preserved boolean, readback_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "incremental_read_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(256, 384)) AS i),
+    basex AS (SELECT i, 'doc' || lpad(i::VARCHAR, 12, '0') AS doc_id FROM idsx),
+    hx AS (
+      SELECT i, doc_id,
+             ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h
+      FROM basex
+    ),
+    px AS (
+      SELECT i, doc_id, h,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n,
+        h % 50257 AS hm, h % 7 AS ph, h % 100 AS m
+      FROM hx
+    ),
+    sx AS (
+      SELECT doc_id, n::INT AS n_tok,
+        CASE WHEN m < 80 THEN 'web' WHEN m < 95 THEN 'code' ELSE 'books' END
+          AS source,
+        list_transform(range(n::INT), j ->
+          ((((hm * (j + 1)) % 50257
+             + floor(1000 * sin(2 * pi() * j / 64.0 + ph))::BIGINT) % 50257)
+            + 50257) % 50257
+        ) AS tokens
+      FROM px
+    )
+    SELECT doc_id, n_tok, source,
+           md5(array_to_string(tokens, ',')) AS tok_md5,
+           128 AS delta_until_s2,
+           256 AS delta_unbounded
+    FROM sx
+    """,
+)
+def incremental_read_check(spark, sf_dir):
+    """Incremental (CDC append) read between snapshots, driver-oracled:
+    ingest ids [0,256) (snapshot 1), append [256,384) (snapshot 2), then
+    [384,512) (snapshot 3). ``read_incremental(since=1, until=2)`` must
+    return EXACTLY the second batch — DuckDB re-derives those 128 rows
+    (ids, lengths, sources, and the md5 of every token array) from
+    nothing but the id range — and the unbounded delta since snapshot 1
+    must hold exactly 256 rows. A no-change scan (since == current)
+    must be empty."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 512)
+
+    def batch(lo, hi):
+        return df.where(
+            (F.col("doc_id") >= f"doc{lo:012d}")
+            & (F.col("doc_id") < f"doc{hi:012d}")
+        )
+
+    root = tempfile.mkdtemp(prefix="incr_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        s1 = t.write(batch(0, 256), mode="overwrite")
+        s2 = t.write(batch(256, 384), mode="append")
+        s3 = t.write(batch(384, 512), mode="append")
+        delta = t.read_incremental(spark, since=s1, until=s2)
+        n_unbounded = t.read_incremental(spark, since=s1).count()
+        n_empty = t.read_incremental(spark, since=s3).count()
+        assert n_empty == 0, n_empty
+        n_delta = delta.count()
+        out = delta.select(
+            "doc_id",
+            "n_tok",
+            "source",
+            F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>")))
+                .alias("tok_md5"),
+            F.lit(int(n_delta)).cast("long").alias("delta_until_s2"),
+            F.lit(int(n_unbounded)).cast("long").alias("delta_unbounded"),
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

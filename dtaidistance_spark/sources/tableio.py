@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest.json"
 
 
+def _xor64(values) -> int:
+    """Unsigned-64 XOR fold of (possibly signed) int64 checksums."""
+    acc = 0
+    for v in values:
+        acc ^= v & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
 class TableIO:
     def __init__(self, root: str, table: str, partition_by: list[str] | None = None):
         self.root = root
@@ -84,13 +92,17 @@ class TableIO:
 
     # -- write -------------------------------------------------------------
     def _lineage(self, df: DataFrame) -> list[dict]:
-        """Per-partition (rows, order-insensitive checksum) lineage."""
-        cols = [F.col(c) for c in df.columns]
+        """Per-partition (rows, order-insensitive checksum) lineage.
+
+        The row hash feeds columns in SORTED NAME order so the checksum
+        is independent of column position — a compaction read-back
+        (partition column re-attached last) must reproduce the original
+        writer's checksum bit-for-bit."""
         keys = [F.col(c).cast("string").alias(c) for c in self.partition_by]
         agg = df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("rows"),
             F.expr(
-                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
             ).alias("checksum"),
         )
         out = []
@@ -101,10 +113,18 @@ class TableIO:
             )
         return out
 
-    def write(self, df: DataFrame, mode: str = "overwrite", schema_ddl: str | None = None):
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        schema_ddl: str | None = None,
+        _op: str | None = None,
+    ):
         """mode: overwrite | append | dynamic (overwrite only partitions
         present in ``df`` — Spark's dynamic partitionOverwriteMode,
-        expressed at the manifest level)."""
+        expressed at the manifest level). ``_op`` overrides the snapshot
+        op label (used by :meth:`compact` so maintenance commits are
+        distinguishable from user writes in the history)."""
         assert mode in ("overwrite", "append", "dynamic")
         m = self._load()
         snap_id = (m["current_snapshot"] or 0) + 1
@@ -157,7 +177,7 @@ class TableIO:
         m["snapshots"].append(
             {
                 "id": snap_id,
-                "op": mode,
+                "op": _op or mode,
                 "wall_ms": wall_ms,
                 "ts": time.time(),
                 "added": lineage,
@@ -227,6 +247,9 @@ class TableIO:
         entries = [e for e in entries if os.path.exists(e["path"])]
         if not entries:
             raise FileNotFoundError(f"table {self.table}: no data for predicate")
+        return self._read_entries(spark, entries)
+
+    def _read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
         if not self.partition_by:
             return spark.read.parquet(*[e["path"] for e in entries])
         # partitionBy-written files drop the partition columns; re-attach
@@ -238,6 +261,112 @@ class TableIO:
                 d = d.withColumn(k, F.lit(v))
             out = d if out is None else out.unionByName(d)
         return out
+
+    def _entries_at(self, m: dict, snapshot: int | None) -> list[dict]:
+        if snapshot is None:
+            return m["entries"]
+        hist = [s for s in m["snapshots"] if s["id"] == snapshot]
+        if not hist:
+            raise ValueError(f"unknown snapshot {snapshot}")
+        return hist[0]["entries"]
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        since: int,
+        until: int | None = None,
+    ) -> DataFrame:
+        """Incremental (CDC append) scan: rows in entries that exist at
+        ``until`` (default: current) but not at snapshot ``since`` —
+        Iceberg's incremental read between snapshot ids. This is what a
+        downstream consumer polls instead of re-scanning 100 TB: a pure
+        manifest diff hands Spark only the new files. Entries are
+        identified by (path, checksum), so a rewritten partition
+        (dynamic overwrite / compaction) surfaces its NEW files; a pure
+        compaction emits rewritten-but-identical rows — consumers that
+        must ignore rewrites should filter snapshots by op first
+        (:meth:`snapshots`). Returns an empty DataFrame (correct schema)
+        when nothing changed."""
+        m = self._load()
+        old = {
+            (e["path"], e["checksum"]) for e in self._entries_at(m, since)
+        }
+        cur = self._entries_at(m, until)
+        added = [e for e in cur if (e["path"], e["checksum"]) not in old]
+        if not added:
+            if not cur:
+                raise FileNotFoundError(f"table {self.table}: empty")
+            return self._read_entries(spark, cur[:1]).limit(0)
+        return self._read_entries(spark, added)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_entries: int = 2,
+        partition_filter=None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` bin-pack
+        semantics): every partition holding >= ``min_entries`` manifest
+        entries (accumulated by appends / dynamic overwrites) is read
+        back and rewritten as ONE entry in a single atomic commit;
+        partitions below the threshold are untouched. Content
+        preservation is *verified*, not assumed: per partition, the new
+        entry's row count and order-insensitive checksum (bit_xor of
+        row xxhash64 — XOR is associative, so the pre-compaction value
+        is the XOR of the old entries' checksums) must match, else
+        RuntimeError — the pre-compaction snapshot remains time-travel
+        readable either way. At 100 TB this is the maintenance job that
+        keeps read amplification bounded after many small streaming
+        commits."""
+        m = self._load()
+        by_part: dict[str, list[dict]] = {}
+        for e in m["entries"]:
+            by_part.setdefault(
+                json.dumps(e["partition"], sort_keys=True), []
+            ).append(e)
+        targets = {
+            k: es
+            for k, es in by_part.items()
+            if len(es) >= min_entries
+            and (partition_filter is None or partition_filter(es[0]["partition"]))
+        }
+        if not targets:
+            return {
+                "compacted_partitions": 0,
+                "entries_before": len(m["entries"]),
+                "entries_after": len(m["entries"]),
+                "snapshot": m["current_snapshot"],
+            }
+        expected = {
+            k: (
+                sum(e["rows"] for e in es),
+                _xor64(int(e["checksum"]) for e in es),
+            )
+            for k, es in targets.items()
+        }
+        df = self._read_entries(
+            spark, [e for es in targets.values() for e in es]
+        )
+        snap = self.write(df, mode="dynamic", _op="compact")
+        new_by_part = {
+            json.dumps(e["partition"], sort_keys=True): e for e in self.entries()
+        }
+        for k, (rows, chk) in expected.items():
+            got = new_by_part[k]
+            if got["rows"] != rows or _xor64([int(got["checksum"])]) != chk:
+                raise RuntimeError(
+                    f"compaction verification failed for partition {k}: "
+                    f"expected ({rows}, {chk}), got "
+                    f"({got['rows']}, {got['checksum']}); snapshot "
+                    f"{snap - 1} still holds the pre-compaction state"
+                )
+        return {
+            "compacted_partitions": len(targets),
+            "entries_before": len(m["entries"]),
+            "entries_after": len(self.entries()),
+            "snapshot": snap,
+            "verified": True,
+        }
 
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.entries())

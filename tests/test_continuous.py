@@ -311,3 +311,81 @@ def test_mutation_and_expiry_invalidation(spark, tmp_path, batches):
     for tier in TIERS:
         days = {e["partition"]["p_day"] for e in ca.tier_io[tier].entries()}
         assert "2026-01-01" not in days, tier
+
+
+def test_compaction_preserves_content_and_binpacks(spark, tmp_path, batches):
+    """compact() folds multi-entry partitions to one entry each, leaves
+    sub-threshold partitions alone, verifies rows+checksum, and the
+    read-back content is unchanged. Checksums are column-order
+    independent (sorted-name hashing), so the rewritten entry's
+    checksum equals the XOR of the originals."""
+    import pyspark.sql.functions as SF
+
+    from dtaidistance_spark.sources.tableio import _xor64
+
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "c"), "tokens", partition_by=["source"])
+    t.write(b1, mode="overwrite")
+    t.write(b2, mode="append")
+    t.write(b2.where(SF.col("source") == b2.select("source").first()[0]),
+            mode="append")
+    pre = sorted(
+        (r["source"], r["cnt"])
+        for r in t.read(spark).groupBy("source").agg(
+            SF.count(SF.lit(1)).alias("cnt")).collect()
+    )
+    by_part = {}
+    for e in t.entries():
+        by_part.setdefault(e["partition"]["source"], []).append(e)
+    multi = {s for s, es in by_part.items() if len(es) >= 2}
+    expected_chk = {
+        s: _xor64(int(e["checksum"]) for e in es)
+        for s, es in by_part.items()
+    }
+    assert multi, "fixture must create multi-entry partitions"
+    rep = t.compact(spark, min_entries=2)
+    assert rep["verified"] and rep["compacted_partitions"] == len(multi)
+    after = {}
+    for e in t.entries():
+        s = e["partition"]["source"]
+        after.setdefault(s, []).append(e)
+    for s, es in after.items():
+        if s in multi:
+            assert len(es) == 1
+            assert _xor64([int(es[0]["checksum"])]) == expected_chk[s]
+        else:
+            assert es == by_part[s]  # untouched below threshold
+    post = sorted(
+        (r["source"], r["cnt"])
+        for r in t.read(spark).groupBy("source").agg(
+            SF.count(SF.lit(1)).alias("cnt")).collect()
+    )
+    assert post == pre
+    assert t.snapshots()[-1]["op"] == "compact"
+    # idempotent: nothing left to compact
+    rep2 = t.compact(spark, min_entries=2)
+    assert rep2["compacted_partitions"] == 0
+
+
+def test_read_incremental_cdc(spark, tmp_path, batches):
+    """read_incremental returns exactly the rows added between two
+    snapshots; empty delta has the right schema; unknown snapshot
+    raises."""
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "i"), "tokens", partition_by=["source"])
+    s1 = t.write(b1, mode="overwrite")
+    s2 = t.write(b2, mode="append")
+    delta = t.read_incremental(spark, since=s1, until=s2)
+    assert sorted(r.doc_id for r in delta.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in b2.select("doc_id").collect())
+    assert set(delta.columns) == set(b1.columns)
+    empty = t.read_incremental(spark, since=s2)
+    assert empty.count() == 0 and set(empty.columns) == set(b1.columns)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.read_incremental(spark, since=99)
+    # a compaction rewrite surfaces as new files (documented semantics)
+    t.write(b2, mode="append")
+    t.compact(spark, min_entries=2)
+    assert t.snapshots()[-1]["op"] == "compact"
