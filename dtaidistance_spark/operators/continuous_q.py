@@ -455,3 +455,93 @@ def incremental_read_check(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stats_pruning_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(512)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          % 100 AS mm
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+             CASE WHEN mm < 80 THEN 'web' WHEN mm < 95 THEN 'code'
+                  ELSE 'books' END AS source,
+             i // 128 AS b
+      FROM hh
+    )
+    SELECT source,
+           count(*) FILTER (WHERE b = 1) AS n_rows,
+           count(DISTINCT b) FILTER (WHERE b = 1) AS n_entries_selected,
+           count(DISTINCT b) FILTER (WHERE b <> 1) AS n_entries_skipped,
+           true AS pruned_scan_matches_full
+    FROM ss GROUP BY 1
+    """,
+)
+def stats_pruning_check(spark, sf_dir):
+    """Column-stats file skipping (Iceberg metadata pruning),
+    driver-oracled: four 128-row appends land with per-entry min/max
+    ``ts`` stats in the manifest; a ts-range read matching exactly the
+    second batch must SELECT only that batch's entries and SKIP every
+    other entry manifest-side (Spark never lists those files), while
+    returning the same rows as an unpruned full scan with the same
+    row-level predicate. The synthetic ts axis is ``epoch + id``
+    seconds, so DuckDB re-derives which batch every row is in, hence
+    the per-source selected/skipped entry counts AND the row counts,
+    from nothing but the id range."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 512)
+    lo, hi = "2026-01-01 00:02:08", "2026-01-01 00:04:15"  # ids 128..255
+    root = tempfile.mkdtemp(prefix="stats_q_")
+    try:
+        t = TableIO(
+            root, "seq", partition_by=["source"], stats_cols=["ts", "n_tok"]
+        )
+        for k in range(4):
+            batch = df.where(
+                (F.col("doc_id") >= f"doc{128 * k:012d}")
+                & (F.col("doc_id") < f"doc{128 * (k + 1):012d}")
+            )
+            t.write(batch, mode="overwrite" if k == 0 else "append")
+        sel, skip = t.scan_entries(stats_filter={"ts": (lo, hi)})
+        pruned = (
+            t.read(spark, stats_filter={"ts": (lo, hi)})
+            .where(F.col("ts").between(lo, hi))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        full = (
+            t.read(spark)
+            .where(F.col("ts").between(lo, hi))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        pruned_n = {r["source"]: r["n"] for r in pruned.collect()}
+        full_n = {r["source"]: r["n"] for r in full.collect()}
+        per_src: dict[str, list[int]] = {}
+        for e in sel:
+            per_src.setdefault(e["partition"]["source"], [0, 0])[0] += 1
+        for e in skip:
+            per_src.setdefault(e["partition"]["source"], [0, 0])[1] += 1
+        rows = [
+            (
+                s,
+                int(pruned_n.get(s, 0)),
+                n_sel,
+                n_skip,
+                pruned_n.get(s, 0) == full_n.get(s, 0),
+            )
+            for s, (n_sel, n_skip) in sorted(per_src.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_rows long, n_entries_selected long, "
+            "n_entries_skipped long, pruned_scan_matches_full boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -41,11 +41,22 @@ def _xor64(values) -> int:
 
 
 class TableIO:
-    def __init__(self, root: str, table: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        table: str,
+        partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: columns whose per-entry min/max are recorded
+        in the manifest at write time (Iceberg column-stats contract),
+        enabling :meth:`read` to skip whole entries by value range
+        before Spark ever lists a file."""
         self.root = root
         self.table = table
         self.dir = os.path.join(root, table)
         self.partition_by = partition_by or []
+        self.stats_cols = stats_cols or []
         os.makedirs(self.dir, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -99,18 +110,34 @@ class TableIO:
         (partition column re-attached last) must reproduce the original
         writer's checksum bit-for-bit."""
         keys = [F.col(c).cast("string").alias(c) for c in self.partition_by]
+        stat_aggs = []
+        for c in self.stats_cols:
+            # native JSON types survive the manifest round-trip for
+            # numerics; timestamps serialize via default=str to a
+            # lexicographically ordered "YYYY-MM-DD HH:MM:SS" form
+            stat_aggs.append(F.min(c).alias(f"__min_{c}"))
+            stat_aggs.append(F.max(c).alias(f"__max_{c}"))
         agg = df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("rows"),
             F.expr(
                 "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
             ).alias("checksum"),
+            *stat_aggs,
         )
         out = []
         for row in agg.collect():
             part = {c: row[c] for c in self.partition_by}
-            out.append(
-                {"partition": part, "rows": row["rows"], "checksum": str(row["checksum"])}
-            )
+            ent = {
+                "partition": part,
+                "rows": row["rows"],
+                "checksum": str(row["checksum"]),
+            }
+            if self.stats_cols:
+                ent["stats"] = {
+                    c: [row[f"__min_{c}"], row[f"__max_{c}"]]
+                    for c in self.stats_cols
+                }
+            out.append(ent)
         return out
 
     def write(
@@ -151,6 +178,7 @@ class TableIO:
                 "rows": e["rows"],
                 "checksum": e["checksum"],
                 "snapshot": snap_id,
+                **({"stats": e["stats"]} if "stats" in e else {}),
             }
             for e in lineage
         ]
@@ -225,25 +253,63 @@ class TableIO:
         return len(dropped), snap_id
 
     # -- read ---------------------------------------------------------------
+    @staticmethod
+    def _stats_keep(entry: dict, stats_filter: dict) -> bool:
+        """True iff the entry's recorded [min, max] ranges can contain a
+        row matching every requested inclusive (lo, hi) range. Entries
+        without stats for a requested column are kept (cannot prune
+        safely); None bounds are open."""
+        st = entry.get("stats", {})
+        for col, (lo, hi) in stats_filter.items():
+            if col not in st:
+                continue
+            mn, mx = st[col]
+            if mn is None or mx is None:
+                continue
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        return True
+
+    def scan_entries(
+        self,
+        partition_filter=None,
+        stats_filter: dict | None = None,
+        snapshot: int | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Manifest-side scan planning: returns ``(selected, skipped)``
+        entry lists after partition pruning and column-stats (min/max)
+        file skipping — the Iceberg metadata read path. ``stats_filter``
+        maps column -> inclusive ``(lo, hi)`` (None = open bound); an
+        entry is skipped when its recorded range provably cannot
+        intersect. Spark never lists a skipped file."""
+        m = self._load()
+        entries = self._entries_at(m, snapshot)
+        if partition_filter is not None:
+            entries = [e for e in entries if partition_filter(e["partition"])]
+        if not stats_filter:
+            return entries, []
+        selected, skipped = [], []
+        for e in entries:
+            (selected if self._stats_keep(e, stats_filter) else skipped).append(e)
+        return selected, skipped
+
     def read(
         self,
         spark: SparkSession,
         partition_filter=None,
         snapshot: int | None = None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Read the current (or a historic) snapshot. ``partition_filter``
-        is a predicate over the partition-value dict, applied manifest-side
-        — Iceberg-style partition pruning before Spark ever lists a file."""
-        m = self._load()
-        entries = m["entries"]
-        if snapshot is not None:
-            # time travel: each snapshot records its full live entry set
-            hist = [s for s in m["snapshots"] if s["id"] == snapshot]
-            if not hist:
-                raise ValueError(f"unknown snapshot {snapshot}")
-            entries = hist[0]["entries"]
-        if partition_filter is not None:
-            entries = [e for e in entries if partition_filter(e["partition"])]
+        is a predicate over the partition-value dict and ``stats_filter``
+        a column -> (lo, hi) range map, both applied manifest-side —
+        Iceberg-style partition pruning + column-stats file skipping
+        before Spark ever lists a file. Stats pruning is an optimization
+        only: the caller still applies its own row-level predicate (the
+        kept entries may contain non-matching rows)."""
+        entries, _ = self.scan_entries(partition_filter, stats_filter, snapshot)
         entries = [e for e in entries if os.path.exists(e["path"])]
         if not entries:
             raise FileNotFoundError(f"table {self.table}: no data for predicate")

@@ -389,3 +389,39 @@ def test_read_incremental_cdc(spark, tmp_path, batches):
     t.write(b2, mode="append")
     t.compact(spark, min_entries=2)
     assert t.snapshots()[-1]["op"] == "compact"
+
+
+def test_stats_file_skipping(spark, tmp_path, batches):
+    """Per-entry min/max column stats: ranges prune manifest-side,
+    open/None bounds work, entries without stats (older writers or
+    unrequested columns) are always kept, and a pruned read + row
+    filter equals the full scan + row filter."""
+    import pyspark.sql.functions as SF
+
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "st"), "tokens",
+                partition_by=["source"], stats_cols=["n_tok"])
+    t.write(b1, mode="overwrite")
+    t.write(b2, mode="append")
+    all_entries = t.entries()
+    assert all(
+        "stats" in e and "n_tok" in e["stats"] for e in all_entries
+    )
+    lo = max(e["stats"]["n_tok"][0] for e in all_entries)
+    # a range strictly above every entry's max prunes everything
+    sel, skip = t.scan_entries(stats_filter={"n_tok": (10**9, None)})
+    assert sel == [] and len(skip) == len(all_entries)
+    # open-bounded range keeps everything
+    sel, skip = t.scan_entries(stats_filter={"n_tok": (None, None)})
+    assert len(sel) == len(all_entries) and skip == []
+    # pruned read + row predicate == full read + row predicate
+    pruned = t.read(spark, stats_filter={"n_tok": (lo, None)}) \
+        .where(SF.col("n_tok") >= lo)
+    full = t.read(spark).where(SF.col("n_tok") >= lo)
+    assert sorted(r.doc_id for r in pruned.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in full.select("doc_id").collect())
+    # entries lacking stats for the requested column are kept
+    t2 = TableIO(str(tmp_path / "st2"), "tokens", partition_by=["source"])
+    t2.write(b1, mode="overwrite")
+    sel, skip = t2.scan_entries(stats_filter={"n_tok": (10**9, None)})
+    assert len(sel) == len(t2.entries()) and skip == []
