@@ -128,3 +128,100 @@ def matrix_profile(
             )
 
     return df.select(id_col, tokens_col).mapInPandas(gen, OUT_SCHEMA)
+
+
+AB_SCHEMA = "doc_id string, pos int, q_doc string, q_pos int, d2 long"
+
+
+def matrix_profile_ab(
+    corpus_df: DataFrame,
+    query_df: DataFrame,
+    m: int = 8,
+    max_len: int | None = None,
+    block: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """AB-join matrix profile: for every length-``m`` window of every
+    corpus series, the nearest window across ALL query series (exact
+    squared Euclidean; no exclusion zone — the sides are distinct).
+
+    This is the windowed-overlap screen a training pipeline runs
+    against a benchmark set: a ``d2 = 0`` hit is a verbatim m-token
+    overlap (contamination); small ``d2`` is a near-verbatim variant.
+
+    Scale shape: the QUERY side is the small one by contract (a
+    benchmark suite, not a corpus) — its stacked window matrix is
+    collected once driver-side and broadcast into the corpus-side
+    ``mapInPandas`` closure, the same broadcast-small-side pattern as
+    ``ann.brute_cosine_topk``. The corpus side streams through in Arrow
+    batches with zero shuffles; per corpus series the cost is one
+    blocked BLAS matmul against the query windows. Ties break to the
+    first stacked query window == ORDER BY (d2, q_doc, q_pos).
+    """
+    q_rows = sorted(
+        ((r[id_col], list(r[tokens_col])) for r in query_df.select(
+            id_col, tokens_col).collect()),
+        key=lambda t: t[0],
+    )
+    q_ids: list[str] = []
+    q_pos: list[int] = []
+    wq_parts = []
+    for qd, toks in q_rows:
+        a = np.asarray(toks, dtype=np.int64)
+        if max_len is not None:
+            a = a[:max_len]
+        if a.size < m:
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(a, m)
+        wq_parts.append(w)
+        q_ids.extend([qd] * w.shape[0])
+        q_pos.extend(range(w.shape[0]))
+    if not wq_parts:
+        raise ValueError("query side has no window of length m")
+    Wq = np.concatenate(wq_parts).astype(np.float64)
+    Sq = np.einsum("ij,ij->i", Wq, Wq)
+    q_ids_arr = np.asarray(q_ids)
+    q_pos_arr = np.asarray(q_pos, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.int64)
+                if max_len is not None:
+                    a = a[:max_len]
+                if a.size < m:
+                    continue
+                W = np.lib.stride_tricks.sliding_window_view(a, m).astype(
+                    np.float64
+                )
+                S = np.einsum("ij,ij->i", W, W)
+                q = W.shape[0]
+                best_d = np.empty(q)
+                best_j = np.empty(q, dtype=np.int64)
+                for r0 in range(0, q, block):
+                    r1 = min(r0 + block, q)
+                    D = (
+                        S[r0:r1, None]
+                        + Sq[None, :]
+                        - 2.0 * (W[r0:r1] @ Wq.T)
+                    )
+                    j = np.argmin(D, axis=1)
+                    best_d[r0:r1] = D[np.arange(r1 - r0), j]
+                    best_j[r0:r1] = j
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": [doc_id] * q,
+                            "pos": np.arange(q, dtype=np.int32),
+                            "q_doc": q_ids_arr[best_j],
+                            "q_pos": q_pos_arr[best_j],
+                            "d2": best_d.astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return corpus_df.select(id_col, tokens_col).mapInPandas(gen, AB_SCHEMA)

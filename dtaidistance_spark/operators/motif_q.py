@@ -133,3 +133,128 @@ def matrix_profile_motifs(spark, sf_dir):
         F.col("d2").alias("discord_d2"),
     )
     return mo.join(di, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# AB-join: contamination screening of the corpus against a "benchmark"
+# query set. Two of the four bench series are VERBATIM 24-token slices
+# of corpus docs 3 and 7 (planted contamination -> exact d2=0 hits at
+# known offsets); the other two are foreign series (docs 200/201, not
+# in the corpus). DuckDB re-derives both sides and the full join.
+# ---------------------------------------------------------------------------
+
+_D = "doc{:012d}".format
+_AB = synth_sql(202) + f"""
+, corpusx AS (
+  SELECT doc_id, list_slice(tokens, 1, least(n_tok, {_MAXLEN})) AS t
+  FROM synth WHERE doc_id <= '{_D(63)}'
+),
+benchx AS (
+  SELECT 'bench_' || doc_id AS q_doc,
+         CASE WHEN doc_id IN ('{_D(3)}', '{_D(7)}')
+              THEN list_slice(tokens, 18, 41)
+              ELSE list_slice(tokens, 1, 24) END AS qt
+  FROM synth
+  WHERE doc_id IN ('{_D(3)}', '{_D(7)}', '{_D(200)}', '{_D(201)}')
+),
+cwin AS (
+  SELECT doc_id, unnest(range(len(t) - {_M} + 1)) AS i, t FROM corpusx
+),
+cw AS (SELECT doc_id, i, list_slice(t, i + 1, i + {_M}) AS w FROM cwin),
+qwin AS (
+  SELECT q_doc, unnest(range(len(qt) - {_M} + 1)) AS j, qt FROM benchx
+),
+qw AS (SELECT q_doc, j, list_slice(qt, j + 1, j + {_M}) AS w FROM qwin),
+abd2 AS (
+  SELECT c.doc_id, c.i AS pos, q.q_doc, q.j AS q_pos,
+         list_sum(list_transform(range({_M}),
+           k -> (c.w[k + 1] - q.w[k + 1]) * (c.w[k + 1] - q.w[k + 1])
+         )) AS d2
+  FROM cw c CROSS JOIN qw q
+),
+abprof AS (
+  SELECT doc_id, pos, q_doc, q_pos, d2,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY d2, q_doc, q_pos) AS rn
+  FROM abd2
+)
+"""
+
+
+def _ab_inputs(spark):
+    seqs = synth.sequences_df(spark, 202)
+    corpus = seqs.where(F.col("doc_id") <= _D(63)).withColumn(
+        "tokens", F.slice("tokens", 1, _MAXLEN)
+    )
+    bench = seqs.where(
+        F.col("doc_id").isin(_D(3), _D(7), _D(200), _D(201))
+    ).select(
+        F.concat(F.lit("bench_"), F.col("doc_id")).alias("doc_id"),
+        F.when(
+            F.col("doc_id").isin(_D(3), _D(7)), F.slice("tokens", 18, 24)
+        ).otherwise(F.slice("tokens", 1, 24)).alias("tokens"),
+    )
+    return corpus, bench
+
+
+@register(
+    "mp_ab_profile",
+    oracle=_AB
+    + """
+    SELECT doc_id, pos::INT AS pos, q_doc, q_pos::INT AS q_pos,
+           d2::BIGINT AS d2
+    FROM abprof WHERE rn = 1
+    """,
+)
+def mp_ab_profile(spark, sf_dir):
+    """Full AB-join profile: for all ~7.7k corpus windows, the nearest
+    of the 68 benchmark windows, every (neighbor, distance) hash-checked
+    against the brute SQL twin (incl. the planted d2=0 runs)."""
+    corpus, bench = _ab_inputs(spark)
+    return MP.matrix_profile_ab(corpus, bench, m=_M)
+
+
+@register(
+    "contamination_screen",
+    oracle=_AB
+    + """
+    , mp AS (SELECT doc_id, pos, q_doc, q_pos, d2 FROM abprof WHERE rn = 1),
+    best AS (
+      SELECT doc_id, pos, q_doc, q_pos, d2,
+             row_number() OVER (PARTITION BY doc_id ORDER BY d2, pos) AS rb
+      FROM mp
+    ),
+    agg AS (
+      SELECT doc_id, count(*) FILTER (WHERE d2 = 0) AS n_exact FROM mp
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.pos::INT AS best_pos, b.q_doc AS best_q_doc,
+           b.q_pos::INT AS best_q_pos, b.d2::BIGINT AS best_d2,
+           a.n_exact
+    FROM best b JOIN agg a ON b.doc_id = a.doc_id
+    WHERE b.rb = 1
+    """,
+)
+def contamination_screen(spark, sf_dir):
+    """Per-corpus-doc contamination verdict: the globally closest
+    benchmark window (docs 3 and 7 must surface their planted verbatim
+    slices at d2=0 with 17 exact windows each) plus the count of exact
+    m-token overlaps. One row per corpus doc, fully oracled."""
+    corpus, bench = _ab_inputs(spark)
+    mp = MP.matrix_profile_ab(corpus, bench, m=_M)
+    w_best = Window.partitionBy("doc_id").orderBy("d2", "pos")
+    best = (
+        mp.withColumn("rb", F.row_number().over(w_best))
+        .where(F.col("rb") == 1)
+        .select(
+            "doc_id",
+            F.col("pos").alias("best_pos"),
+            F.col("q_doc").alias("best_q_doc"),
+            F.col("q_pos").alias("best_q_pos"),
+            F.col("d2").alias("best_d2"),
+        )
+    )
+    agg = mp.groupBy("doc_id").agg(
+        F.sum((F.col("d2") == 0).cast("long")).alias("n_exact")
+    )
+    return best.join(agg, "doc_id")

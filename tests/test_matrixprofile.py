@@ -97,3 +97,59 @@ def test_zero_shuffle_plan(spark):
     seqs = synth.sequences_df(spark, 8)
     plan = MP.matrix_profile(seqs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ab_join_matches_naive_and_plants(spark):
+    """AB kernel == naive double loop (with the (d2, q_doc, q_pos) tie
+    rule), and a planted verbatim slice surfaces as a run of d2=0 hits
+    pointing at the exact source offsets."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    m = 6
+    rng = np.random.default_rng(7)
+    corpus_rows = [("c%02d" % i, rng.integers(0, 5, size=40).tolist())
+                   for i in range(5)]
+    # plant: query 'qb' = corpus c02 positions 10..25 verbatim
+    plant = corpus_rows[2][1][10:26]
+    q_rows = [("qa", rng.integers(0, 5, size=14).tolist()), ("qb", plant)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, tokens array<int>")
+    qdf = spark.createDataFrame(q_rows, "doc_id string, tokens array<int>")
+    got = {
+        (r.doc_id, r.pos): (r.q_doc, r.q_pos, r.d2)
+        for r in __import__("dtaidistance_spark.operators.matrixprofile",
+                            fromlist=["matrix_profile_ab"])
+        .matrix_profile_ab(corpus, qdf, m=m, block=3).collect()
+    }
+    # naive oracle
+    qwins = []
+    for qd, toks in sorted(q_rows):
+        a = np.asarray(toks)
+        for j in range(a.size - m + 1):
+            qwins.append((qd, j, a[j:j + m]))
+    for cd, toks in corpus_rows:
+        a = np.asarray(toks)
+        for i in range(a.size - m + 1):
+            cands = sorted(
+                (int(((a[i:i + m] - w) ** 2).sum()), qd, j)
+                for qd, j, w in qwins
+            )
+            d2, qd, j = cands[0]
+            assert got[(cd, i)] == (qd, j, d2), (cd, i)
+    # planted run: c02 windows 10..20 hit qb exactly
+    for i in range(10, 26 - m + 1):
+        qd, j, d2 = got[("c02", i)]
+        assert d2 == 0 and qd == "qb" and j == i - 10
+
+
+def test_ab_short_series_skipped(spark):
+    corpus = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])],
+        "doc_id string, tokens array<int>",
+    )
+    qdf = spark.createDataFrame([("q", [1, 2, 3, 4, 5, 6, 7, 8])],
+                                "doc_id string, tokens array<int>")
+    from dtaidistance_spark.operators.matrixprofile import matrix_profile_ab
+
+    out = matrix_profile_ab(corpus, qdf, m=8).collect()
+    assert {r.doc_id for r in out} == {"b"} and len(out) == 3
