@@ -545,3 +545,78 @@ def stats_pruning_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "schema_evolution_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(384)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    )
+    SELECT source,
+           CASE WHEN i < 256 THEN 'v1' ELSE 'v2' END AS pipeline,
+           count(*) AS n_rows,
+           sum(CASE WHEN i < 256 THEN 0.5 ELSE n / 8192.0 END) AS sum_quality,
+           true AS snapshot1_evolved
+    FROM ss GROUP BY 1, 2
+    """,
+)
+def schema_evolution_check(spark, sf_dir):
+    """Schema evolution without rewrite (Iceberg ADD COLUMN),
+    driver-oracled: ingest 256 rows, evolve the schema with
+    (quality double DEFAULT 0.5, pipeline string DEFAULT 'v1') — zero
+    data files touched — then append 128 rows that CARRY computed
+    quality (n_tok/8192, exact in float64: /2^13) and pipeline 'v2'.
+    The merged read must show old rows with defaults and new rows with
+    real values (per source x pipeline counts and exact quality sums
+    re-derived by DuckDB), and time travel to snapshot 1 must read
+    under the CURRENT schema (defaults filled on the fly)."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 384)
+    root = tempfile.mkdtemp(prefix="evo_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        s1 = t.write(
+            df.where(F.col("doc_id") < f"doc{256:012d}"), mode="overwrite"
+        )
+        t.evolve_schema(
+            {"quality": ("double", 0.5), "pipeline": ("string", "v1")}
+        )
+        t.write(
+            df.where(F.col("doc_id") >= f"doc{256:012d}")
+            .withColumn("quality", F.col("n_tok") / F.lit(8192.0))
+            .withColumn("pipeline", F.lit("v2")),
+            mode="append",
+        )
+        back = t.read(spark, snapshot=s1)
+        evolved = (
+            "quality" in back.columns
+            and back.where(
+                (F.col("quality") != 0.5) | (F.col("pipeline") != "v1")
+            ).count() == 0
+        )
+        out = (
+            t.read(spark)
+            .groupBy("source", "pipeline")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("quality").alias("sum_quality"),
+            )
+            .withColumn("snapshot1_evolved", F.lit(bool(evolved)))
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -97,6 +97,36 @@ class TableIO:
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
 
+    # -- schema evolution ----------------------------------------------------
+    def schema_version(self) -> int:
+        return self._load().get("schema_version", 0)
+
+    def evolve_schema(self, columns: dict[str, tuple[str, object]]) -> int:
+        """Iceberg ADD COLUMN semantics: register new columns with a
+        Spark type DDL and a default, WITHOUT rewriting a single data
+        file. The manifest's schema version bumps; every entry records
+        the version it was written under, and the reader fills the
+        default for entries older than a column. Returns the new
+        schema version."""
+        m = self._load()
+        ver = m.get("schema_version", 0) + 1
+        ev = m.setdefault("evolved_columns", {})
+        for name, (dtype, default) in columns.items():
+            if name in ev:
+                raise ValueError(f"column {name} already evolved")
+            ev[name] = {"type": dtype, "default": default, "since": ver}
+        m["schema_version"] = ver
+        self._commit(m)
+        return ver
+
+    def _evolved_fill(self, df: DataFrame, entry_sv: int, m: dict) -> DataFrame:
+        for name, spec in m.get("evolved_columns", {}).items():
+            if entry_sv < spec["since"] and name not in df.columns:
+                df = df.withColumn(
+                    name, F.lit(spec["default"]).cast(spec["type"])
+                )
+        return df
+
     def entries(self) -> list[dict]:
         """Current file set: [{path, partition, rows, checksum}]."""
         return self._load()["entries"]
@@ -178,6 +208,7 @@ class TableIO:
                 "rows": e["rows"],
                 "checksum": e["checksum"],
                 "snapshot": snap_id,
+                "sv": m.get("schema_version", 0),
                 **({"stats": e["stats"]} if "stats" in e else {}),
             }
             for e in lineage
@@ -316,15 +347,20 @@ class TableIO:
         return self._read_entries(spark, entries)
 
     def _read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
-        if not self.partition_by:
+        m = self._load()
+        if not self.partition_by and not m.get("evolved_columns"):
             return spark.read.parquet(*[e["path"] for e in entries])
         # partitionBy-written files drop the partition columns; re-attach
-        # them from the manifest (partition values are strings by contract)
+        # them from the manifest (partition values are strings by contract).
+        # Entries written before a schema evolution get the evolved
+        # columns filled with their defaults (no file rewrite — the
+        # Iceberg ADD COLUMN read path).
         out = None
         for e in entries:
             d = spark.read.parquet(e["path"])
             for k, v in e["partition"].items():
                 d = d.withColumn(k, F.lit(v))
+            d = self._evolved_fill(d, e.get("sv", 0), m)
             out = d if out is None else out.unionByName(d)
         return out
 
@@ -403,10 +439,17 @@ class TableIO:
                 "entries_after": len(m["entries"]),
                 "snapshot": m["current_snapshot"],
             }
+        cur_sv = m.get("schema_version", 0)
         expected = {
             k: (
                 sum(e["rows"] for e in es),
-                _xor64(int(e["checksum"]) for e in es),
+                # a checksum written under an older schema version covers
+                # fewer columns than the rewrite will hash — compare
+                # checksums only when every source entry is current
+                # (rows are always compared)
+                _xor64(int(e["checksum"]) for e in es)
+                if all(e.get("sv", 0) == cur_sv for e in es)
+                else None,
             )
             for k, es in targets.items()
         }
@@ -419,7 +462,9 @@ class TableIO:
         }
         for k, (rows, chk) in expected.items():
             got = new_by_part[k]
-            if got["rows"] != rows or _xor64([int(got["checksum"])]) != chk:
+            if got["rows"] != rows or (
+                chk is not None and _xor64([int(got["checksum"])]) != chk
+            ):
                 raise RuntimeError(
                     f"compaction verification failed for partition {k}: "
                     f"expected ({rows}, {chk}), got "

