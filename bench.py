@@ -143,6 +143,38 @@ def main() -> None:
     cascade_sec = min(cascade_runs)
     timings["seq_rollup_1m_bench"] = round(rollup_sec, 3)
     timings["seq_cascade_bench"] = round(cascade_sec, 3)
+
+    # --- matrix profile (motif/discord) throughput ----------------------
+    # zero-shuffle blocked-BLAS self-join over full-length token series;
+    # work metric = window pairs evaluated (sum over docs of q^2)
+    from dtaidistance_spark.operators import matrixprofile as MPK
+
+    # 1024 full-length docs ~ 3.3e9 window pairs: enough to amortize to
+    # the steady-state rate without dominating the suite wall time (the
+    # long-tail 8192-token docs carry most of the q^2 work)
+    mp_n_docs = min(1024, BENCH_SEQ_N)
+    # the id-prefix slice of the range-partitioned table lands in few
+    # partitions; redistribute so every core gets kernel work (the q^2
+    # cost per doc dwarfs the one small shuffle)
+    mp_docs = (
+        seq.where(f"doc_id < 'doc{mp_n_docs:012d}'")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .persist()
+    )
+    mp_docs.count()
+    mp_pairs = mp_docs.selectExpr(
+        "sum(cast(n_tok - 7 as bigint) * cast(n_tok - 7 as bigint)) AS p"
+    ).collect()[0]["p"]
+    MPK.matrix_profile(mp_docs.limit(16), m=8).count()  # warm plan + kernel
+    mp_sec, mp_windows = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mp_windows = MPK.matrix_profile(mp_docs, m=8).count()
+        dt = time.perf_counter() - t0
+        mp_sec = dt if mp_sec is None else min(mp_sec, dt)
+    timings["matrix_profile_bench"] = round(mp_sec, 3)
+    mp_docs.unpersist()
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -213,6 +245,10 @@ def main() -> None:
         "dtw_knn_series_x_queries_per_sec": round(
             n_pairs_series * len(knn_qs) / knn_sec, 1
         ),
+        "mp_docs": mp_n_docs,
+        "mp_windows": int(mp_windows),
+        "mp_windows_per_sec": round(mp_windows / mp_sec, 1),
+        "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
