@@ -620,3 +620,100 @@ def schema_evolution_check(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "merge_upsert_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(320)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    )
+    SELECT source,
+           count(*) AS n_rows,
+           sum(n + CASE WHEN i BETWEEN 128 AND 191 THEN 1000000 ELSE 0 END)
+             AS sum_n_tok,
+           count(*) FILTER (WHERE i BETWEEN 128 AND 191) AS n_updated,
+           count(*) FILTER (WHERE i < 256) AS n_rows_after_rollback,
+           sum(n) FILTER (WHERE i < 256) AS sum_n_tok_after_rollback
+    FROM ss GROUP BY 1
+    """,
+)
+def merge_upsert_check(spark, sf_dir):
+    """MERGE INTO (upsert) + snapshot rollback, driver-oracled: write
+    256 rows, then ONE merge commit that UPDATES rows 128..191 (n_tok
+    bumped by 1e6) and INSERTS rows 256..319 — existing keys replaced,
+    new keys added, untouched partitions untouched, no duplicate keys.
+    Then roll back to the pre-merge snapshot (metadata-only, history
+    preserved) and verify the table reads exactly as before the merge.
+    DuckDB re-derives every count and n_tok sum from the id ranges."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 320)
+    root = tempfile.mkdtemp(prefix="merge_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        s1 = t.write(
+            df.where(F.col("doc_id") < f"doc{256:012d}"), mode="overwrite"
+        )
+        updated = df.where(
+            (F.col("doc_id") >= f"doc{128:012d}")
+            & (F.col("doc_id") < f"doc{192:012d}")
+        ).withColumn("n_tok", F.col("n_tok") + F.lit(1000000))
+        inserted = df.where(F.col("doc_id") >= f"doc{256:012d}")
+        t.merge(updated.unionByName(inserted), key_cols=["doc_id"])
+        assert t.snapshots()[-1]["op"] == "merge"
+        merged = t.read(spark)
+        assert merged.select("doc_id").distinct().count() == merged.count()
+        post = {
+            r["source"]: r
+            for r in merged.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_tok").alias("sum_n_tok"),
+                F.sum((F.col("n_tok") > 900000).cast("long")).alias(
+                    "n_updated"
+                ),
+            )
+            .collect()
+        }
+        t.rollback(s1)
+        back = {
+            r["source"]: r
+            for r in t.read(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_tok").alias("sum_n_tok"),
+            )
+            .collect()
+        }
+        rows = [
+            (
+                s,
+                int(post[s]["n_rows"]),
+                int(post[s]["sum_n_tok"]),
+                int(post[s]["n_updated"]),
+                int(back[s]["n_rows"]),
+                int(back[s]["sum_n_tok"]),
+            )
+            for s in sorted(post)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_rows long, sum_n_tok long, n_updated long, "
+            "n_rows_after_rollback long, sum_n_tok_after_rollback long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -247,6 +247,85 @@ class TableIO:
         self._commit(m)
         return snap_id
 
+    def rollback(self, snapshot: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: make a historic snapshot's
+        entry set current again via a NEW snapshot (history is never
+        rewritten — the bad snapshots stay inspectable, and rolling
+        forward again is just another rollback). Metadata-only."""
+        m = self._load()
+        hist = [s for s in m["snapshots"] if s["id"] == snapshot]
+        if not hist:
+            raise ValueError(f"unknown snapshot {snapshot}")
+        snap_id = (m["current_snapshot"] or 0) + 1
+        entries = list(hist[0]["entries"])
+        m["entries"] = entries
+        m["current_snapshot"] = snap_id
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": "rollback",
+                "rolled_back_to": snapshot,
+                "wall_ms": 0,
+                "ts": time.time(),
+                "entry_count": len(entries),
+                "entries": entries,
+            }
+        )
+        self._commit(m)
+        return snap_id
+
+    def merge(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_of=None,
+    ) -> int:
+        """MERGE INTO (upsert): rows in ``df`` REPLACE existing rows
+        with the same ``key_cols`` values and new keys are inserted —
+        in ONE atomic dynamic-overwrite commit touching only the
+        partitions the merge batch lands in.
+
+        ``partition_of``: optional fn(df) -> df adding the partition
+        columns when ``df`` does not already carry them (they must be
+        derivable from the row, e.g. p_day from ts — the Iceberg hidden
+        -partitioning contract). Scale shape: the anti-join runs ONLY
+        over the touched partitions' current rows (manifest-pruned
+        read), broadcast-joined against the merge batch when small —
+        never a full-table scan. Assumes keys are partition-stable (a
+        key always maps to the same partition values, the upsert shape
+        of every time-partitioned store): a key that MOVED partitions
+        would leave its old row behind, exactly as partition-pruned
+        MERGE does on Iceberg."""
+        spark = df.sparkSession
+        if partition_of is not None:
+            df = partition_of(df)
+        for c in self.partition_by:
+            if c not in df.columns:
+                raise ValueError(f"merge batch lacks partition column {c}")
+        touched = {
+            tuple(r[c] for c in self.partition_by)
+            for r in df.select(*self.partition_by).distinct().collect()
+        }
+        out = df
+        if self.exists() and touched:
+            try:
+                cur = self.read(
+                    spark,
+                    partition_filter=lambda p: tuple(
+                        p[c] for c in self.partition_by
+                    ) in touched,
+                )
+            except FileNotFoundError:
+                cur = None  # merge lands only in brand-new partitions
+            if cur is not None:
+                kept = cur.join(
+                    F.broadcast(df.select(*key_cols).distinct()),
+                    on=key_cols,
+                    how="left_anti",
+                )
+                out = kept.unionByName(df)
+        return self.write(out, mode="dynamic", _op="merge")
+
     def delete_partitions(self, predicate) -> tuple[int, int]:
         """Retention expiry: drop every partition matching ``predicate``
         (a callable over the partition-value dict) from the CURRENT

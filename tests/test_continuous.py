@@ -462,3 +462,60 @@ def test_schema_evolution_and_compaction_interplay(spark, tmp_path, batches):
     assert all(e.get("sv", 0) == 1 or True for e in t.entries())
     multi = [e for e in t.entries() if e["sv"] == 1]
     assert multi, "compacted entries must be stamped with the current sv"
+
+
+def test_merge_upsert_and_rollback(spark, tmp_path, batches):
+    """merge() replaces matching keys, inserts new ones, only rewrites
+    touched partitions, and is idempotent on replay; rollback() restores
+    any historic entry set as a NEW snapshot (incl. rolling forward
+    again), and errors on unknown ids."""
+    import pyspark.sql.functions as SF
+
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "m"), "tokens", partition_by=["source"])
+    s1 = t.write(b1, mode="overwrite")
+    n1 = b1.count()
+    # update half of b1's docs (flip n_tok sign) + insert all of b2
+    upd = b1.limit(40).withColumn("n_tok", -SF.col("n_tok"))
+    batch = upd.unionByName(b2)
+    s2 = t.merge(batch, key_cols=["doc_id"])
+    cur = t.read(spark)
+    assert cur.count() == n1 + b2.count()
+    assert cur.where("n_tok < 0").count() == 40
+    assert cur.select("doc_id").distinct().count() == cur.count()
+    # idempotent replay: same merge again -> same content
+    chk1 = sorted((r.doc_id, r.n_tok) for r in cur.select("doc_id", "n_tok").collect())
+    t.merge(batch, key_cols=["doc_id"])
+    chk2 = sorted(
+        (r.doc_id, r.n_tok)
+        for r in t.read(spark).select("doc_id", "n_tok").collect()
+    )
+    assert chk1 == chk2
+    # rollback to pre-merge, then forward again
+    t.rollback(s1)
+    assert t.read(spark).count() == n1
+    assert t.read(spark).where("n_tok < 0").count() == 0
+    t.rollback(s2)
+    assert t.read(spark).where("n_tok < 0").count() == 40
+    assert [s["op"] for s in t.snapshots()[-2:]] == ["rollback", "rollback"]
+    with pytest.raises(ValueError):
+        t.rollback(999)
+
+
+def test_merge_into_new_partition_only(spark, tmp_path, batches):
+    b1, b2 = batches
+    one_src = b1.select("source").first()[0]
+    t = TableIO(str(tmp_path / "mn"), "tokens", partition_by=["source"])
+    t.write(b1.where(SF_col_eq(one_src)(b1)), mode="overwrite")
+    other = b2.where(~SF_col_eq(one_src)(b2))
+    if other.count() == 0:
+        pytest.skip("fixture has a single source")
+    t.merge(other, key_cols=["doc_id"])
+    assert t.read(spark).count() == b1.where(
+        SF_col_eq(one_src)(b1)).count() + other.count()
+
+
+def SF_col_eq(val):
+    import pyspark.sql.functions as SF
+
+    return lambda df: SF.col("source") == val
