@@ -225,3 +225,108 @@ def matrix_profile_ab(
                 yield pd.concat(out, ignore_index=True)
 
     return corpus_df.select(id_col, tokens_col).mapInPandas(gen, AB_SCHEMA)
+
+
+def mp_self_znorm(a: np.ndarray, m: int, excl: int, block: int = 512):
+    """Z-NORMALIZED self-join matrix profile (the standard MASS/SCAMP
+    semantics): d2[i] = min over admissible j of
+    ``2*m*(1 - corr(i, j))`` where corr is the Pearson correlation of
+    the two windows — equal to the squared Euclidean distance between
+    the z-normalized windows.
+
+    Exactness-by-construction (what makes this SQL-oracle-able even
+    though the values are real): every input to the floating pipeline
+    is an EXACT integer in float64 (window sums, power sums,
+    m*dot - Sx*Sy numerators and m*Sxx - Sx^2 variances are all
+    < 2^53), and the pipeline is exactly one sqrt per window, one
+    product, one division, one clip, and one affine map — each IEEE-754
+    correctly rounded, so numpy and DuckDB produce bit-identical
+    doubles when the SQL spells the SAME expression tree
+    (``2*m*(1 - greatest(-1, least(1, num/(sqrt(va)*sqrt(vb)))))``).
+
+    Degenerate windows: both constant -> d2 = 0 (their z-norms are the
+    same zero vector by convention); exactly one constant -> corr = 0,
+    d2 = 2*m. Same sentinel contract as :func:`mp_self` for positions
+    with no admissible neighbor (d2 = nn = -1).
+    """
+    a = np.asarray(a, dtype=np.int64)
+    n = a.size
+    q = n - m + 1
+    if q <= excl + 1:
+        return None
+    W = np.lib.stride_tricks.sliding_window_view(a, m).astype(np.float64)
+    Sx = W.sum(axis=1)
+    Sxx = np.einsum("ij,ij->i", W, W)
+    var = m * Sxx - Sx * Sx  # exact integers in float64
+    s = np.sqrt(var)
+    best_d = np.empty(q, dtype=np.float64)
+    best_j = np.empty(q, dtype=np.int64)
+    cols = np.arange(q)
+    fm = float(m)
+    for r0 in range(0, q, block):
+        r1 = min(r0 + block, q)
+        G = W[r0:r1] @ W.T
+        num = fm * G - Sx[r0:r1, None] * Sx[None, :]
+        den = s[r0:r1, None] * s[None, :]
+        va = var[r0:r1, None]
+        vb = var[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.clip(num / den, -1.0, 1.0)
+        corr = np.where(
+            (va > 0) & (vb > 0),
+            corr,
+            np.where((va == 0) & (vb == 0), 1.0, 0.0),
+        )
+        D = 2.0 * fm * (1.0 - corr)
+        off = cols[None, :] - np.arange(r0, r1)[:, None]
+        D[np.abs(off) <= excl] = np.inf
+        j = np.argmin(D, axis=1)
+        best_d[r0:r1] = D[np.arange(r1 - r0), j]
+        best_j[r0:r1] = j
+    dead = ~np.isfinite(best_d)
+    best_d[dead] = -1.0
+    best_j[dead] = -1
+    return best_d, best_j
+
+
+ZNORM_SCHEMA = "doc_id string, pos int, nn_pos int, d2 double"
+
+
+def matrix_profile_znorm(
+    df: DataFrame,
+    m: int = 8,
+    excl: int | None = None,
+    max_len: int | None = None,
+    block: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Z-normalized twin of :func:`matrix_profile` (same distribution
+    shape: zero-shuffle mapInPandas, blocked BLAS)."""
+    exc = m // 2 if excl is None else excl
+
+    def gen(batches):
+        for pdf in batches:
+            frames = []
+            for doc_id, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.int64)
+                if max_len is not None:
+                    a = a[:max_len]
+                res = mp_self_znorm(a, m, exc, block)
+                if res is None:
+                    continue
+                dv, jv = res
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": [doc_id] * dv.size,
+                            "pos": np.arange(dv.size, dtype=np.int32),
+                            "nn_pos": jv.astype(np.int32),
+                            "d2": dv,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, tokens_col).mapInPandas(gen, ZNORM_SCHEMA)

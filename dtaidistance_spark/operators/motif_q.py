@@ -258,3 +258,79 @@ def contamination_screen(spark, sf_dir):
         F.sum((F.col("d2") == 0).cast("long")).alias("n_exact")
     )
     return best.join(agg, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-normalized profile (standard MASS/SCAMP semantics) — real-valued yet
+# bit-exact across engines: integer sums feed exactly one sqrt, one
+# product, one division, one clip, one affine map per pair, each
+# IEEE-754 correctly rounded, and the SQL spells the identical
+# expression tree. 32 docs keep the brute twin at ~470k pairs.
+# ---------------------------------------------------------------------------
+
+_NZ = 32
+
+_ZBRUTE = synth_sql(_NZ) + f"""
+, trunc AS (
+  SELECT doc_id,
+         list_slice(tokens, 1, least(n_tok, {_MAXLEN})) AS t,
+         least(n_tok, {_MAXLEN}) AS n
+  FROM synth
+),
+winx AS (
+  SELECT doc_id, unnest(range(n - {_M} + 1)) AS i, t
+  FROM trunc
+),
+wins AS (
+  SELECT doc_id, i, list_slice(t, i + 1, i + {_M}) AS w
+  FROM winx
+),
+wstats AS (
+  SELECT doc_id, i, w,
+         list_sum(w) AS sx,
+         list_sum(list_transform(w, x -> x * x)) AS sxx
+  FROM wins
+),
+zd2 AS (
+  SELECT a.doc_id, a.i AS pos, b.i AS j,
+         16.0 * (1.0 - (
+           CASE
+             WHEN ({_M} * a.sxx - a.sx * a.sx) > 0
+              AND ({_M} * b.sxx - b.sx * b.sx) > 0
+             THEN greatest(-1.0, least(1.0,
+               ({_M} * list_sum(list_transform(range({_M}),
+                  k -> a.w[k + 1] * b.w[k + 1])) - a.sx * b.sx)::DOUBLE
+               / (sqrt({_M} * a.sxx - a.sx * a.sx)
+                  * sqrt({_M} * b.sxx - b.sx * b.sx))))
+             WHEN ({_M} * a.sxx - a.sx * a.sx) = 0
+              AND ({_M} * b.sxx - b.sx * b.sx) = 0
+             THEN 1.0
+             ELSE 0.0
+           END)) AS d2
+  FROM wstats a JOIN wstats b
+    ON a.doc_id = b.doc_id AND abs(a.i - b.i) > {_EXCL}
+),
+zprof AS (
+  SELECT doc_id, pos, j, d2,
+         row_number() OVER (PARTITION BY doc_id, pos ORDER BY d2, j) AS rn
+  FROM zd2
+)
+"""
+
+
+@register(
+    "matrix_profile_znorm",
+    oracle=_ZBRUTE
+    + """
+    SELECT doc_id, pos::INT AS pos, j::INT AS nn_pos, d2
+    FROM zprof WHERE rn = 1
+    """,
+)
+def matrix_profile_znorm(spark, sf_dir):
+    """Z-normalized matrix profile of 32 series — REAL-valued doubles
+    hash-matched bit-for-bit against the brute SQL twin (see module
+    comment for why no tolerance is needed)."""
+    seqs = synth.sequences_df(spark, _NZ).withColumn(
+        "tokens", F.slice("tokens", 1, _MAXLEN)
+    )
+    return MP.matrix_profile_znorm(seqs, m=_M, excl=_EXCL)

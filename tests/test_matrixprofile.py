@@ -153,3 +153,67 @@ def test_ab_short_series_skipped(spark):
 
     out = matrix_profile_ab(corpus, qdf, m=8).collect()
     assert {r.doc_id for r in out} == {"b"} and len(out) == 3
+
+
+def test_znorm_semantics_vs_explicit_normalization():
+    """mp_self_znorm == squared Euclidean between explicitly z-normed
+    windows (semantic check, 1e-9 tol), and identical windows hit
+    exactly 0 thanks to the clip."""
+    rng = np.random.default_rng(42)
+    a = np.concatenate([
+        rng.integers(0, 50, size=40),
+        rng.integers(0, 50, size=10) * 3 + 7,  # scaled/offset repeats
+    ])
+    m, excl = 8, 4
+    d2, nn = MP.mp_self_znorm(a, m, excl, block=13)
+    q = a.size - m + 1
+    Wf = np.lib.stride_tricks.sliding_window_view(a, m).astype(float)
+
+    def znorm(w):
+        sd = w.std()
+        return np.zeros_like(w) if sd == 0 else (w - w.mean()) / sd
+
+    for i in range(q):
+        best = None
+        for j in range(q):
+            if abs(i - j) <= excl:
+                continue
+            d = float(((znorm(Wf[i]) - znorm(Wf[j])) ** 2).sum())
+            best = d if best is None else min(best, d)
+        assert abs(d2[i] - best) < 1e-9, (i, d2[i], best)
+    # plant an exact scaled+offset copy: mathematically corr = 1, but
+    # sqrt(25*v) != 5*sqrt(v) by an ulp, so d2 lands within a few ulps
+    # of 0 rather than exactly 0 (identical windows DO clip to exactly
+    # 0: num == va is integer-exact there) — both engines agree on the
+    # tiny residual, which is what the oracle hash proves
+    b = np.concatenate([a[:20], a[:12] * 5 + 100])
+    db, nb = MP.mp_self_znorm(b, m, excl)
+    assert db[20] < 1e-12 and nb[20] == 0
+    assert (db >= 0).all()
+
+
+def test_znorm_degenerate_windows():
+    # constant vs constant -> 0; constant vs varying -> 2*m
+    a = np.array([7] * 12 + [1, 9, 2, 8, 3, 7, 4, 6] * 2)
+    m, excl = 4, 1
+    d2, nn = MP.mp_self_znorm(a, m, excl)
+    assert d2[0] == 0.0 and nn[0] == 2  # first admissible constant window
+    # a window overlapping the constant/varying boundary still behaves
+    assert np.isfinite(d2).all()
+
+
+def test_znorm_spark_parity(spark):
+    import pyspark.sql.functions as F
+
+    seqs = synth.sequences_df(spark, 6).withColumn(
+        "tokens", F.slice("tokens", 1, 64)
+    )
+    got = {
+        (r.doc_id, r.pos): (r.nn_pos, r.d2)
+        for r in MP.matrix_profile_znorm(seqs, m=8, excl=4, block=9).collect()
+    }
+    pdf = synth.sequences_local(6)
+    for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+        d2, nn = MP.mp_self_znorm(np.asarray(toks)[:64], 8, 4)
+        for i in range(d2.size):
+            assert got[(doc_id, i)] == (nn[i], d2[i])
