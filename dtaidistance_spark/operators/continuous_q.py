@@ -717,3 +717,99 @@ def merge_upsert_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "wap_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(320)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    )
+    SELECT source,
+           count(*) AS n_rows_final,
+           sum(n) AS sum_n_tok,
+           0 AS n_bad_rows_final,
+           count(*) FILTER (WHERE i < 256) AS n_rows_while_staged,
+           true AS stage_invisible
+    FROM ss GROUP BY 1
+    """,
+)
+def wap_check(spark, sf_dir):
+    """Write-audit-publish (the data-quality gate a training pipeline
+    runs before promoting a batch), driver-oracled: write 256 rows;
+    STAGE a corrupted batch (n_tok = -1 injected) — readers still see
+    only the 256 (stage invisibility verified while staged) — audit
+    catches the bad rows and ABORTS; stage the clean 256..319 batch,
+    audit passes, PUBLISH. Final table: exactly ids < 320 with original
+    n_tok sums and zero bad rows — all re-derived by DuckDB."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 320)
+    root = tempfile.mkdtemp(prefix="wap_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        t.write(df.where(F.col("doc_id") < f"doc{256:012d}"), mode="overwrite")
+        tail = df.where(F.col("doc_id") >= f"doc{256:012d}")
+        # stage a corrupted batch
+        bad_id = t.write_staged(
+            tail.withColumn("n_tok", F.lit(-1)), mode="append"
+        )
+        n_while_staged = t.read(spark).count()  # stage invisibility
+        audit_bad = t.read_staged(spark, bad_id).where("n_tok <= 0").count()
+        assert audit_bad > 0
+        t.abort_staged(bad_id)
+        # stage the clean batch, audit, publish
+        good_id = t.write_staged(tail, mode="append")
+        audit_good = t.read_staged(spark, good_id).where("n_tok <= 0").count()
+        assert audit_good == 0
+        t.publish_staged(good_id)
+        per_src = {
+            r["source"]: r
+            for r in t.read(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows_final"),
+                F.sum("n_tok").alias("sum_n_tok"),
+                F.sum((F.col("n_tok") <= 0).cast("long")).alias("n_bad"),
+            )
+            .collect()
+        }
+        staged_src = {
+            r["source"]: r["c"]
+            for r in t.read(spark, snapshot=1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        total_while_staged = sum(staged_src.values())
+        rows = [
+            (
+                s,
+                int(v["n_rows_final"]),
+                int(v["sum_n_tok"]),
+                int(v["n_bad"]),
+                int(staged_src.get(s, 0)),
+                n_while_staged == total_while_staged,
+            )
+            for s, v in sorted(per_src.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_rows_final long, sum_n_tok long, "
+            "n_bad_rows_final long, n_rows_while_staged long, "
+            "stage_invisible boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

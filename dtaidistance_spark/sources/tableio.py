@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest.json"
 
 
+def _next_id(m: dict) -> int:
+    """Allocate a monotonic snapshot id and record it in the manifest's
+    ``last_id`` high-water mark (not current+1: publish/rollback can
+    move `current` backwards past later ids, and an aborted staged id
+    must never be REUSED — a held time-travel reference would silently
+    resolve to a different snapshot)."""
+    nid = max(
+        max((s["id"] for s in m["snapshots"]), default=0),
+        m.get("last_id", 0),
+    ) + 1
+    m["last_id"] = nid
+    return nid
+
+
 def _xor64(values) -> int:
     """Unsigned-64 XOR fold of (possibly signed) int64 checksums."""
     acc = 0
@@ -184,7 +198,7 @@ class TableIO:
         distinguishable from user writes in the history)."""
         assert mode in ("overwrite", "append", "dynamic")
         m = self._load()
-        snap_id = (m["current_snapshot"] or 0) + 1
+        snap_id = _next_id(m)
         data_dir = os.path.join(self.dir, "data", f"s{snap_id:06d}-{uuid.uuid4().hex[:8]}")
         t0 = time.time()
         lineage = self._lineage(df)
@@ -247,6 +261,64 @@ class TableIO:
         self._commit(m)
         return snap_id
 
+    # -- write-audit-publish -------------------------------------------------
+    def write_staged(self, df: DataFrame, mode: str = "append") -> int:
+        """WAP step 1 (Iceberg's ``stage-only`` commit): write the data
+        files and record the would-be snapshot in the history WITHOUT
+        making it current — readers keep seeing the pre-stage table.
+        Returns the staged snapshot id for :meth:`audit_staged` /
+        :meth:`publish_staged` / :meth:`abort_staged`."""
+        m_before = self._load()
+        cur_before = m_before["current_snapshot"]
+        entries_before = m_before["entries"]
+        staged_id = self.write(df, mode=mode, _op="stage")
+        m = self._load()
+        snap = m["snapshots"][-1]
+        assert snap["id"] == staged_id and snap["op"] == "stage"
+        snap["staged"] = True
+        # restore the reader-visible state; the staged entry set lives
+        # only in the snapshot record until published
+        m["entries"] = entries_before
+        m["current_snapshot"] = cur_before
+        m["staged_head"] = staged_id
+        self._commit(m)
+        return staged_id
+
+    def read_staged(self, spark: SparkSession, staged_id: int) -> DataFrame:
+        """Read the table AS IF the staged snapshot were published —
+        the audit view."""
+        return self.read(spark, snapshot=staged_id)
+
+    def publish_staged(self, staged_id: int) -> int:
+        """WAP step 3a (``cherrypick_snapshot``): make the audited
+        snapshot's entry set current. Metadata-only."""
+        m = self._load()
+        hist = [s for s in m["snapshots"] if s["id"] == staged_id]
+        if not hist or not hist[0].get("staged"):
+            raise ValueError(f"snapshot {staged_id} is not staged")
+        hist[0]["staged"] = False
+        hist[0]["published_as"] = staged_id
+        m["entries"] = list(hist[0]["entries"])
+        m["current_snapshot"] = staged_id
+        m.pop("staged_head", None)
+        self._commit(m)
+        return staged_id
+
+    def abort_staged(self, staged_id: int) -> None:
+        """WAP step 3b: drop the staged snapshot from history (its data
+        dirs become unreferenced; vacuum reclaims them)."""
+        m = self._load()
+        keep = [
+            s
+            for s in m["snapshots"]
+            if not (s["id"] == staged_id and s.get("staged"))
+        ]
+        if len(keep) == len(m["snapshots"]):
+            raise ValueError(f"snapshot {staged_id} is not staged")
+        m["snapshots"] = keep
+        m.pop("staged_head", None)
+        self._commit(m)
+
     def rollback(self, snapshot: int) -> int:
         """Iceberg ``rollback_to_snapshot``: make a historic snapshot's
         entry set current again via a NEW snapshot (history is never
@@ -256,7 +328,7 @@ class TableIO:
         hist = [s for s in m["snapshots"] if s["id"] == snapshot]
         if not hist:
             raise ValueError(f"unknown snapshot {snapshot}")
-        snap_id = (m["current_snapshot"] or 0) + 1
+        snap_id = _next_id(m)
         entries = list(hist[0]["entries"])
         m["entries"] = entries
         m["current_snapshot"] = snap_id
@@ -342,7 +414,7 @@ class TableIO:
             (dropped if predicate(e["partition"]) else keep).append(e)
         if not dropped:
             return 0, m["current_snapshot"] or 0
-        snap_id = (m["current_snapshot"] or 0) + 1
+        snap_id = _next_id(m)
         m["entries"] = keep
         m["current_snapshot"] = snap_id
         m["snapshots"].append(

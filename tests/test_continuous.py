@@ -519,3 +519,32 @@ def SF_col_eq(val):
     import pyspark.sql.functions as SF
 
     return lambda df: SF.col("source") == val
+
+
+def test_write_audit_publish(spark, tmp_path, batches):
+    """Staged commits are invisible until published; abort drops them
+    from history (vacuum can reclaim); publish activates the audited
+    entry set; id allocation stays monotonic through stage/publish/
+    rollback interleavings (no snapshot-id collisions)."""
+    import pyspark.sql.functions as SF
+
+    b1, b2 = batches
+    t = TableIO(str(tmp_path / "w"), "tokens", partition_by=["source"])
+    t.write(b1, mode="overwrite")
+    n1 = b1.count()
+    sid = t.write_staged(b2.withColumn("n_tok", SF.lit(-5)), mode="append")
+    assert t.read(spark).count() == n1  # invisible
+    assert t.read_staged(spark, sid).where("n_tok = -5").count() == b2.count()
+    t.abort_staged(sid)
+    assert all(s["id"] != sid for s in t.snapshots())
+    with pytest.raises(ValueError):
+        t.publish_staged(sid)
+    gid = t.write_staged(b2, mode="append")
+    assert gid > sid  # ids never reused after abort... (monotonic)
+    t.publish_staged(gid)
+    assert t.read(spark).count() == n1 + b2.count()
+    # a normal write after publish gets a fresh id above everything
+    nid = t.write(b2.limit(5), mode="dynamic")
+    assert nid > gid
+    with pytest.raises(ValueError):
+        t.publish_staged(gid)  # already published -> no longer staged

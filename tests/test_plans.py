@@ -94,6 +94,10 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "token_pmi",             # bigram explode + broadcast unigrams
         "lttb_downsample",       # per-series Arrow kernel
         "substring_dedup_spans", # gram explode + island merge, pure SQL
+        "matrix_profile_self",   # zero-shuffle blocked-BLAS mapInPandas
+        "matrix_profile_znorm",  # znorm twin, same shape
+        "mp_ab_profile",         # broadcast query windows into the scan
+        "contamination_screen",  # AB profile + window rank
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
