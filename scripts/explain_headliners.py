@@ -147,6 +147,17 @@ def main() -> None:
     ))
 
     sections.append((
+        "matrix_profile_self (motif/discord discovery, MP1)",
+        "ZERO exchanges: the blocked-BLAS self-join kernel runs inside "
+        "one MapInPandas over the distributed generator — one series = "
+        "one unit of work, O(block*q) memory, no shuffle because the "
+        "profile of a series depends on nothing else. The AB-join twin "
+        "(MP2) has the same shape with the query-side window matrix "
+        "broadcast in the closure.",
+        final_plan(reg["matrix_profile_self"](spark, SF)),
+    ))
+
+    sections.append((
         "sax_symbols (SAX symbolization, S5)",
         "ZERO exchanges: z-norm moments and 8 segment means are "
         "integer-exact HOF aggregates evaluated scan-side; the "
