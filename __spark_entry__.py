@@ -33,6 +33,7 @@ def _registry():
         multimodal_q,
         queries,
         sampling_q,
+        saxindex,
         sketch_q,
         streaming_q,
         synth_q,

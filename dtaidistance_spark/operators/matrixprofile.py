@@ -240,7 +240,9 @@ def mp_self_znorm(a: np.ndarray, m: int, excl: int, block: int = 512):
     m*dot - Sx*Sy numerators and m*Sxx - Sx^2 variances are all
     < 2^53), and the pipeline is exactly one sqrt per window, one
     product, one division, one clip, and one affine map — each IEEE-754
-    correctly rounded, so numpy and DuckDB produce bit-identical
+    correctly rounded (note sqrt(v)^2 may land an ulp either side of v,
+    so even a verbatim match can sit a few ulps above 0 — both engines
+    agree on the residual, which is what the oracle hash proves), so numpy and DuckDB produce bit-identical
     doubles when the SQL spells the SAME expression tree
     (``2*m*(1 - greatest(-1, least(1, num/(sqrt(va)*sqrt(vb)))))``).
 
