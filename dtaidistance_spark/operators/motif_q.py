@@ -334,3 +334,58 @@ def matrix_profile_znorm(spark, sf_dir):
         "tokens", F.slice("tokens", 1, _MAXLEN)
     )
     return MP.matrix_profile_znorm(seqs, m=_M, excl=_EXCL)
+
+
+@register(
+    "corpus_discords",
+    oracle=_ZBRUTE
+    + """
+    , mp AS (SELECT doc_id, pos, d2 FROM zprof WHERE rn = 1),
+    disc AS (
+      SELECT doc_id, pos, d2,
+             row_number() OVER (PARTITION BY doc_id ORDER BY d2 DESC, pos)
+               AS rd
+      FROM mp
+    ),
+    topg AS (
+      SELECT doc_id, pos, d2,
+             row_number() OVER (ORDER BY d2 DESC, doc_id, pos) AS grank
+      FROM disc WHERE rd = 1
+    )
+    SELECT grank::INT AS grank, doc_id, pos::INT AS pos, d2
+    FROM topg WHERE grank <= 10
+    """,
+)
+def corpus_discords(spark, sf_dir):
+    """Corpus-level anomaly report: each series' top discord (z-norm
+    profile argmax — its least-repeated subsequence), globally ranked;
+    the 10 most anomalous (doc, pos) sites across the corpus. Fully
+    oracled (same IEEE-identical expression tree as
+    matrix_profile_znorm)."""
+    mp = MP.matrix_profile_znorm(
+        synth.sequences_df(spark, _NZ).withColumn(
+            "tokens", F.slice("tokens", 1, _MAXLEN)
+        ),
+        m=_M,
+        excl=_EXCL,
+    )
+    per_doc = (
+        mp.withColumn(
+            "rd",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("d2"), F.asc("pos"))
+            ),
+        )
+        .where(F.col("rd") == 1)
+        .select("doc_id", "pos", "d2")
+    )
+    return (
+        per_doc.withColumn(
+            "grank",
+            F.row_number().over(
+                Window.orderBy(F.desc("d2"), F.asc("doc_id"), F.asc("pos"))
+            ),
+        )
+        .where(F.col("grank") <= 10)
+        .select("grank", "doc_id", "pos", "d2")
+    )
