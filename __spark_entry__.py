@@ -38,6 +38,7 @@ def _registry():
         streaming_q,
         synth_q,
         text_q,
+        tsanalytics_q,
         tsops_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

@@ -1,0 +1,570 @@
+"""Time-series analytics, round-2 batch 3: autocorrelation /
+seasonality detection, EWMA smoothing, CUSUM change-point detection,
+seasonal-baseline anomaly ranking, and KMV (theta) distinct sketches
+with set operations — every query fully DuckDB-oracled, most of them
+BIT-EXACT with no rounding tolerance.
+
+Exactness strategy (the round-2 lever, see BASELINE.md): every
+aggregation that crosses rows stays in exact int64 (token values
+< 50257, so sums / power sums / lagged cross products over <= 8192
+tokens all stay far below 2^53 — integer addition is order-independent,
+so shuffle order can't perturb them); the float tail is then ONE shared
+expression string evaluated over those identical integers by both
+engines, and each IEEE-754 double op (cast, add, mul, div, sqrt) is
+correctly rounded deterministically — identical tree, identical bits.
+The EWMA folds go further: Spark ``aggregate`` and DuckDB
+``list_reduce`` are both strict left folds, so a recursive smoother is
+bit-identical too (verified: identical bit patterns for alpha = 1/2 and
+1/4, whose divisions are also exact).
+
+Scale notes: ACF / EWMA / seasonality are scan-side HOF projections
+with zero shuffles (the per-row lag products are O(n * lags) inside
+codegen); CUSUM is one hash shuffle onto the series key with a single
+window sort; the KMV sketches reduce the corpus to k=256 hashes per
+set BEFORE any cross-set work (the DataSketches theta pattern — at
+100 TB the sketch build is one map-side-combinable distinct + top-k
+per key, and set algebra runs on kilobyte sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+_N = 256
+_LAGS = (1, 2, 4, 8, 16, 32, 64)
+
+# ---------------------------------------------------------------------------
+# ACF — autocorrelation per series at a lag set (bit-exact)
+# ---------------------------------------------------------------------------
+
+# shared float tail over exact-int64 columns (sa, qa, pa, ha, ta) and the
+# ints (n_tok, k): mu = sa/n; acf_k =
+#   (pa - mu*ta - mu*ha + (n-k)*mu^2) / (qa - sa*mu)
+# spelled ONE op at a time with full parens so Spark and DuckDB build the
+# identical IEEE expression tree.
+_MU = "(CAST(sa AS DOUBLE) / CAST(n_tok AS DOUBLE))"
+_ACF_EXPR = (
+    f"((((CAST(pa AS DOUBLE) - ({_MU} * CAST(ta AS DOUBLE)))"
+    f" - ({_MU} * CAST(ha AS DOUBLE)))"
+    f" + (CAST(n_tok - k AS DOUBLE) * ({_MU} * {_MU})))"
+    f" / (CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * {_MU})))"
+)
+
+_ACF_ORACLE_BODY = f"""
+, lg AS (SELECT unnest([{", ".join(str(k) for k in _LAGS)}]) AS k),
+acfa AS (
+  SELECT doc_id, n_tok, k,
+    list_sum(tokens)::BIGINT AS sa,
+    list_sum(list_transform(tokens, x -> x::BIGINT * x::BIGINT))::BIGINT AS qa,
+    list_sum(list_transform(range(1, n_tok - k + 1),
+        i -> tokens[i]::BIGINT * tokens[i + k]::BIGINT))::BIGINT AS pa,
+    list_sum(tokens[1 : n_tok - k])::BIGINT AS ha,
+    list_sum(tokens[k + 1 : n_tok])::BIGINT AS ta
+  FROM synth, lg WHERE k < n_tok
+),
+acfr AS (SELECT doc_id, n_tok, k, {_ACF_EXPR} AS acf FROM acfa)
+"""
+
+
+def _acf_df(spark):
+    """Per-(doc, lag) autocorrelation over the synthetic token table —
+    exact int64 aggregates via scan-side HOFs (zero shuffles), then the
+    shared float tail."""
+    df = synth.sequences_df(spark, _N).select("doc_id", "n_tok", "tokens")
+    lag = F.explode(F.array(*[F.lit(k) for k in _LAGS])).alias("k")
+    df = df.select("doc_id", "n_tok", "tokens", lag).where(
+        F.col("k") < F.col("n_tok")
+    )
+    df = df.select(
+        "doc_id",
+        "n_tok",
+        "k",
+        F.expr(
+            "aggregate(tokens, 0L, (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("sa"),
+        F.expr(
+            "aggregate(tokens, 0L, (a, x) -> "
+            "a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("qa"),
+        F.expr(
+            "aggregate(zip_with("
+            "  slice(tokens, 1, n_tok - k), slice(tokens, k + 1, n_tok - k),"
+            "  (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),"
+            " 0L, (s, v) -> s + v)"
+        ).alias("pa"),
+        F.expr(
+            "aggregate(slice(tokens, 1, n_tok - k), 0L,"
+            " (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("ha"),
+        F.expr(
+            "aggregate(slice(tokens, k + 1, n_tok - k), 0L,"
+            " (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("ta"),
+    )
+    return df.select("doc_id", "n_tok", "k", F.expr(_ACF_EXPR).alias("acf"))
+
+
+@register(
+    "acf_per_series",
+    oracle=synth_sql(_N)
+    + _ACF_ORACLE_BODY
+    + """
+    SELECT doc_id, k AS lag, acf FROM acfr
+    """,
+)
+def acf_per_series(spark, sf_dir):
+    """Autocorrelation function per series at lags 1..64 — the
+    sample-ACF estimator r_k = sum((x_i - mu)(x_{i+k} - mu)) / sum((x_i
+    - mu)^2), expanded so every cross-row aggregate is an exact int64
+    (lagged products, head/tail sums, power sums) and the mean-centering
+    happens in one shared float expression tree: 1786 REAL doubles
+    hash-match DuckDB with no rounding tolerance. The synthetic series
+    carry a period-64 seasonal component next to a modular token ramp;
+    both structures show up in the lag profile. Zero shuffles: the lag
+    products are per-row HOFs inside codegen."""
+    return _acf_df(spark).select("doc_id", F.col("k").alias("lag"), "acf")
+
+
+@register(
+    "seasonality_detect",
+    oracle=synth_sql(_N)
+    + _ACF_ORACLE_BODY
+    + """
+    , rk AS (
+      SELECT doc_id, n_tok, k, acf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY acf DESC, k) AS rn
+      FROM acfr
+    )
+    SELECT doc_id, n_tok, k AS best_lag, acf AS best_acf
+    FROM rk WHERE rn = 1
+    """,
+)
+def seasonality_detect(spark, sf_dir):
+    """Dominant-period detection: per series, the lag with the highest
+    ACF (ties to the smallest lag). Because the per-(doc, lag) ACF
+    doubles are bit-identical across engines, the argmax itself is
+    deterministic and driver-hashed. (The modular token ramp dominates
+    most docs at short lags; a deterministic minority surfaces the
+    planted period-64 sinusoid — both are real structure.)"""
+    df = _acf_df(spark)
+    w = Window.partitionBy("doc_id").orderBy(F.col("acf").desc(), F.col("k"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("k").alias("best_lag"),
+            F.col("acf").alias("best_acf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average via left-fold parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_smooth",
+    oracle=synth_sql(_N)
+    + """
+    SELECT doc_id, n_tok,
+      list_reduce(list_transform(tokens, t -> CAST(t AS DOUBLE)),
+        (s, x) -> ((s + x) / CAST(2 AS DOUBLE))) AS ewma_half,
+      list_reduce(list_transform(tokens, t -> CAST(t AS DOUBLE)),
+        (s, x) -> (s + ((x - s) / CAST(4 AS DOUBLE)))) AS ewma_quarter
+    FROM synth
+    """,
+)
+def ewma_smooth(spark, sf_dir):
+    """EWMA terminal value per series at alpha = 1/2 and 1/4 — the
+    recursive smoother s_t = s_{t-1} + alpha*(x_t - s_{t-1}) computed as
+    a strict left fold: Spark ``aggregate`` (init = first element, same
+    as DuckDB ``list_reduce``) walks the identical op sequence, and with
+    power-of-two alphas the scale step is an EXACT division, so every
+    intermediate state is bit-identical across engines — the registry
+    hash has no tolerance. Zero shuffles; the fold runs inside the scan
+    projection. (A windowed per-position EWMA at 100 TB is the same
+    recurrence over a windowed sort — this form pins the arithmetic.)"""
+    df = synth.sequences_df(spark, _N)
+    xs = "transform(tokens, t -> CAST(t AS DOUBLE))"
+    return df.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"aggregate(slice({xs}, 2, n_tok - 1), element_at({xs}, 1),"
+            " (s, x) -> ((s + x) / CAST(2 AS DOUBLE)))"
+        ).alias("ewma_half"),
+        F.expr(
+            f"aggregate(slice({xs}, 2, n_tok - 1), element_at({xs}, 1),"
+            " (s, x) -> (s + ((x - s) / CAST(4 AS DOUBLE))))"
+        ).alias("ewma_quarter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM — at-most-one-change mean-shift detection (planted, integer-exact)
+# ---------------------------------------------------------------------------
+
+_N_CUSUM = 128
+_SHIFT = 20000
+
+
+@register(
+    "cusum_changepoint",
+    oracle=synth_sql(_N_CUSUM)
+    + f"""
+    , ce AS (
+      SELECT doc_id, n_tok,
+        (CAST(substr(doc_id, 4, 12) AS INT) % 5 = 0) AS injected,
+        t.j AS j,
+        (tokens[t.j + 1]
+         + CASE WHEN (CAST(substr(doc_id, 4, 12) AS INT) % 5 = 0)
+                     AND t.j >= n_tok // 2
+                THEN {_SHIFT} ELSE 0 END)::BIGINT AS t2
+      FROM synth, unnest(range(n_tok)) AS t(j)
+    ),
+    cc AS (
+      SELECT *,
+        sum(t2) OVER (PARTITION BY doc_id ORDER BY j
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        sum(t2) OVER (PARTITION BY doc_id)::BIGINT AS stot
+      FROM ce
+    ),
+    cs AS (
+      SELECT doc_id, n_tok, injected, j + 1 AS k,
+             abs(n_tok::BIGINT * cum - (j + 1)::BIGINT * stot)::BIGINT AS stat
+      FROM cc WHERE j + 1 < n_tok
+    ),
+    cr AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY stat DESC, k) AS rn
+      FROM cs
+    )
+    SELECT doc_id, n_tok, injected, k AS cp_pos, stat FROM cr WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM at-most-one-change detection: the change point of series x
+    is argmax_k |n*S_k - k*S_n| (the cumulative-sum deviation statistic,
+    scaled by n to stay in exact int64 — tokens < 50257 and n <= 8192
+    keep n*cum < 2^53). Every 5th doc gets a deterministic +20000 level
+    shift injected in-query over its second half, so the detection path
+    is exercised: the argmax must land at the plant boundary. Fully
+    integer — the driver hash has no tolerance. One shuffle onto the
+    series key; the cumsum, total, and argmax share one window sort."""
+    seq = synth.sequences_df(spark, _N_CUSUM)
+    e = seq.select(
+        "doc_id",
+        "n_tok",
+        (F.substring("doc_id", 4, 12).cast("int") % 5 == 0).alias("injected"),
+        F.posexplode("tokens").alias("j", "tok"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "injected",
+        "j",
+        (
+            F.col("tok").cast("long")
+            + F.when(
+                F.col("injected") & (F.col("j") >= F.expr("n_tok div 2")),
+                F.lit(_SHIFT),
+            ).otherwise(F.lit(0))
+        ).alias("t2"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("doc_id")
+    c = e.withColumn("cum", F.sum("t2").over(wcum)).withColumn(
+        "stot", F.sum("t2").over(wall)
+    )
+    s = c.where(F.col("j") + 1 < F.col("n_tok")).select(
+        "doc_id",
+        "n_tok",
+        "injected",
+        (F.col("j") + 1).alias("k"),
+        F.abs(
+            F.col("n_tok").cast("long") * F.col("cum")
+            - (F.col("j") + 1).cast("long") * F.col("stot")
+        ).alias("stat"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("stat").desc(), F.col("k"))
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "n_tok", "injected", F.col("k").alias("cp_pos"), "stat"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly ranking over the events table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, hour(ts) AS hr,
+             round(avg(value), 6) AS baseline, count(*) AS n_base
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT e.event_id, e.event_type, hour(e.ts) AS hr, e.value,
+             b.baseline, b.n_base,
+             round(e.value - b.baseline, 6) AS residual
+      FROM events e JOIN b
+        ON e.event_type = b.event_type AND hour(e.ts) = b.hr
+    ),
+    k AS (
+      SELECT *, row_number() OVER (ORDER BY abs(residual) DESC, event_id)
+               AS rnk
+      FROM r
+    )
+    SELECT event_id, event_type, hr, round(value, 6) AS value,
+           baseline, n_base, residual, rnk
+    FROM k WHERE rnk <= 20
+    """,
+)
+def seasonal_anomaly(spark, sf_dir):
+    """Seasonal-profile anomaly report: the hour-of-day x event-type
+    mean is the seasonal baseline (a 120-row dimension — broadcast);
+    each event's residual against its baseline is ranked globally and
+    the top 20 anomalies returned. round(6)-before-rank on both sides
+    absorbs aggregation-order ulps (the established BM25 pattern);
+    ties break on event_id, so the ranking is deterministic. Scale:
+    the baseline aggregate is map-side combinable, the join is a
+    broadcast, and the global top-k is TakeOrderedAndProject — no full
+    sort ever materializes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("baseline"),
+        F.count(F.lit(1)).alias("n_base"),
+    )
+    r = ev.withColumn("hr", F.hour("ts")).join(
+        F.broadcast(b), ["event_type", "hr"]
+    ).withColumn("residual", F.round(F.col("value") - F.col("baseline"), 6))
+    wk = Window.orderBy(F.abs(F.col("residual")).desc(), F.col("event_id"))
+    return (
+        r.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            F.round("value", 6).alias("value"),
+            "baseline",
+            "n_base",
+            "residual",
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) distinct sketch + set operations
+# ---------------------------------------------------------------------------
+
+_K = 256
+_TWO60 = 1 << 60
+# shared estimator tail over exact ints (nd = true distinct in exact mode,
+# theta = k-th smallest hash): est = (k-1) * 2^60 / theta
+_KMV_EST = (
+    f"CASE WHEN nd <= {_K} THEN CAST(nd AS DOUBLE)"
+    f" ELSE ((CAST({_K - 1} AS DOUBLE) * CAST({_TWO60} AS DOUBLE))"
+    f" / CAST(theta AS DOUBLE)) END"
+)
+# set-op estimator over the sample count below theta
+_KMV_SET_EST = (
+    "((CAST(cnt AS DOUBLE) * CAST({t60} AS DOUBLE))"
+    " / CAST(theta AS DOUBLE))".format(t60=_TWO60)
+)
+
+_KMV_HASH_DUCK = (
+    "('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 15))::BIGINT"
+)
+_KMV_BASE_DUCK = f"""
+, kt AS (
+  SELECT DISTINCT source, {_KMV_HASH_DUCK} AS hv
+  FROM synth, unnest(tokens) AS t(tok)
+),
+kd AS (
+  SELECT source, count(DISTINCT t.tok) AS nd
+  FROM synth, unnest(tokens) AS t(tok) GROUP BY source
+),
+kr AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM kt
+)
+"""
+
+
+def _kmv_hashes(spark):
+    """Distinct (source, 60-bit md5 hash) pairs over the synthetic
+    token values — Spark conv() returns STRING, hence the BIGINT cast
+    (portable-hash twin convention, FIXTURES.md)."""
+    seq = synth.sequences_df(spark, _N)
+    return (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .select(
+            "source",
+            F.conv(
+                F.substring(F.md5(F.col("tok").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("hv"),
+            F.col("tok"),
+        )
+    )
+
+
+@register(
+    "kmv_distinct",
+    oracle=synth_sql(_N)
+    + _KMV_BASE_DUCK
+    + f"""
+    SELECT d.source, d.nd AS exact_distinct, r.hv AS theta,
+           {_KMV_EST} AS kmv_estimate
+    FROM kd d JOIN kr r ON d.source = r.source AND r.rn = {_K}
+    """,
+)
+def kmv_distinct(spark, sf_dir):
+    """KMV / theta distinct-count sketch (k=256) per source over the
+    synthetic token values: the k-th smallest 60-bit md5 hash of the
+    distinct items is theta, and the estimate is (k-1)*2^60/theta —
+    integer everywhere until the single shared division, so the REAL
+    estimates hash-match DuckDB bit-for-bit next to the exact counts
+    (web ~50k true distinct, ~6% expected error at k=256). Scale: the
+    sketch build is one distinct + per-key bottom-k — map-side
+    combinable, k*8 bytes per key crosses the wire, and that is the
+    whole point at 10^12 rows (the exact count here is the small-N
+    verification twin)."""
+    h = _kmv_hashes(spark)
+    kt = h.select("source", "hv").distinct()
+    kd = h.groupBy("source").agg(
+        F.countDistinct("tok").alias("nd")
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    kr = kt.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == _K
+    )
+    j = kd.join(kr, "source").select(
+        "source",
+        F.col("nd").alias("exact_distinct"),
+        F.col("hv").alias("theta"),
+        F.expr(_KMV_EST.replace("theta", "hv")).alias("kmv_estimate"),
+    )
+    return j
+
+
+@register(
+    "kmv_set_ops",
+    oracle=synth_sql(_N)
+    + _KMV_BASE_DUCK
+    + f"""
+    , th AS (
+      SELECT least(
+        max(CASE WHEN source = 'web' THEN hv END),
+        max(CASE WHEN source = 'code' THEN hv END)) AS theta
+      FROM kr WHERE rn = {_K}
+    ),
+    uni AS (
+      SELECT count(DISTINCT hv) AS cnt FROM kt, th
+      WHERE source IN ('web', 'code') AND hv < theta
+    ),
+    itr AS (
+      SELECT count(*) AS cnt FROM (
+        SELECT hv FROM kt, th WHERE source = 'web' AND hv < theta
+        INTERSECT
+        SELECT hv FROM kt, th WHERE source = 'code' AND hv < theta
+      )
+    ),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT t.tok) FROM synth, unnest(tokens) AS t(tok)
+         WHERE source IN ('web', 'code')) AS exact_union,
+        (SELECT count(*) FROM (
+           SELECT DISTINCT t.tok FROM synth, unnest(tokens) AS t(tok)
+           WHERE source = 'web'
+           INTERSECT
+           SELECT DISTINCT t.tok FROM synth, unnest(tokens) AS t(tok)
+           WHERE source = 'code')) AS exact_inter
+    )
+    SELECT th.theta,
+           ex.exact_union,
+           (SELECT {_KMV_SET_EST} FROM uni, th) AS est_union,
+           ex.exact_inter,
+           (SELECT {_KMV_SET_EST} FROM itr, th) AS est_inter
+    FROM th, ex
+    """,
+)
+def kmv_set_ops(spark, sf_dir):
+    """Theta-sketch set algebra (the DataSketches union/intersection
+    rules): with per-set KMV sketches for web and code token sets,
+    theta = min(theta_web, theta_code); the union estimate counts
+    distinct retained hashes below theta, the intersection estimate
+    counts hashes retained by BOTH below theta — each scaled by
+    2^60/theta in one shared float expression. Exact counts ride along
+    as the verification twin. At scale only the two k-hash sketches
+    meet; the corpora never join."""
+    h = _kmv_hashes(spark).where(F.col("source").isin("web", "code"))
+    kt = h.select("source", "hv").distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    kth = (
+        kt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _K)
+        .groupBy()
+        .agg(F.min("hv").alias("theta"))
+    )
+    below = kt.join(F.broadcast(kth), F.col("hv") < F.col("theta")).select(
+        "source", "hv"
+    )
+    uni = below.select("hv").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    itr = (
+        below.where(F.col("source") == "web")
+        .select("hv")
+        .intersect(below.where(F.col("source") == "code").select("hv"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex = h.select("tok").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    exi = (
+        h.where(F.col("source") == "web")
+        .select("tok")
+        .distinct()
+        .intersect(h.where(F.col("source") == "code").select("tok").distinct())
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    row = (
+        kth.crossJoin(ex)
+        .crossJoin(uni.select(F.col("cnt").alias("ucnt")))
+        .crossJoin(exi)
+        .crossJoin(itr.select(F.col("cnt").alias("icnt")))
+    )
+    return row.select(
+        "theta",
+        "exact_union",
+        F.expr(_KMV_SET_EST.replace("cnt", "ucnt")).alias("est_union"),
+        "exact_inter",
+        F.expr(_KMV_SET_EST.replace("cnt", "icnt")).alias("est_inter"),
+    )

@@ -98,6 +98,11 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "matrix_profile_znorm",  # znorm twin, same shape
         "mp_ab_profile",         # broadcast query windows into the scan
         "contamination_screen",  # AB profile + window rank
+        "acf_per_series",        # HOF lag products, zero shuffles
+        "ewma_smooth",           # left-fold HOF, zero shuffles
+        "cusum_changepoint",     # one window sort per series
+        "seasonal_anomaly",      # broadcast baseline + global top-k
+        "kmv_distinct",          # distinct + per-key bottom-k
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name

@@ -1,0 +1,142 @@
+"""Behavior gates for the timeseries-analytics batch (tsanalytics_q):
+numpy recompute parity for ACF and EWMA (the oracle proves cross-engine
+bit-identity; these prove the STATISTIC is the right one), seasonality
+recovery of the generator's planted period-64 component, CUSUM
+localization of the injected level shift, and the KMV sketch error
+bound that the estimator's k=256 accuracy theory promises."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators import tsanalytics_q  # noqa: F401
+from dtaidistance_spark.operators.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(i: int) -> np.ndarray:
+    return np.asarray(synth.gen_row(i)[1], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ACF == the textbook estimator (and bitwise == the shared-tree spelling)
+# ---------------------------------------------------------------------------
+
+
+def _acf_ref(x: np.ndarray, k: int) -> float:
+    mu = x.sum() / len(x)
+    num = float(((x[:-k] - mu) * (x[k:] - mu)).sum())
+    den = float(((x - mu) ** 2).sum())
+    return num / den
+
+
+def test_acf_matches_numpy(spark):
+    out = REGISTRY["acf_per_series"](spark, SF)
+    rows = {
+        (r["doc_id"], r["lag"]): r["acf"]
+        for r in out.where(out.doc_id.isin("doc000000000003", "doc000000000017")).collect()
+    }
+    for i in (3, 17):
+        x = _tokens(i)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            if k >= len(x):
+                continue
+            got = rows[(f"doc{i:012d}", k)]
+            assert got == pytest.approx(_acf_ref(x, k), abs=1e-9)
+
+
+def test_seasonality_argmax_consistent(spark):
+    """seasonality_detect must be exactly the (acf DESC, lag ASC)
+    argmax of acf_per_series, row for row. (The planted period-64
+    sinusoid is NOT the dominant lag for most docs — the modular token
+    ramp autocorrelates harder at short lags — but a deterministic
+    minority does surface it, which the last assert pins.)"""
+    acf = REGISTRY["acf_per_series"](spark, SF).collect()
+    best: dict[str, tuple] = {}
+    for r in acf:
+        key = (-r["acf"], r["lag"])
+        if r["doc_id"] not in best or key < best[r["doc_id"]][0]:
+            best[r["doc_id"]] = (key, r["lag"], r["acf"])
+    out = REGISTRY["seasonality_detect"](spark, SF).collect()
+    assert len(out) == 256 and len(best) == 256
+    for r in out:
+        _, lag, val = best[r["doc_id"]]
+        assert (r["best_lag"], r["best_acf"]) == (lag, val)
+    assert sum(1 for r in out if r["best_lag"] == 64) > 0
+
+
+# ---------------------------------------------------------------------------
+# EWMA == exact Python left fold, bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_bitwise_fold_parity(spark):
+    out = REGISTRY["ewma_smooth"](spark, SF)
+    rows = {r["doc_id"]: r for r in out.where(
+        out.doc_id.isin("doc000000000000", "doc000000000042")).collect()}
+    for i in (0, 42):
+        x = _tokens(i).astype(np.float64)
+        sh = float(x[0])
+        sq = float(x[0])
+        for v in x[1:]:
+            sh = (sh + float(v)) / 2.0
+            sq = sq + ((float(v) - sq) / 4.0)
+        r = rows[f"doc{i:012d}"]
+        assert struct.pack("<d", r["ewma_half"]) == struct.pack("<d", sh)
+        assert struct.pack("<d", r["ewma_quarter"]) == struct.pack("<d", sq)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM: the injected +20000 second-half shift must localize at n/2
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_localizes_planted_shift(spark):
+    out = REGISTRY["cusum_changepoint"](spark, SF).collect()
+    assert len(out) == 128
+    inj = [r for r in out if r["injected"]]
+    assert len(inj) > 0
+    for r in inj:
+        n = r["n_tok"]
+        # shift (+20000) vs uniform-token std (~14500): localization
+        # error is a few samples, independent of n — allow a modest
+        # slack that still pins the argmax to the plant boundary
+        assert abs(r["cp_pos"] - n // 2) <= max(10, n // 20), r
+    # statistic scale check on one clean doc: recompute directly
+    clean = next(r for r in out if not r["injected"])
+    i = int(clean["doc_id"][3:])
+    x = _tokens(i)
+    n = len(x)
+    cums = np.cumsum(x)
+    stats = np.abs(n * cums[:-1] - np.arange(1, n) * cums[-1])
+    assert clean["stat"] == int(stats.max())
+    assert clean["cp_pos"] == int(np.argmax(stats)) + 1
+
+
+# ---------------------------------------------------------------------------
+# KMV: estimator accuracy within theory (RSE ~ 1/sqrt(k-2) ~ 6.3%)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_error_bound(spark):
+    rows = {r["source"]: r for r in REGISTRY["kmv_distinct"](spark, SF).collect()}
+    assert set(rows) == {"web", "code", "books"}
+    for r in rows.values():
+        rel = abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.2, r
+
+
+def test_kmv_set_ops_sane(spark):
+    r = REGISTRY["kmv_set_ops"](spark, SF).collect()[0]
+    # union >= each set, intersection <= min; estimates within 20%
+    assert r["exact_inter"] <= r["exact_union"]
+    for est, exact in (
+        (r["est_union"], r["exact_union"]),
+        (r["est_inter"], r["exact_inter"]),
+    ):
+        assert abs(est - exact) / exact < 0.2, r
