@@ -813,3 +813,95 @@ def wap_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "row_delete_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(256)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n,
+        (i % 10 != 3 OR i IN (3, 13, 23)) AS visible
+      FROM hh
+    )
+    SELECT source,
+           count(*) FILTER (WHERE visible) AS n_rows_mor,
+           sum(n) FILTER (WHERE visible) AS sum_n_tok_mor,
+           count(*) AS n_rows_tt,
+           count(*) FILTER (WHERE visible) AS n_rows_cow,
+           sum(n) FILTER (WHERE visible) AS sum_n_tok_cow,
+           true AS deletes_cleared
+    FROM ss GROUP BY 1
+    """,
+)
+def row_delete_check(spark, sf_dir):
+    """Iceberg-v2 row-level deletes end-to-end, driver-oracled: write
+    256 rows; equality-delete the 26 keys with i % 10 == 3 (ZERO data
+    files touched — merge-on-read); re-APPEND three of the deleted keys
+    (3, 13, 23) — the later append outranks the delete (sequence-number
+    semantics), so exactly those three resurface. The MoR read, the
+    time-travel read back past the delete (all 256), and the
+    copy-on-write read after apply_deletes() (files rewritten, delete
+    list cleared) are each re-derived by DuckDB from the id arithmetic
+    alone."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 256)
+    root = tempfile.mkdtemp(prefix="rowdel_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        s1 = t.write(df, mode="overwrite")
+        doomed = df.where(
+            F.substring("doc_id", 4, 12).cast("int") % 10 == 3
+        )
+        t.delete_rows(doomed.select("doc_id"), key_cols=["doc_id"])
+        reinsert = [f"doc{i:012d}" for i in (3, 13, 23)]
+        t.write(df.where(F.col("doc_id").isin(reinsert)), mode="append")
+
+        def per_src(d):
+            return {
+                r["source"]: r
+                for r in d.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("n_tok").alias("s"),
+                )
+                .collect()
+            }
+
+        mor = per_src(t.read(spark))
+        tt = per_src(t.read(spark, snapshot=s1))
+        t.apply_deletes(spark)
+        cow = per_src(t.read(spark))
+        assert t._load().get("deletes", []) == []
+        assert t.snapshots()[-1]["op"] == "apply-deletes"
+        rows = [
+            (
+                s,
+                int(mor[s]["c"]),
+                int(mor[s]["s"]),
+                int(tt[s]["c"]),
+                int(cow[s]["c"]),
+                int(cow[s]["s"]),
+                mor[s]["c"] == cow[s]["c"] and mor[s]["s"] == cow[s]["s"],
+            )
+            for s in sorted(mor)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_rows_mor long, sum_n_tok_mor long, "
+            "n_rows_tt long, n_rows_cow long, sum_n_tok_cow long, "
+            "deletes_cleared boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -190,6 +190,7 @@ class TableIO:
         mode: str = "overwrite",
         schema_ddl: str | None = None,
         _op: str | None = None,
+        _replace_parts: set[str] | None = None,
     ):
         """mode: overwrite | append | dynamic (overwrite only partitions
         present in ``df`` — Spark's dynamic partitionOverwriteMode,
@@ -233,10 +234,16 @@ class TableIO:
             ]
         if mode == "overwrite":
             entries = new_entries
+            # a full overwrite replaces every row; no surviving entry
+            # predates any delete, so pending equality-deletes can never
+            # apply again — drop them
+            m["deletes"] = []
         elif mode == "append":
             entries = m["entries"] + new_entries
         else:  # dynamic
             replaced = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
+            if _replace_parts:
+                replaced |= _replace_parts
             entries = [
                 e
                 for e in m["entries"]
@@ -256,6 +263,7 @@ class TableIO:
                 "added": lineage,
                 "entry_count": len(entries),
                 "entries": entries,
+                "deletes": list(m.get("deletes", [])),
             }
         )
         self._commit(m)
@@ -434,6 +442,99 @@ class TableIO:
         self._commit(m)
         return len(dropped), snap_id
 
+    # -- row-level deletes (Iceberg v2 equality deletes, merge-on-read) ------
+    def delete_rows(self, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Iceberg v2 equality-delete: record the key set as a delete
+        file — ZERO data files touched (merge-on-read). The delete
+        applies to every entry whose snapshot is <= the delete's
+        snapshot (Iceberg sequence-number semantics), so a key
+        re-inserted by a LATER append is visible again — delete files
+        never shadow newer data. Readers anti-join the (small,
+        broadcast) key sets at scan time; :meth:`apply_deletes` is the
+        copy-on-write maintenance job that folds them into the data
+        files when the MoR overhead accumulates. Returns the delete
+        snapshot id."""
+        m = self._load()
+        snap_id = _next_id(m)
+        ddir = os.path.join(
+            self.dir, "deletes", f"d{snap_id:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        kdf = keys_df.select(*key_cols).distinct()
+        n = kdf.count()
+        kdf.write.mode("overwrite").parquet(ddir)
+        dels = m.setdefault("deletes", [])
+        dels.append(
+            {"path": ddir, "key_cols": key_cols, "snapshot": snap_id, "rows": n}
+        )
+        m["current_snapshot"] = snap_id
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": "rowdelete",
+                "wall_ms": 0,
+                "ts": time.time(),
+                "entry_count": len(m["entries"]),
+                "entries": m["entries"],
+                "deletes": list(dels),
+            }
+        )
+        self._commit(m)
+        return snap_id
+
+    def _deletes_at(self, m: dict, snapshot: int | None) -> list[dict]:
+        """Delete files active at a snapshot (records written before the
+        feature carry none)."""
+        if snapshot is None:
+            return m.get("deletes", [])
+        hist = [s for s in m["snapshots"] if s["id"] == snapshot]
+        if not hist:
+            raise ValueError(f"unknown snapshot {snapshot}")
+        return hist[0].get("deletes", [])
+
+    @staticmethod
+    def _applicable_deletes(entry: dict, deletes: list[dict]) -> tuple:
+        return tuple(
+            d["path"]
+            for d in deletes
+            if entry.get("snapshot", 0) <= d["snapshot"]
+        )
+
+    def apply_deletes(self, spark: SparkSession) -> int:
+        """Copy-on-write fold of the pending equality-deletes: every
+        entry an active delete applies to is read back (deletes
+        applied), rewritten, and swapped in; untouched entries keep
+        their files; the delete list clears — ONE atomic
+        'apply-deletes' commit. Pre-apply snapshots still time-travel
+        with their recorded delete sets. Returns the new snapshot id
+        (current id when there was nothing to apply)."""
+        m = self._load()
+        dels = m.get("deletes", [])
+        affected = [
+            e for e in m["entries"] if self._applicable_deletes(e, dels)
+        ]
+        if not dels or not affected:
+            return m["current_snapshot"] or 0
+        # rewrite at PARTITION granularity: a partition mixing affected
+        # and unaffected entries must carry its unaffected rows through
+        # the dynamic overwrite
+        parts = {
+            json.dumps(e["partition"], sort_keys=True) for e in affected
+        }
+        rewrite = [
+            e
+            for e in m["entries"]
+            if json.dumps(e["partition"], sort_keys=True) in parts
+        ]
+        df = self._read_entries(spark, rewrite, deletes=dels)
+        # clear the delete list first so the write() commit records the
+        # post-apply state; _replace_parts forces even fully-emptied
+        # partitions (every row deleted) to drop their old entries
+        m["deletes"] = []
+        self._commit(m)
+        return self.write(
+            df, mode="dynamic", _op="apply-deletes", _replace_parts=parts
+        )
+
     # -- read ---------------------------------------------------------------
     @staticmethod
     def _stats_keep(entry: dict, stats_filter: dict) -> bool:
@@ -495,24 +596,48 @@ class TableIO:
         entries = [e for e in entries if os.path.exists(e["path"])]
         if not entries:
             raise FileNotFoundError(f"table {self.table}: no data for predicate")
-        return self._read_entries(spark, entries)
+        dels = self._deletes_at(self._load(), snapshot)
+        return self._read_entries(spark, entries, deletes=dels)
 
-    def _read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+    def _read_entries(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        deletes: list[dict] | None = None,
+    ) -> DataFrame:
         m = self._load()
-        if not self.partition_by and not m.get("evolved_columns"):
+        deletes = deletes or []
+        if (
+            not deletes
+            and not self.partition_by
+            and not m.get("evolved_columns")
+        ):
             return spark.read.parquet(*[e["path"] for e in entries])
         # partitionBy-written files drop the partition columns; re-attach
         # them from the manifest (partition values are strings by contract).
         # Entries written before a schema evolution get the evolved
         # columns filled with their defaults (no file rewrite — the
-        # Iceberg ADD COLUMN read path).
-        out = None
+        # Iceberg ADD COLUMN read path). Equality-deletes apply per
+        # entry-group by Iceberg sequence rule (entry snapshot <= delete
+        # snapshot): entries sharing an applicable-delete signature read
+        # together, then anti-join each (small, broadcast) key set.
+        groups: dict[tuple, list[dict]] = {}
         for e in entries:
-            d = spark.read.parquet(e["path"])
-            for k, v in e["partition"].items():
-                d = d.withColumn(k, F.lit(v))
-            d = self._evolved_fill(d, e.get("sv", 0), m)
-            out = d if out is None else out.unionByName(d)
+            groups.setdefault(self._applicable_deletes(e, deletes), []).append(e)
+        out = None
+        for sig in sorted(groups):
+            g = None
+            for e in groups[sig]:
+                d = spark.read.parquet(e["path"])
+                for k, v in e["partition"].items():
+                    d = d.withColumn(k, F.lit(v))
+                d = self._evolved_fill(d, e.get("sv", 0), m)
+                g = d if g is None else g.unionByName(d)
+            for dpath in sig:
+                dd = next(x for x in deletes if x["path"] == dpath)
+                kdf = spark.read.parquet(dd["path"])
+                g = g.join(F.broadcast(kdf), on=dd["key_cols"], how="left_anti")
+            out = g if out is None else out.unionByName(g)
         return out
 
     def _entries_at(self, m: dict, snapshot: int | None) -> list[dict]:
@@ -572,6 +697,15 @@ class TableIO:
         keeps read amplification bounded after many small streaming
         commits."""
         m = self._load()
+        dels = m.get("deletes", [])
+        if any(self._applicable_deletes(e, dels) for e in m["entries"]):
+            # bin-pack verifies content preservation by row count +
+            # checksum; folding equality-deletes would change both —
+            # that is apply_deletes' job, run it first
+            raise ValueError(
+                "pending equality-deletes apply to current entries; "
+                "run apply_deletes() before compact()"
+            )
         by_part: dict[str, list[dict]] = {}
         for e in m["entries"]:
             by_part.setdefault(

@@ -548,3 +548,118 @@ def test_write_audit_publish(spark, tmp_path, batches):
     assert nid > gid
     with pytest.raises(ValueError):
         t.publish_staged(gid)  # already published -> no longer staged
+
+
+# ---------------------------------------------------------------------------
+# Row-level deletes (Iceberg v2 equality deletes, MoR + CoW)
+# ---------------------------------------------------------------------------
+
+
+def _seq_table(spark, tmp_path, n=64, name="rd"):
+    df = synth.sequences_df(spark, n)
+    t = TableIO(str(tmp_path), name, partition_by=["source"])
+    t.write(df, mode="overwrite")
+    return t, df
+
+
+def test_row_delete_mor_and_sequence_rule(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path)
+    victims = [f"doc{i:012d}" for i in (0, 1, 2, 3)]
+    t.delete_rows(df.where(F.col("doc_id").isin(victims)), ["doc_id"])
+    vis = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert not (vis & set(victims)) and len(vis) == 60
+    # later append of a deleted key resurfaces it (sequence rule)
+    t.write(df.where(F.col("doc_id") == victims[0]), mode="append")
+    vis2 = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert victims[0] in vis2 and len(vis2) == 61
+    # a second delete issued NOW removes it again
+    t.delete_rows(df.where(F.col("doc_id") == victims[0]), ["doc_id"])
+    assert t.read(spark).count() == 60
+
+
+def test_row_delete_time_travel_carries_delete_set(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path)
+    s1 = t.snapshots()[-1]["id"]
+    sdel = t.delete_rows(
+        df.where(F.col("doc_id") < f"doc{8:012d}"), ["doc_id"]
+    )
+    t.write(
+        df.select(
+            F.concat(F.lit("x"), "doc_id").alias("doc_id"),
+            "tokens", "n_tok", "source", "ts",
+        ).limit(5),
+        mode="append",
+    )
+    assert t.read(spark, snapshot=s1).count() == 64   # before the delete
+    assert t.read(spark, snapshot=sdel).count() == 56  # delete applied
+    assert t.read(spark).count() == 61
+
+
+def test_apply_deletes_cow_and_mixed_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path)
+    # append a second entry into every partition so partitions mix
+    # pre-delete and post-delete entries
+    extra = df.select(
+        F.concat(F.lit("y"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", "ts",
+    )
+    t.delete_rows(df.where(F.col("doc_id") < f"doc{16:012d}"), ["doc_id"])
+    t.write(extra, mode="append")  # snapshot AFTER the delete
+    before = sorted(
+        r["doc_id"] for r in t.read(spark).select("doc_id").collect()
+    )
+    assert len(before) == 64 - 16 + 64
+    snap = t.apply_deletes(spark)
+    after = sorted(
+        r["doc_id"] for r in t.read(spark).select("doc_id").collect()
+    )
+    assert after == before  # CoW result identical to MoR view
+    assert t._load().get("deletes", []) == []
+    assert t.snapshots()[-1]["id"] == snap
+    # idempotent: nothing left to apply
+    assert t.apply_deletes(spark) == snap
+
+
+def test_apply_deletes_drops_fully_emptied_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path)
+    # books is the smallest source — delete every row of it
+    books_ids = df.where(F.col("source") == "books").select("doc_id")
+    n_books = books_ids.count()
+    assert n_books > 0
+    t.delete_rows(books_ids, ["doc_id"])
+    t.apply_deletes(spark)
+    assert all(
+        e["partition"].get("source") != "books" for e in t.entries()
+    )
+    assert t.read(spark).count() == 64 - n_books
+
+
+def test_compact_refuses_pending_deletes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path)
+    t.write(df.limit(5).select(
+        F.concat(F.lit("z"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", "ts"), mode="append")
+    t.delete_rows(df.limit(3).select("doc_id"), ["doc_id"])
+    with pytest.raises(ValueError, match="apply_deletes"):
+        t.compact(spark)
+    t.apply_deletes(spark)
+    t.compact(spark)  # clean after apply
+
+
+def test_full_overwrite_clears_deletes(spark, tmp_path):
+    t, df = _seq_table(spark, tmp_path)
+    t.delete_rows(df.limit(4).select("doc_id"), ["doc_id"])
+    assert t._load()["deletes"]
+    t.write(df, mode="overwrite")
+    assert t._load().get("deletes", []) == []
+    assert t.read(spark).count() == 64
