@@ -905,3 +905,89 @@ def row_delete_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "branch_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(192)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    )
+    SELECT source,
+           count(*) FILTER (WHERE i < 128) AS n_main_before,
+           count(*) AS n_dev,
+           count(*) FILTER (WHERE i < 128) AS n_tag,
+           count(*) AS n_main_after,
+           sum(n) AS sum_n_tok_after
+    FROM ss GROUP BY 1
+    """,
+)
+def branch_check(spark, sf_dir):
+    """Branches and tags (Iceberg refs), driver-oracled: write 128 rows
+    to main, tag it 'v1' (immutable named snapshot), branch 'dev' off
+    it, append 64 rows TO THE BRANCH — main still reads 128 (branch
+    isolation), dev reads 192 — then fast-forward main onto the dev
+    head and verify main == dev while the tag still reads the original
+    128. Every view's per-source counts re-derived by DuckDB from the
+    id ranges. The Iceberg audit-branch workflow: risky writes land on
+    a branch, main adopts them only after validation."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 192)
+    root = tempfile.mkdtemp(prefix="branch_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        t.write(df.where(F.col("doc_id") < f"doc{128:012d}"), mode="overwrite")
+        t.create_tag("v1")
+        t.create_branch("dev")
+        t.write(
+            df.where(F.col("doc_id") >= f"doc{128:012d}"),
+            mode="append",
+            branch="dev",
+        )
+
+        def per_src(d):
+            return {
+                r["source"]: (int(r["c"]), int(r["s"]))
+                for r in d.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("c"), F.sum("n_tok").alias("s")
+                )
+                .collect()
+            }
+
+        main_before = per_src(t.read(spark))
+        dev = per_src(t.read(spark, ref="dev"))
+        t.fast_forward("dev")
+        main_after = per_src(t.read(spark))
+        tag = per_src(t.read(spark, ref="v1"))
+        rows = [
+            (
+                s,
+                main_before.get(s, (0, 0))[0],
+                dev[s][0],
+                tag.get(s, (0, 0))[0],
+                main_after[s][0],
+                main_after[s][1],
+            )
+            for s in sorted(dev)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_main_before long, n_dev long, n_tag long, "
+            "n_main_after long, sum_n_tok_after long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -191,14 +191,24 @@ class TableIO:
         schema_ddl: str | None = None,
         _op: str | None = None,
         _replace_parts: set[str] | None = None,
+        branch: str | None = None,
     ):
         """mode: overwrite | append | dynamic (overwrite only partitions
         present in ``df`` — Spark's dynamic partitionOverwriteMode,
         expressed at the manifest level). ``_op`` overrides the snapshot
         op label (used by :meth:`compact` so maintenance commits are
-        distinguishable from user writes in the history)."""
+        distinguishable from user writes in the history). ``branch``:
+        commit against the named branch's head instead of main — the
+        branch ref advances, the main view is untouched."""
         assert mode in ("overwrite", "append", "dynamic")
         m = self._load()
+        if branch is not None:
+            ref = self._resolve_ref(m, branch)
+            if ref["type"] != "branch":
+                raise ValueError(f"{branch!r} is a tag, not a branch")
+            base_entries = self._entries_at(m, ref["snapshot"])
+        else:
+            base_entries = m["entries"]
         snap_id = _next_id(m)
         data_dir = os.path.join(self.dir, "data", f"s{snap_id:06d}-{uuid.uuid4().hex[:8]}")
         t0 = time.time()
@@ -236,21 +246,26 @@ class TableIO:
             entries = new_entries
             # a full overwrite replaces every row; no surviving entry
             # predates any delete, so pending equality-deletes can never
-            # apply again — drop them
-            m["deletes"] = []
+            # apply again — drop them (main view only: a branch
+            # overwrite must not clear main's delete list)
+            if branch is None:
+                m["deletes"] = []
         elif mode == "append":
-            entries = m["entries"] + new_entries
+            entries = base_entries + new_entries
         else:  # dynamic
             replaced = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
             if _replace_parts:
                 replaced |= _replace_parts
             entries = [
                 e
-                for e in m["entries"]
+                for e in base_entries
                 if json.dumps(e["partition"], sort_keys=True) not in replaced
             ] + new_entries
-        m["entries"] = entries
-        m["current_snapshot"] = snap_id
+        if branch is None:
+            m["entries"] = entries
+            m["current_snapshot"] = snap_id
+        else:
+            m["refs"][branch]["snapshot"] = snap_id
         if schema_ddl:
             m["schema"] = schema_ddl
         m["partition_by"] = self.partition_by
@@ -264,6 +279,7 @@ class TableIO:
                 "entry_count": len(entries),
                 "entries": entries,
                 "deletes": list(m.get("deletes", [])),
+                **({"branch": branch} if branch else {}),
             }
         )
         self._commit(m)
@@ -442,6 +458,62 @@ class TableIO:
         self._commit(m)
         return len(dropped), snap_id
 
+    # -- refs: branches & tags (Iceberg ref semantics) -----------------------
+    def refs(self) -> dict:
+        return self._load().get("refs", {})
+
+    def _resolve_ref(self, m: dict, name: str) -> dict:
+        ref = m.get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"unknown ref {name!r}")
+        return ref
+
+    def create_branch(self, name: str, from_snapshot: int | None = None) -> int:
+        """Create a named branch pointing at ``from_snapshot`` (default:
+        current). Writes with ``branch=name`` advance ONLY the branch
+        head; ``main`` (the default read view) never sees them until
+        :meth:`fast_forward`. The Iceberg audit-branch workflow."""
+        return self._create_ref(name, "branch", from_snapshot)
+
+    def create_tag(self, name: str, snapshot: int | None = None) -> int:
+        """Create an immutable named tag (a retained, human-named
+        snapshot — 'v1', 'training-run-2026-01'). Tags cannot be
+        written to or moved, only dropped."""
+        return self._create_ref(name, "tag", snapshot)
+
+    def _create_ref(self, name, rtype, snapshot):
+        m = self._load()
+        if name in m.get("refs", {}):
+            raise ValueError(f"ref {name!r} already exists")
+        snap = snapshot if snapshot is not None else m["current_snapshot"]
+        if not any(s["id"] == snap for s in m["snapshots"]):
+            raise ValueError(f"unknown snapshot {snap}")
+        m.setdefault("refs", {})[name] = {"type": rtype, "snapshot": snap}
+        self._commit(m)
+        return snap
+
+    def drop_ref(self, name: str) -> None:
+        m = self._load()
+        self._resolve_ref(m, name)
+        del m["refs"][name]
+        self._commit(m)
+
+    def fast_forward(self, branch: str) -> int:
+        """Make the main view adopt the branch head (Iceberg
+        ``fast_forward('main', branch)``): current entries/snapshot
+        become the branch's — metadata-only. The branch ref remains and
+        can keep advancing."""
+        m = self._load()
+        ref = self._resolve_ref(m, branch)
+        if ref["type"] != "branch":
+            raise ValueError(f"{branch!r} is a tag, not a branch")
+        head = ref["snapshot"]
+        hist = [s for s in m["snapshots"] if s["id"] == head]
+        m["entries"] = list(hist[0]["entries"])
+        m["current_snapshot"] = head
+        self._commit(m)
+        return head
+
     # -- row-level deletes (Iceberg v2 equality deletes, merge-on-read) ------
     def delete_rows(self, keys_df: DataFrame, key_cols: list[str]) -> int:
         """Iceberg v2 equality-delete: record the key set as a delete
@@ -584,14 +656,20 @@ class TableIO:
         partition_filter=None,
         snapshot: int | None = None,
         stats_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Read the current (or a historic) snapshot. ``partition_filter``
+        """Read the current (or a historic) snapshot, or a named
+        branch/tag head via ``ref``. ``partition_filter``
         is a predicate over the partition-value dict and ``stats_filter``
         a column -> (lo, hi) range map, both applied manifest-side —
         Iceberg-style partition pruning + column-stats file skipping
         before Spark ever lists a file. Stats pruning is an optimization
         only: the caller still applies its own row-level predicate (the
         kept entries may contain non-matching rows)."""
+        if ref is not None:
+            if snapshot is not None:
+                raise ValueError("pass either ref or snapshot, not both")
+            snapshot = self._resolve_ref(self._load(), ref)["snapshot"]
         entries, _ = self.scan_entries(partition_filter, stats_filter, snapshot)
         entries = [e for e in entries if os.path.exists(e["path"])]
         if not entries:

@@ -663,3 +663,58 @@ def test_full_overwrite_clears_deletes(spark, tmp_path):
     t.write(df, mode="overwrite")
     assert t._load().get("deletes", []) == []
     assert t.read(spark).count() == 64
+
+
+# ---------------------------------------------------------------------------
+# Branches & tags (Iceberg refs)
+# ---------------------------------------------------------------------------
+
+
+def test_branch_isolation_and_fast_forward(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path, name="br")
+    t.create_branch("dev")
+    extra = df.limit(7).select(
+        F.concat(F.lit("b"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", "ts",
+    )
+    t.write(extra, mode="append", branch="dev")
+    assert t.read(spark).count() == 64          # main untouched
+    assert t.read(spark, ref="dev").count() == 71
+    # branch keeps advancing
+    t.write(extra.withColumn("doc_id", F.concat(F.lit("c"), "doc_id")),
+            mode="append", branch="dev")
+    assert t.read(spark, ref="dev").count() == 78
+    t.fast_forward("dev")
+    assert t.read(spark).count() == 78
+
+
+def test_tag_immutable_and_ref_errors(spark, tmp_path):
+    t, df = _seq_table(spark, tmp_path, name="tg")
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1")
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        t.write(df.limit(1), mode="append", branch="v1")
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        t.fast_forward("v1")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(spark, ref="nope")
+    assert t.read(spark, ref="v1").count() == 64
+    t.drop_ref("v1")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(spark, ref="v1")
+
+
+def test_branch_from_explicit_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path, name="bs")
+    s1 = t.snapshots()[-1]["id"]
+    t.write(df.limit(3).select(
+        F.concat(F.lit("m"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", "ts"), mode="append")
+    t.create_branch("old", from_snapshot=s1)
+    assert t.read(spark, ref="old").count() == 64
+    assert t.read(spark).count() == 67
