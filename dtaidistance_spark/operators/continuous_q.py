@@ -991,3 +991,99 @@ def branch_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "bloom_skip_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(256)) AS i),
+    base AS (SELECT i, 'doc' || lpad(i::VARCHAR, 12, '0') AS doc_id FROM idsx),
+    hh AS (
+      SELECT i, doc_id,
+        ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h
+      FROM base
+    ),
+    ss AS (
+      SELECT doc_id,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source
+      FROM hh
+    ),
+    probes AS (SELECT unnest(['doc000000000005', 'doc000000000077',
+                              'doc000000000203', 'doc000000999999']) AS probe),
+    bpos AS (
+      SELECT DISTINCT source,
+        ('0x' || substr(md5(doc_id || '#' || t.i::VARCHAR), 1, 15))::BIGINT
+          % 4096 AS pos
+      FROM ss, unnest(range(4)) AS t(i)
+    ),
+    ppos AS (
+      SELECT probe,
+        ('0x' || substr(md5(probe || '#' || t.i::VARCHAR), 1, 15))::BIGINT
+          % 4096 AS pos
+      FROM probes, unnest(range(4)) AS t(i)
+    ),
+    sel AS (
+      SELECT pp.probe, s.source,
+             bool_and(b.pos IS NOT NULL) AS keep
+      FROM (SELECT DISTINCT source FROM ss) s
+      CROSS JOIN ppos pp
+      LEFT JOIN bpos b ON b.source = s.source AND b.pos = pp.pos
+      GROUP BY 1, 2
+    )
+    SELECT p.probe,
+      (SELECT count(*) FROM sel WHERE sel.probe = p.probe AND keep)
+        AS n_selected,
+      (SELECT count(*) FROM sel WHERE sel.probe = p.probe AND NOT keep)
+        AS n_skipped,
+      (SELECT count(*) FROM ss WHERE doc_id = p.probe) AS n_rows,
+      (SELECT count(*) FROM ss WHERE doc_id = p.probe) > 0 AS found
+    FROM probes p
+    """,
+)
+def bloom_skip_check(spark, sf_dir):
+    """Manifest bloom point-lookup skipping (IO10), driver-oracled:
+    write the 256-row synth table partitioned by source with a per-entry
+    doc_id bloom (m=4096, k=4 md5 positions); probe three existing docs
+    and one missing one. DuckDB independently re-derives EVERY pruning
+    decision — it rebuilds each source's position set and each probe's
+    positions and re-computes which entries a probe may touch — so the
+    selected/skipped entry counts (including any bloom false positives)
+    and the row counts hash-match. No false negatives by construction:
+    a probe's own entry is always selected. This is the metadata path a
+    point lookup on a 100 TB table lives by when min/max ranges can't
+    discriminate."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 256)
+    root = tempfile.mkdtemp(prefix="bloom_q_")
+    try:
+        t = TableIO(
+            root, "seq", partition_by=["source"], bloom_cols=["doc_id"]
+        )
+        t.write(df, mode="overwrite")
+        probes = [
+            "doc000000000005",
+            "doc000000000077",
+            "doc000000000203",
+            "doc000000999999",
+        ]
+        rows = []
+        for p in probes:
+            selected, skipped = t.scan_entries(point_filter={"doc_id": p})
+            try:
+                n = (
+                    t.read(spark, point_filter={"doc_id": p})
+                    .where(F.col("doc_id") == p)
+                    .count()
+                )
+            except FileNotFoundError:
+                n = 0
+            rows.append((p, len(selected), len(skipped), n, n > 0))
+        return spark.createDataFrame(
+            rows,
+            "probe string, n_selected long, n_skipped long, n_rows long, "
+            "found boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
+# manifest bloom-filter geometry (point-lookup file skipping): m bits,
+# k md5-derived hash positions per value. Positions are stored as a
+# sorted distinct-position list per entry — same information as the
+# packed bitmap, JSON-friendly at this scale; a production manifest
+# would pack the 4096 bits into 512 bytes.
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def _bloom_positions(value) -> list[int]:
+    """The k bit positions of a value — md5-derived so Spark SQL and
+    DuckDB re-derive them identically (portable-hash twin convention)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16)
+        % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+
 
 def _next_id(m: dict) -> int:
     """Allocate a monotonic snapshot id and record it in the manifest's
@@ -61,16 +81,22 @@ class TableIO:
         table: str,
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         """``stats_cols``: columns whose per-entry min/max are recorded
         in the manifest at write time (Iceberg column-stats contract),
         enabling :meth:`read` to skip whole entries by value range
-        before Spark ever lists a file."""
+        before Spark ever lists a file. ``bloom_cols``: high-cardinality
+        columns getting a per-entry bloom filter (m=4096/k=4, md5
+        positions) for POINT-lookup skipping, where min/max ranges are
+        useless — the Parquet/Iceberg bloom contract at the manifest
+        level."""
         self.root = root
         self.table = table
         self.dir = os.path.join(root, table)
         self.partition_by = partition_by or []
         self.stats_cols = stats_cols or []
+        self.bloom_cols = bloom_cols or []
         os.makedirs(self.dir, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -154,6 +180,7 @@ class TableIO:
         (partition column re-attached last) must reproduce the original
         writer's checksum bit-for-bit."""
         keys = [F.col(c).cast("string").alias(c) for c in self.partition_by]
+        data_cols = sorted(df.columns)  # before any __bl_ temp columns
         stat_aggs = []
         for c in self.stats_cols:
             # native JSON types survive the manifest round-trip for
@@ -161,10 +188,41 @@ class TableIO:
             # lexicographically ordered "YYYY-MM-DD HH:MM:SS" form
             stat_aggs.append(F.min(c).alias(f"__min_{c}"))
             stat_aggs.append(F.max(c).alias(f"__max_{c}"))
+        for c in self.bloom_cols:
+            # per-entry bloom: the distinct md5 bit positions of every
+            # value — computed JVM-side, map-side combinable
+            df = df.withColumn(
+                f"__bl_{c}",
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col(c).cast("string"),
+                                        F.lit(f"#{i}"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_M
+                        for i in range(BLOOM_K)
+                    ]
+                ),
+            )
+            stat_aggs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(f"__bl_{c}")))
+                ).alias(f"__bloom_{c}")
+            )
         agg = df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("rows"),
             F.expr(
-                "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
+                "bit_xor(xxhash64(" + ", ".join(data_cols) + "))"
             ).alias("checksum"),
             *stat_aggs,
         )
@@ -180,6 +238,11 @@ class TableIO:
                 ent["stats"] = {
                     c: [row[f"__min_{c}"], row[f"__max_{c}"]]
                     for c in self.stats_cols
+                }
+            if self.bloom_cols:
+                ent["bloom"] = {
+                    c: [int(p) for p in row[f"__bloom_{c}"]]
+                    for c in self.bloom_cols
                 }
             out.append(ent)
         return out
@@ -235,6 +298,7 @@ class TableIO:
                 "snapshot": snap_id,
                 "sv": m.get("schema_version", 0),
                 **({"stats": e["stats"]} if "stats" in e else {}),
+                **({"bloom": e["bloom"]} if "bloom" in e else {}),
             }
             for e in lineage
         ]
@@ -627,27 +691,50 @@ class TableIO:
                 return False
         return True
 
+    @staticmethod
+    def _bloom_keep(entry: dict, point_filter: dict) -> bool:
+        """True unless some requested point value is PROVABLY absent —
+        all k of its bit positions must be present in the entry's
+        recorded position set to keep (no false negatives by
+        construction; false positives only cost a read). Entries
+        without a bloom for a requested column are kept."""
+        bl = entry.get("bloom", {})
+        for col, val in point_filter.items():
+            if col not in bl:
+                continue
+            present = set(bl[col])
+            if not all(p in present for p in _bloom_positions(val)):
+                return False
+        return True
+
     def scan_entries(
         self,
         partition_filter=None,
         stats_filter: dict | None = None,
         snapshot: int | None = None,
+        point_filter: dict | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """Manifest-side scan planning: returns ``(selected, skipped)``
-        entry lists after partition pruning and column-stats (min/max)
-        file skipping — the Iceberg metadata read path. ``stats_filter``
-        maps column -> inclusive ``(lo, hi)`` (None = open bound); an
-        entry is skipped when its recorded range provably cannot
-        intersect. Spark never lists a skipped file."""
+        entry lists after partition pruning, column-stats (min/max)
+        file skipping, and bloom point-lookup skipping — the Iceberg
+        metadata read path. ``stats_filter`` maps column -> inclusive
+        ``(lo, hi)`` (None = open bound); an entry is skipped when its
+        recorded range provably cannot intersect. ``point_filter`` maps
+        column -> exact value; an entry is skipped when its bloom
+        provably excludes the value. Spark never lists a skipped
+        file."""
         m = self._load()
         entries = self._entries_at(m, snapshot)
         if partition_filter is not None:
             entries = [e for e in entries if partition_filter(e["partition"])]
-        if not stats_filter:
+        if not stats_filter and not point_filter:
             return entries, []
         selected, skipped = [], []
         for e in entries:
-            (selected if self._stats_keep(e, stats_filter) else skipped).append(e)
+            keep = (
+                not stats_filter or self._stats_keep(e, stats_filter)
+            ) and (not point_filter or self._bloom_keep(e, point_filter))
+            (selected if keep else skipped).append(e)
         return selected, skipped
 
     def read(
@@ -657,9 +744,13 @@ class TableIO:
         snapshot: int | None = None,
         stats_filter: dict | None = None,
         ref: str | None = None,
+        point_filter: dict | None = None,
     ) -> DataFrame:
         """Read the current (or a historic) snapshot, or a named
-        branch/tag head via ``ref``. ``partition_filter``
+        branch/tag head via ``ref``. ``point_filter`` (column -> exact
+        value) applies manifest-side bloom skipping for point lookups
+        — like stats pruning it is an optimization only, the caller
+        still filters rows. ``partition_filter``
         is a predicate over the partition-value dict and ``stats_filter``
         a column -> (lo, hi) range map, both applied manifest-side —
         Iceberg-style partition pruning + column-stats file skipping
@@ -670,7 +761,9 @@ class TableIO:
             if snapshot is not None:
                 raise ValueError("pass either ref or snapshot, not both")
             snapshot = self._resolve_ref(self._load(), ref)["snapshot"]
-        entries, _ = self.scan_entries(partition_filter, stats_filter, snapshot)
+        entries, _ = self.scan_entries(
+            partition_filter, stats_filter, snapshot, point_filter
+        )
         entries = [e for e in entries if os.path.exists(e["path"])]
         if not entries:
             raise FileNotFoundError(f"table {self.table}: no data for predicate")

@@ -718,3 +718,72 @@ def test_branch_from_explicit_snapshot(spark, tmp_path):
     t.create_branch("old", from_snapshot=s1)
     assert t.read(spark, ref="old").count() == 64
     assert t.read(spark).count() == 67
+
+
+# ---------------------------------------------------------------------------
+# Manifest bloom point-lookup skipping
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_equivalence(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = synth.sequences_df(spark, 64)
+    t = TableIO(str(tmp_path), "bl", partition_by=["source"],
+                bloom_cols=["doc_id"])
+    t.write(df, mode="overwrite")
+    # every existing key must keep its own entry (no false negatives)
+    docs = [r["doc_id"] for r in df.select("doc_id").collect()]
+    for d in docs[::7]:
+        got = (
+            t.read(spark, point_filter={"doc_id": d})
+            .where(F.col("doc_id") == d)
+            .count()
+        )
+        assert got == 1, d
+    # pruning is an optimization only: same rows as the unpruned read
+    d = docs[0]
+    full = t.read(spark).where(F.col("doc_id") == d).count()
+    assert full == 1
+
+
+def test_bloom_appends_accumulate_and_statless_safe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = synth.sequences_df(spark, 64)
+    t = TableIO(str(tmp_path), "bl2", partition_by=["source"],
+                bloom_cols=["doc_id"])
+    t.write(df, mode="overwrite")
+    extra = df.limit(4).select(
+        F.concat(F.lit("n"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", "ts",
+    )
+    t.write(extra, mode="append")
+    new_id = "n" + df.limit(1).collect()[0]["doc_id"]
+    got = (
+        t.read(spark, point_filter={"doc_id": new_id})
+        .where(F.col("doc_id") == new_id)
+        .count()
+    )
+    assert got == 1
+    # a reader opened WITHOUT bloom_cols still reads entries with bloom
+    t2 = TableIO(str(tmp_path), "bl2", partition_by=["source"])
+    assert t2.read(spark).count() == 68
+    # point_filter on a column without a bloom never prunes
+    sel, skip = t2.scan_entries(point_filter={"n_tok": 123})
+    assert not skip and len(sel) == len(t2.entries())
+
+
+def test_bloom_checksum_unaffected(spark, tmp_path):
+    """The __bl_ temp columns must not leak into the lineage checksum:
+    the same data written with and without bloom_cols produces
+    identical per-partition checksums."""
+    df = synth.sequences_df(spark, 32)
+    ta = TableIO(str(tmp_path), "plain", partition_by=["source"])
+    tb = TableIO(str(tmp_path), "bloomed", partition_by=["source"],
+                 bloom_cols=["doc_id"])
+    ta.write(df, mode="overwrite")
+    tb.write(df, mode="overwrite")
+    ca = {e["partition"]["source"]: e["checksum"] for e in ta.entries()}
+    cb = {e["partition"]["source"]: e["checksum"] for e in tb.entries()}
+    assert ca == cb
