@@ -29,6 +29,7 @@ def _registry():
         diag_q,
         encoding_q,
         flagship,
+        layout_q,
         motif_q,
         multimodal_q,
         queries,

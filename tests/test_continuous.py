@@ -787,3 +787,53 @@ def test_bloom_checksum_unaffected(spark, tmp_path):
     ca = {e["partition"]["source"]: e["checksum"] for e in ta.entries()}
     cb = {e["partition"]["source"]: e["checksum"] for e in tb.entries()}
     assert ca == cb
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (sources/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_prunes_strictly_better_and_safely(spark, tmp_path):
+    """On the synth shape the Morton layout must (a) return exactly the
+    same rows as an unpruned scan + row filter (pruning is safe) and
+    (b) select strictly fewer entries than the ingest-order layout for
+    the 2-D range predicate (pruning is effective)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.sources.zorder import with_zorder
+
+    df = synth.sequences_df(spark, 128).select(
+        "doc_id", "n_tok", F.expr("tokens[0]").alias("tok0"),
+        F.substring("doc_id", 4, 12).cast("int").alias("i"),
+    )
+    zdf = with_zorder(df, "n_tok", 64, 8129, "tok0", 0, 50257) \
+        .withColumn("zbucket", F.col("zbucket").cast("string"))
+    ldf = df.withColumn("lbucket", F.expr("i div 8").cast("string"))
+    pred = {"n_tok": (100, 1000), "tok0": (10000, 20000)}
+    tz = TableIO(str(tmp_path), "z", partition_by=["zbucket"],
+                 stats_cols=["n_tok", "tok0"])
+    tz.write(zdf.select("doc_id", "n_tok", "tok0", "zbucket"))
+    tl = TableIO(str(tmp_path), "l", partition_by=["lbucket"],
+                 stats_cols=["n_tok", "tok0"])
+    tl.write(ldf.select("doc_id", "n_tok", "tok0", "lbucket"))
+
+    def rows_of(t):
+        return sorted(
+            r["doc_id"]
+            for r in t.read(spark, stats_filter=pred)
+            .where(F.col("n_tok").between(100, 1000)
+                   & F.col("tok0").between(10000, 20000))
+            .select("doc_id").collect()
+        )
+
+    exact = sorted(
+        r["doc_id"]
+        for r in df.where(F.col("n_tok").between(100, 1000)
+                          & F.col("tok0").between(10000, 20000))
+        .select("doc_id").collect()
+    )
+    assert rows_of(tz) == exact and rows_of(tl) == exact
+    z_sel, _ = tz.scan_entries(stats_filter=pred)
+    l_sel, _ = tl.scan_entries(stats_filter=pred)
+    assert len(z_sel) < len(l_sel)
