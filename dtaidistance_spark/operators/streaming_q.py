@@ -306,3 +306,94 @@ def stream_session_counts(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_sink_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(192)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    )
+    SELECT source,
+           count(*) AS n_rows,
+           sum(n) AS sum_n_tok,
+           3 AS n_stream_snapshots,
+           2 AS last_batch,
+           true AS replay_skipped
+    FROM ss GROUP BY 1
+    """,
+)
+def stream_sink_check(spark, sf_dir):
+    """Exactly-once streaming sink into TableIO (the R13 <-> §2.8
+    bridge), driver-oracled: 192 synth rows arrive as a 3-file stream
+    (maxFilesPerTrigger=1 -> 3 micro-batches), each batch committing
+    data + its epoch id in ONE atomic manifest commit via foreachBatch;
+    then the failure mode is SIMULATED by re-invoking the sink with
+    already-committed batch ids (Spark replays foreachBatch after a
+    crash between sink and checkpoint advance) — the manifest's
+    last_committed_batch watermark makes the replays no-ops, so the
+    per-source counts and token sums equal the exactly-once expectation
+    DuckDB re-derives, with exactly 3 stream snapshots in history."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.sources.tableio import TableIO
+    from dtaidistance_spark.streaming.continuous import (
+        TOKEN_STREAM_SCHEMA,
+        read_token_stream,
+        stream_to_tableio,
+        tableio_sink,
+    )
+
+    df = synth.sequences_df(spark, 192)
+    root = tempfile.mkdtemp(prefix="sink_q_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    try:
+        for lo in (0, 64, 128):
+            df.where(
+                (F.col("doc_id") >= f"doc{lo:012d}")
+                & (F.col("doc_id") < f"doc{lo + 64:012d}")
+            ).coalesce(1).write.mode("append").parquet(src)
+        t = TableIO(root, "sunk", partition_by=["source"])
+        stream = read_token_stream(
+            spark, src, TOKEN_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        q = stream_to_tableio(stream, t, ckpt, mode="append")
+        q.awaitTermination()
+        n_before = t.total_rows()
+        # crash-replay simulation: re-deliver epochs 0 and 2
+        sink = tableio_sink(t, mode="append")
+        replay_df = spark.read.parquet(src)
+        sink(replay_df, 0)
+        sink(replay_df, 2)
+        replay_skipped = t.total_rows() == n_before
+        snaps = [s for s in t.snapshots() if s["op"] == "stream"]
+        last_batch = int(t.properties()["last_committed_batch"])
+        per_src = {
+            r["source"]: (int(r["c"]), int(r["s"]))
+            for r in t.read(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_tok").alias("s"))
+            .collect()
+        }
+        rows = [
+            (s, c, tot, len(snaps), last_batch, bool(replay_skipped))
+            for s, (c, tot) in sorted(per_src.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source string, n_rows long, sum_n_tok long, "
+            "n_stream_snapshots int, last_batch int, replay_skipped boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

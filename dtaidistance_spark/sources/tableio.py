@@ -255,6 +255,7 @@ class TableIO:
         _op: str | None = None,
         _replace_parts: set[str] | None = None,
         branch: str | None = None,
+        props: dict | None = None,
     ):
         """mode: overwrite | append | dynamic (overwrite only partitions
         present in ``df`` — Spark's dynamic partitionOverwriteMode,
@@ -262,7 +263,10 @@ class TableIO:
         op label (used by :meth:`compact` so maintenance commits are
         distinguishable from user writes in the history). ``branch``:
         commit against the named branch's head instead of main — the
-        branch ref advances, the main view is untouched."""
+        branch ref advances, the main view is untouched. ``props``:
+        table properties updated in the SAME atomic commit as the data
+        (the Iceberg exactly-once sink protocol records the streaming
+        epoch id this way — data and its watermark can never diverge)."""
         assert mode in ("overwrite", "append", "dynamic")
         m = self._load()
         if branch is not None:
@@ -330,6 +334,8 @@ class TableIO:
             m["current_snapshot"] = snap_id
         else:
             m["refs"][branch]["snapshot"] = snap_id
+        if props:
+            m.setdefault("properties", {}).update(props)
         if schema_ddl:
             m["schema"] = schema_ddl
         m["partition_by"] = self.partition_by

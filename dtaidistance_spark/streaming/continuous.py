@@ -231,3 +231,45 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def tableio_sink(table, mode: str = "append"):
+    """Exactly-once foreachBatch sink into a :class:`TableIO` table
+    (the Iceberg streaming-sink commit protocol): each micro-batch
+    commits its data AND the epoch id (``last_committed_batch``) in ONE
+    atomic manifest swap, so a replayed batch — Spark re-runs
+    foreachBatch with the same batch_id after a failure between sink
+    completion and checkpoint advance — is detected and SKIPPED instead
+    of duplicated. Returns the sink callable for
+    ``writeStream.foreachBatch``; pair it with a checkpointLocation.
+
+    Scale: the dedup check is one manifest property read (no data
+    scan); the commit cost is the manifest rename. State never grows:
+    exactly one integer records progress.
+    """
+
+    def sink(batch_df, batch_id: int):
+        last = table.properties().get("last_committed_batch", -1)
+        if batch_id <= last:
+            return  # replay of an already-committed epoch: exactly-once
+        table.write(
+            batch_df,
+            mode=mode,
+            _op="stream",
+            props={"last_committed_batch": batch_id},
+        )
+
+    return sink
+
+
+def stream_to_tableio(
+    stream: DataFrame, table, checkpoint: str, mode: str = "append"
+):
+    """Wire a streaming DataFrame into :func:`tableio_sink` with
+    availableNow draining; returns the started query."""
+    return (
+        stream.writeStream.foreachBatch(tableio_sink(table, mode=mode))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -183,3 +183,38 @@ def test_stateful_dba_rollup_matches_batch(spark, tmp_path):
     assert (g["n_points"].values == w["n_points"].values).all()
     for a, b in zip(g["barycenter"], w["barycenter"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once TableIO sink (foreachBatch + atomic epoch-id commit)
+# ---------------------------------------------------------------------------
+
+
+def test_tableio_sink_exactly_once_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.sources.tableio import TableIO
+    from dtaidistance_spark.streaming.continuous import tableio_sink
+
+    df = synth.sequences_df(spark, 32)
+    t = TableIO(str(tmp_path), "sunk", partition_by=["source"])
+    sink = tableio_sink(t, mode="append")
+    b0 = df.where(F.col("doc_id") < f"doc{16:012d}")
+    b1 = df.where(F.col("doc_id") >= f"doc{16:012d}")
+    sink(b0, 0)
+    assert t.total_rows() == 16
+    # crash replay: same epoch re-delivered -> no-op
+    sink(b0, 0)
+    assert t.total_rows() == 16
+    sink(b1, 1)
+    assert t.total_rows() == 32
+    # stale replay of an older epoch after progress -> still a no-op
+    sink(b0, 0)
+    sink(b1, 1)
+    assert t.total_rows() == 32
+    # the epoch id is recorded in the SAME commit as the data: exactly
+    # one snapshot per accepted batch, each carrying op='stream'
+    snaps = [s for s in t.snapshots() if s["op"] == "stream"]
+    assert len(snaps) == 2
+    assert t.properties()["last_committed_batch"] == 1
