@@ -40,6 +40,7 @@ def _registry():
         synth_q,
         text_q,
         tsanalytics_q,
+        tshyper_q,
         tsops_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

@@ -1,0 +1,305 @@
+"""TimescaleDB-hyperfunction analogs, round-2 batch 4: Holt linear
+(double-exponential) smoothing, time-weighted average, heartbeat/uptime
+aggregation, and the M4 visualization downsampler — all fully
+DuckDB-oracled; Holt and heartbeat with NO rounding tolerance.
+
+Holt exactness: the two-state recursion (level, trend) folds left with
+an ``array<double>`` state — Spark ``aggregate`` and DuckDB
+``list_reduce`` walk the identical op sequence, alpha = beta = 1/2
+keeps every scale step an exact division, so terminal states are
+bit-identical. (DuckDB 1.0's STRUCT-state lambda mis-evaluates the
+second field — verified against a hand fold — hence the list state;
+list-state results match a strict Python left fold bit-for-bit in both
+engines.)
+
+Time arithmetic: event timestamps carry microseconds, so all deltas
+use integer-microsecond epochs (Spark ``unix_micros`` == DuckDB
+``epoch_us``, exact int64). The time-weighted average's cross-row
+float sum is order-sensitive (ulp(1e13) > 1e-6), so only the FINAL
+ratio is emitted, where the relative sum noise (~1e-13) collapses far
+below the round(6) grain — the raw integral would not hash.
+
+Scale: Holt is a scan-side fold (zero shuffles); TWA / heartbeat / M4
+are one hash shuffle onto the entity key with a single window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+_N = 256
+
+# ---------------------------------------------------------------------------
+# TS6 — Holt linear smoothing (bit-exact list-state fold)
+# ---------------------------------------------------------------------------
+
+_HOLT_SPARK = """
+aggregate(
+  slice(transform(tokens, t -> CAST(t AS DOUBLE)), 2, n_tok - 1),
+  array(CAST(element_at(tokens, 1) AS DOUBLE), CAST(0 AS DOUBLE)),
+  (s, x) -> array(
+    (x + (element_at(s, 1) + element_at(s, 2))) / CAST(2 AS DOUBLE),
+    (element_at(s, 2)
+     + (((x + (element_at(s, 1) + element_at(s, 2))) / CAST(2 AS DOUBLE))
+        - element_at(s, 1))) / CAST(2 AS DOUBLE)))
+"""
+
+_HOLT_DUCK = """
+list_reduce(
+  list_transform(tokens, t -> [CAST(t AS DOUBLE), CAST(0 AS DOUBLE)]),
+  (s, e) -> [
+    (e[1] + (s[1] + s[2])) / CAST(2 AS DOUBLE),
+    (s[2] + (((e[1] + (s[1] + s[2])) / CAST(2 AS DOUBLE)) - s[1]))
+      / CAST(2 AS DOUBLE)])
+"""
+
+
+@register(
+    "holt_smooth",
+    oracle=synth_sql(_N)
+    + f"""
+    , hq AS (SELECT doc_id, n_tok, {_HOLT_DUCK} AS st FROM synth)
+    SELECT doc_id, n_tok, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast1
+    FROM hq
+    """,
+)
+def holt_smooth(spark, sf_dir):
+    """TS6: Holt linear-trend (double-exponential) smoothing per series
+    at alpha = beta = 1/2: l' = (x + (l + b))/2, b' = (b + (l' - l))/2,
+    initialized (l, b) = (x_1, 0). The two-state left fold is
+    bit-identical across engines (see module docstring), so level,
+    trend, AND the one-step forecast l+b are driver-hashed with no
+    tolerance. Zero shuffles — the fold runs inside the scan
+    projection. (DuckDB's list_reduce seeds with the first element;
+    Spark mirrors it with an explicit init + slice-from-2.)"""
+    df = synth.sequences_df(spark, _N)
+    out = df.select(
+        "doc_id", "n_tok", F.expr(_HOLT_SPARK).alias("st")
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.expr("element_at(st, 1)").alias("level"),
+        F.expr("element_at(st, 2)").alias("trend"),
+        F.expr("element_at(st, 1) + element_at(st, 2)").alias("forecast1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS7 — time-weighted average (TimescaleDB time_weight 'LOCF')
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, value
+      FROM events WHERE event_type = 'error'
+    ),
+    l AS (
+      SELECT *, lead(tu) OVER (PARTITION BY user_id ORDER BY tu, value)
+               AS nxt
+      FROM s
+    ),
+    a AS (
+      SELECT user_id,
+             count(*) AS n_samples,
+             sum(CASE WHEN nxt IS NULL THEN 0
+                      ELSE value * CAST(nxt - tu AS DOUBLE) END) AS num,
+             sum(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - tu END)::BIGINT
+               AS span_us
+      FROM l GROUP BY user_id
+    )
+    SELECT user_id, n_samples, span_us,
+           round(num / CAST(span_us AS DOUBLE), 6) AS twa
+    FROM a WHERE span_us > 0
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """TS7: time-weighted average over irregular samples (TimescaleDB
+    ``time_weight('LOCF')`` + ``average``): each sample's value holds
+    until the next one, so twa = sum(v_i * dt_i) / sum(dt_i) over
+    consecutive deltas — the honest mean for unevenly-spaced telemetry
+    where a plain avg() over-weights bursts. Integer-microsecond
+    deltas; only the final ratio is emitted (see module docstring for
+    why the raw integral cannot hash), round(6) both sides. One
+    shuffle on user_id; the lead() and the aggregate share one sort."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    s = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "value")
+    led = s.withColumn("nxt", F.lead("tu").over(w))
+    a = led.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), 0.0).otherwise(
+                F.col("value") * (F.col("nxt") - F.col("tu")).cast("double")
+            )
+        ).alias("num"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("nxt") - F.col("tu")
+            )
+        ).alias("span_us"),
+    )
+    return a.where(F.col("span_us") > 0).select(
+        "user_id",
+        "n_samples",
+        "span_us",
+        F.round(F.col("num") / F.col("span_us").cast("double"), 6).alias(
+            "twa"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS8 — heartbeat / uptime aggregation (TimescaleDB heartbeat_agg)
+# ---------------------------------------------------------------------------
+
+_HB_US = 30 * 60 * 1_000_000  # liveness window per heartbeat: 30 min
+
+
+@register(
+    "heartbeat_agg",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu
+      FROM events WHERE event_type = 'signup'
+    ),
+    l AS (
+      SELECT *, lead(tu) OVER (PARTITION BY user_id ORDER BY tu) AS nxt
+      FROM s
+    )
+    SELECT user_id,
+           count(*) AS n_beats,
+           coalesce(max(nxt - tu), 0)::BIGINT AS longest_gap_us,
+           (sum(CASE WHEN nxt IS NULL THEN {_HB_US}
+                     ELSE least(nxt - tu, {_HB_US}) END))::BIGINT
+             AS uptime_us,
+           (max(tu) - min(tu) + {_HB_US})::BIGINT AS span_us,
+           (CAST(sum(CASE WHEN nxt IS NULL THEN {_HB_US}
+                          ELSE least(nxt - tu, {_HB_US}) END) AS DOUBLE)
+            * CAST(100 AS DOUBLE))
+             / CAST(max(tu) - min(tu) + {_HB_US} AS DOUBLE) AS uptime_pct
+    FROM l GROUP BY user_id
+    """,
+)
+def heartbeat_agg(spark, sf_dir):
+    """TS8: heartbeat liveness aggregation (TimescaleDB
+    ``heartbeat_agg``): each 'signup' event keeps its user live for 30
+    minutes; uptime is the measure of the union of those intervals —
+    sum(min(delta, T)) over consecutive beats plus T for the last —
+    against the covered span. Everything integer microseconds, and the
+    final percentage is ONE division of identical exact ints, so every
+    column is driver-hashed with no tolerance (longest silent gap
+    included — the SLO metric). One shuffle on user_id."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    s = ev.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"))
+    w = Window.partitionBy("user_id").orderBy("tu")
+    led = s.withColumn("nxt", F.lead("tu").over(w))
+    up = F.sum(
+        F.when(F.col("nxt").isNull(), F.lit(_HB_US)).otherwise(
+            F.least(F.col("nxt") - F.col("tu"), F.lit(_HB_US))
+        )
+    )
+    span = F.max("tu") - F.min("tu") + F.lit(_HB_US)
+    return led.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_beats"),
+        F.coalesce(F.max(F.col("nxt") - F.col("tu")), F.lit(0)).alias(
+            "longest_gap_us"
+        ),
+        up.alias("uptime_us"),
+        span.alias("span_us"),
+        (
+            (up.cast("double") * F.lit(100).cast("double"))
+            / span.cast("double")
+        ).alias("uptime_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS9 — M4 downsampling (Jugel et al., VLDB'14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m4_downsample",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+             ts, event_id, value
+      FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY value, ts, event_id) AS rn_min,
+        row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY value DESC, ts DESC, event_id DESC)
+          AS rn_max,
+        row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts, event_id) AS rn_first,
+        row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM s
+    )
+    SELECT user_id, day,
+           count(*) AS n,
+           max(CASE WHEN rn_min = 1 THEN value END) AS v_min,
+           max(CASE WHEN rn_max = 1 THEN value END) AS v_max,
+           max(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+           max(CASE WHEN rn_last = 1 THEN value END) AS v_last,
+           max(CASE WHEN rn_first = 1 THEN ts END)::TIMESTAMP AS ts_first,
+           max(CASE WHEN rn_last = 1 THEN ts END)::TIMESTAMP AS ts_last
+    FROM r GROUP BY user_id, day
+    """,
+)
+def m4_downsample(spark, sf_dir):
+    """TS9: M4 downsampling (Jugel et al., VLDB'14) — per (user, day)
+    pixel-bucket keep exactly the min, max, FIRST, and LAST points,
+    the four values a line renderer needs for an error-free plot at
+    bucket resolution (min/max alone distort edge pixels). Pure
+    selection with deterministic tie-breaks — no arithmetic on values,
+    so no rounding is needed anywhere. One shuffle on the bucket key;
+    the four ranks share the same partitioning."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    wmin = Window.partitionBy("user_id", "day").orderBy(
+        "value", "ts", "event_id"
+    )
+    wmax = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wfirst = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wlast = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = (
+        ev.withColumn("rn_min", F.row_number().over(wmin))
+        .withColumn("rn_max", F.row_number().over(wmax))
+        .withColumn("rn_first", F.row_number().over(wfirst))
+        .withColumn("rn_last", F.row_number().over(wlast))
+    )
+    one = lambda c, rn: F.max(F.when(F.col(rn) == 1, F.col(c)))  # noqa: E731
+    return r.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        one("value", "rn_min").alias("v_min"),
+        one("value", "rn_max").alias("v_max"),
+        one("value", "rn_first").alias("v_first"),
+        one("value", "rn_last").alias("v_last"),
+        one("ts", "rn_first").alias("ts_first"),
+        one("ts", "rn_last").alias("ts_last"),
+    )

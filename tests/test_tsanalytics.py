@@ -140,3 +140,91 @@ def test_kmv_set_ops_sane(spark):
         (r["est_inter"], r["exact_inter"]),
     ):
         assert abs(est - exact) / exact < 0.2, r
+
+
+# ---------------------------------------------------------------------------
+# Hyperfunctions (tshyper_q)
+# ---------------------------------------------------------------------------
+
+
+def test_holt_bitwise_fold_parity(spark):
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    out = REGISTRY["holt_smooth"](spark, SF)
+    rows = {r["doc_id"]: r for r in out.where(
+        out.doc_id.isin("doc000000000001", "doc000000000050")).collect()}
+    for i in (1, 50):
+        x = _tokens(i).astype(np.float64)
+        l, b = float(x[0]), 0.0
+        for v in x[1:]:
+            l2 = (float(v) + (l + b)) / 2.0
+            b = (b + (l2 - l)) / 2.0
+            l = l2
+        r = rows[f"doc{i:012d}"]
+        assert struct.pack("<d", r["level"]) == struct.pack("<d", l)
+        assert struct.pack("<d", r["trend"]) == struct.pack("<d", b)
+        assert struct.pack("<d", r["forecast1"]) == struct.pack("<d", l + b)
+
+
+def test_twa_hand_case(spark, tmp_path):
+    """value 0 held for 3s then 12 held for 1s -> twa = (0*3 + 12*1)/4 = 3."""
+    from datetime import datetime
+
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), "error", 0.0, "{}"),
+        (2, 1, datetime(2024, 1, 1, 0, 0, 3), "error", 12.0, "{}"),
+        (3, 1, datetime(2024, 1, 1, 0, 0, 4), "error", 99.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = REGISTRY["time_weighted_avg"](spark, p).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 3 and r["span_us"] == 4_000_000
+    assert r["twa"] == 3.0  # last point's value never weighs in (LOCF)
+
+
+def test_heartbeat_hand_case(spark, tmp_path):
+    """beats at 0, 10min, 60min with T=30min: uptime = 10+30+30 = 70min
+    over a 90min span; longest gap 50min."""
+    from datetime import datetime, timedelta
+
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i + 1, 7, t0 + timedelta(minutes=m), "signup", 1.0, "{}")
+        for i, m in enumerate((0, 10, 60))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "hb")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    r = REGISTRY["heartbeat_agg"](spark, p).collect()[0]
+    mn = 60 * 1_000_000
+    assert r["n_beats"] == 3
+    assert r["longest_gap_us"] == 50 * mn
+    assert r["uptime_us"] == 70 * mn
+    assert r["span_us"] == 90 * mn
+    assert r["uptime_pct"] == pytest.approx(70 * 100 / 90, abs=1e-9)
+
+
+def test_m4_keeps_the_four_points(spark):
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    out = REGISTRY["m4_downsample"](spark, SF).collect()
+    assert out
+    for r in out[:50]:
+        assert r["v_min"] <= min(r["v_first"], r["v_last"]) + 1e-12
+        assert r["v_max"] >= max(r["v_first"], r["v_last"]) - 1e-12
+        assert r["ts_first"] <= r["ts_last"]
