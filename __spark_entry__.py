@@ -41,6 +41,7 @@ def _registry():
         text_q,
         tsanalytics_q,
         tshyper_q,
+        tsrobust_q,
         tsops_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

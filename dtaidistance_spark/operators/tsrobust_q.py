@@ -1,0 +1,242 @@
+"""Trend extraction + robust anomaly scoring, round-2 batch 5 — both
+queries BIT-EXACT driver-oracled (no rounding tolerance anywhere).
+
+TS10 — piecewise-linear approximation by per-block least squares: with
+a fixed block width w=16 and local positions j=0..15, the OLS slope is
+(w·Σjx − Sj·Σx) / (w·Sjj − Sj²) where Σx and Σjx are exact int64 and
+the denominator is the constant 5440 — ONE correctly-rounded division;
+the intercept (Σx − b·Sj)/w divides by 16 (exact). Every residual
+x_j − (a + b·j) is then the same op tree in both engines, and max /
+argmax over bit-identical doubles are deterministic.
+
+TS11 — robust z-scores via median/MAD computed POSITIONALLY: the
+median of an int array is sorted[(n+1)/2] (odd) or
+(sorted[n/2]+sorted[n/2+1])/2 (even — exact: integer sum, /2) — no
+engine-specific quantile interpolation to reconcile, just
+array_sort == list_sort on identical values. |x − med| lands on exact
+halves, its median on exact quarters, so MAD is exact too; the robust
+z (x − med)/(1.4826·MAD) is one shared expression tree. Outlier counts
+at |z| > 3.5 follow from comparisons on identical doubles.
+
+Both are scan-side HOF pipelines — zero shuffles, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+_N = 128
+_W = 16
+_SJ = sum(range(_W))            # 120
+_SJJ = sum(j * j for j in range(_W))  # 1240
+_DEN = _W * _SJJ - _SJ * _SJ    # 5440
+
+# ---------------------------------------------------------------------------
+# TS10 — PLA: per-block OLS line + max residual
+# ---------------------------------------------------------------------------
+
+# shared float tail over exact ints (sx, sjx) and the block slice
+_SLOPE = f"(CAST({_W} * sjx - {_SJ} * sx AS DOUBLE) / CAST({_DEN} AS DOUBLE))"
+_ICEPT = f"((CAST(sx AS DOUBLE) - ({_SLOPE} * CAST({_SJ} AS DOUBLE))) / CAST({_W} AS DOUBLE))"
+
+
+@register(
+    "pla_blocks",
+    oracle=synth_sql(_N)
+    + f"""
+    , pb AS (
+      SELECT doc_id, t.b AS block_id,
+             tokens[t.b * {_W} + 1 : t.b * {_W} + {_W}] AS blk
+      FROM synth, unnest(range(n_tok // {_W})) AS t(b)
+    ),
+    ps AS (
+      SELECT doc_id, block_id,
+        list_sum(blk)::BIGINT AS sx,
+        list_sum(list_transform(range({_W}),
+            j -> j::BIGINT * blk[j + 1]::BIGINT))::BIGINT AS sjx,
+        blk
+      FROM pb
+    ),
+    pr AS (
+      SELECT doc_id, block_id, {_SLOPE} AS slope, {_ICEPT} AS icept,
+        list_transform(range({_W}), j ->
+          CAST(blk[j + 1] AS DOUBLE)
+          - ({_ICEPT} + ({_SLOPE} * CAST(j AS DOUBLE)))) AS res
+      FROM ps
+    ),
+    pm AS (
+      SELECT doc_id, block_id, slope, icept,
+             list_max(list_transform(res, r -> abs(r))) AS max_abs_resid,
+             res
+      FROM pr
+    )
+    SELECT doc_id, block_id, slope, icept, max_abs_resid,
+           list_filter(range({_W}),
+                       j -> abs(res[j + 1]) = max_abs_resid)[1] AS argmax_j
+    FROM pm
+    """,
+)
+def pla_blocks(spark, sf_dir):
+    """TS10: piecewise-linear approximation — every full 16-token block
+    of every series gets its OLS line (slope, intercept), the max
+    absolute residual, and the position that attains it (first on
+    ties). All cross-position aggregates are exact int64; the float
+    tail is one shared expression tree (see module docstring), so 8k+
+    REAL doubles hash-match DuckDB with no tolerance. This is the
+    compression/trend primitive under PLA archivers: keep (a, b,
+    max_err) per block, reconstruct within max_err. Zero shuffles."""
+    df = synth.sequences_df(spark, _N).select("doc_id", "n_tok", "tokens")
+    pb = df.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, n_tok div {_W} - 1)")).alias(
+            "block_id"
+        ),
+        "tokens",
+    ).select(
+        "doc_id",
+        "block_id",
+        F.expr(f"slice(tokens, block_id * {_W} + 1, {_W})").alias("blk"),
+    )
+    ps = pb.select(
+        "doc_id",
+        "block_id",
+        F.expr("aggregate(blk, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias(
+            "sx"
+        ),
+        F.expr(
+            f"aggregate(zip_with(sequence(0, {_W - 1}), blk,"
+            " (j, x) -> CAST(j AS BIGINT) * CAST(x AS BIGINT)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("sjx"),
+        "blk",
+    )
+    pr = ps.select(
+        "doc_id",
+        "block_id",
+        F.expr(_SLOPE).alias("slope"),
+        F.expr(_ICEPT).alias("icept"),
+        F.expr(
+            f"transform(sequence(0, {_W - 1}), j ->"
+            f" CAST(element_at(blk, j + 1) AS DOUBLE)"
+            f" - ({_ICEPT} + ({_SLOPE} * CAST(j AS DOUBLE))))"
+        ).alias("res"),
+    )
+    pm = pr.select(
+        "doc_id",
+        "block_id",
+        "slope",
+        "icept",
+        F.expr("array_max(transform(res, r -> abs(r)))").alias(
+            "max_abs_resid"
+        ),
+        "res",
+    )
+    return pm.select(
+        "doc_id",
+        "block_id",
+        "slope",
+        "icept",
+        "max_abs_resid",
+        F.expr(
+            f"element_at(filter(sequence(0, {_W - 1}),"
+            " j -> abs(element_at(res, j + 1)) = max_abs_resid), 1)"
+        ).alias("argmax_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS11 — robust z-score outliers (median / MAD)
+# ---------------------------------------------------------------------------
+
+# positional median of a SORTED double array s of length n — exact for
+# integer/half-integer inputs, identical spelling both engines
+def _med(s: str, n: str) -> str:
+    return (
+        f"(CASE WHEN {n} % 2 = 1 "
+        f"THEN element_at({s}, CAST(({n} + 1) div 2 AS INT)) "
+        f"ELSE (element_at({s}, CAST({n} div 2 AS INT))"
+        f" + element_at({s}, CAST({n} div 2 + 1 AS INT)))"
+        f" / CAST(2 AS DOUBLE) END)"
+    )
+
+
+def _med_duck(s: str, n: str) -> str:
+    return (
+        f"(CASE WHEN {n} % 2 = 1 THEN {s}[({n} + 1) // 2] "
+        f"ELSE ({s}[{n} // 2] + {s}[{n} // 2 + 1]) / CAST(2 AS DOUBLE) END)"
+    )
+
+
+@register(
+    "robust_outliers",
+    oracle=synth_sql(256)
+    + f"""
+    , r1 AS (
+      SELECT doc_id, n_tok,
+        {_med_duck("list_sort(list_transform(tokens, x -> CAST(x AS DOUBLE)))", "n_tok")}
+          AS med,
+        tokens
+      FROM synth
+    ),
+    r2 AS (
+      SELECT doc_id, n_tok, med,
+        {_med_duck("list_sort(list_transform(tokens, x -> abs(CAST(x AS DOUBLE) - med)))", "n_tok")}
+          AS mad,
+        tokens
+      FROM r1
+    )
+    SELECT doc_id, n_tok, med, mad,
+      length(list_filter(tokens, x ->
+        abs((CAST(x AS DOUBLE) - med)
+            / (CAST(1.4826 AS DOUBLE) * mad)) > CAST(3.5 AS DOUBLE)))
+        AS n_outliers,
+      list_max(list_transform(tokens, x ->
+        abs((CAST(x AS DOUBLE) - med)
+            / (CAST(1.4826 AS DOUBLE) * mad)))) AS max_abs_rz
+    FROM r2
+    """,
+)
+def robust_outliers(spark, sf_dir):
+    """TS11: robust per-series outlier scoring — median and MAD
+    computed POSITIONALLY from the sorted array (no quantile
+    interpolation to reconcile across engines; median of ints is exact,
+    MAD lands on exact binary fractions), then the robust z-score
+    (x − med)/(1.4826·MAD) and the count of |z| > 3.5. Every emitted
+    double is bit-identical across engines — the classic
+    consistency-based outlier detector, shuffle-free."""
+    df = synth.sequences_df(spark, 256).select("doc_id", "n_tok", "tokens")
+    sorted_x = "array_sort(transform(tokens, x -> CAST(x AS DOUBLE)))"
+    r1 = df.select(
+        "doc_id",
+        "n_tok",
+        F.expr(_med(sorted_x, "n_tok")).alias("med"),
+        "tokens",
+    )
+    sorted_d = "array_sort(transform(tokens, x -> abs(CAST(x AS DOUBLE) - med)))"
+    r2 = r1.select(
+        "doc_id",
+        "n_tok",
+        "med",
+        F.expr(_med(sorted_d, "n_tok")).alias("mad"),
+        "tokens",
+    )
+    rz = (
+        "abs((CAST(x AS DOUBLE) - med)"
+        " / (CAST(1.4826 AS DOUBLE) * mad))"
+    )
+    return r2.select(
+        "doc_id",
+        "n_tok",
+        "med",
+        "mad",
+        F.expr(f"size(filter(tokens, x -> {rz} > CAST(3.5 AS DOUBLE)))").alias(
+            "n_outliers"
+        ),
+        F.expr(f"array_max(transform(tokens, x -> {rz}))").alias(
+            "max_abs_rz"
+        ),
+    )

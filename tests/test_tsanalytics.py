@@ -228,3 +228,46 @@ def test_m4_keeps_the_four_points(spark):
         assert r["v_min"] <= min(r["v_first"], r["v_last"]) + 1e-12
         assert r["v_max"] >= max(r["v_first"], r["v_last"]) - 1e-12
         assert r["ts_first"] <= r["ts_last"]
+
+
+# ---------------------------------------------------------------------------
+# PLA blocks + robust outliers (tsrobust_q)
+# ---------------------------------------------------------------------------
+
+
+def test_pla_matches_numpy_ols(spark):
+    from dtaidistance_spark.operators import tsrobust_q  # noqa: F401
+
+    out = REGISTRY["pla_blocks"](spark, SF)
+    rows = {
+        (r["doc_id"], r["block_id"]): r
+        for r in out.where(out.doc_id == "doc000000000002").collect()
+    }
+    x = _tokens(2)
+    j = np.arange(16, dtype=np.float64)
+    for b in range(len(x) // 16):
+        blk = x[b * 16:(b + 1) * 16].astype(np.float64)
+        slope, icept = np.polyfit(j, blk, 1)
+        r = rows[("doc000000000002", b)]
+        assert r["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+        assert r["icept"] == pytest.approx(icept, rel=1e-9, abs=1e-9)
+        res = blk - (r["icept"] + r["slope"] * j)
+        assert r["max_abs_resid"] == pytest.approx(np.abs(res).max(), abs=1e-6)
+        assert r["argmax_j"] == int(np.argmax(np.abs(res) >= np.abs(res).max()))
+
+
+def test_robust_outliers_matches_numpy(spark):
+    from dtaidistance_spark.operators import tsrobust_q  # noqa: F401
+
+    out = REGISTRY["robust_outliers"](spark, SF)
+    rows = {r["doc_id"]: r for r in out.where(
+        out.doc_id.isin("doc000000000004", "doc000000000019")).collect()}
+    for i in (4, 19):
+        x = _tokens(i).astype(np.float64)
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        rz = np.abs((x - med) / (1.4826 * mad))
+        r = rows[f"doc{i:012d}"]
+        assert r["med"] == med and r["mad"] == mad
+        assert r["n_outliers"] == int((rz > 3.5).sum())
+        assert r["max_abs_rz"] == pytest.approx(rz.max(), rel=1e-12)
