@@ -175,6 +175,27 @@ def main() -> None:
     timings["matrix_profile_bench"] = round(mp_sec, 3)
     mp_docs.unpersist()
 
+    # --- scan-side analytics fold throughput (TS family) ----------------
+    # Holt level/trend + two EWMA folds over EVERY token of EVERY series,
+    # entirely inside whole-stage codegen (zero shuffles, zero Python) —
+    # the per-point cost of the recursive-smoother operator family
+    from dtaidistance_spark.operators.tshyper_q import _HOLT_SPARK
+
+    _AN_EXPR = (
+        f"sum(element_at({_HOLT_SPARK}, 1))"
+        " + sum(aggregate(slice(transform(tokens, t -> CAST(t AS DOUBLE)),"
+        " 2, n_tok - 1), CAST(element_at(tokens, 1) AS DOUBLE),"
+        " (s, x) -> ((s + x) / CAST(2 AS DOUBLE))))"
+    )
+    seq.limit(64).selectExpr(_AN_EXPR).collect()  # warm codegen
+    an_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        seq.selectExpr(_AN_EXPR).collect()
+        dt = time.perf_counter() - t0
+        an_sec = dt if an_sec is None else min(an_sec, dt)
+    timings["analytics_fold_bench"] = round(an_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -249,6 +270,7 @@ def main() -> None:
         "mp_windows": int(mp_windows),
         "mp_windows_per_sec": round(mp_windows / mp_sec, 1),
         "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
+        "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 

@@ -103,6 +103,12 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "cusum_changepoint",     # one window sort per series
         "seasonal_anomaly",      # broadcast baseline + global top-k
         "kmv_distinct",          # distinct + per-key bottom-k
+        "holt_smooth",           # array-state fold, zero shuffles
+        "time_weighted_avg",     # one window sort per user
+        "heartbeat_agg",         # one window sort per user
+        "m4_downsample",         # four ranks, one partitioning
+        "pla_blocks",            # block explode + HOF OLS, zero shuffles
+        "robust_outliers",       # sort-in-row median/MAD, zero shuffles
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
