@@ -1087,3 +1087,109 @@ def bloom_skip_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "metadata_tables_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(224)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source
+      FROM hh
+    ),
+    e1 AS (SELECT count(DISTINCT source) AS c FROM ss WHERE i < 128),
+    e2 AS (SELECT count(DISTINCT source) AS c FROM ss
+           WHERE i BETWEEN 128 AND 191),
+    e3 AS (SELECT count(DISTINCT source) AS c FROM ss
+           WHERE i BETWEEN 192 AND 223)
+    SELECT 'file' AS kind, source AS key,
+           2::BIGINT AS a,
+           count(*) FILTER (WHERE i < 192)::BIGINT AS b,
+           false AS curr
+    FROM ss GROUP BY source
+    UNION ALL
+    SELECT 'history', 'snap1:overwrite', (SELECT c FROM e1), 128, false
+    UNION ALL
+    SELECT 'history', 'snap2:append',
+           (SELECT c FROM e1) + (SELECT c FROM e2), 192, true
+    UNION ALL
+    SELECT 'history', 'snap3:append',
+           (SELECT c FROM e1) + (SELECT c FROM e2) + (SELECT c FROM e3),
+           224, false
+    UNION ALL
+    SELECT 'ref', 'dev:branch', 3, 0, false
+    UNION ALL
+    SELECT 'ref', 'v1:tag', 2, 0, false
+    """,
+)
+def metadata_tables_check(spark, sf_dir):
+    """Iceberg metadata tables (`.files` / `.history` / `.refs`) as
+    queryable DataFrames, driver-oracled over a scripted scenario:
+    overwrite 128 rows -> append 64 -> tag v1 -> branch dev -> append
+    32 MORE rows to the branch. The files view must show exactly the
+    MAIN entry set (two entries per source, branch data invisible),
+    the history view all three commits with cumulative entry counts
+    and row totals (only the append on main marked current), and the
+    refs view the branch head at snapshot 3 and the tag at 2 — every
+    number re-derived by DuckDB from the id ranges."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 224)
+    root = tempfile.mkdtemp(prefix="meta_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        t.write(df.where(F.col("doc_id") < f"doc{128:012d}"), mode="overwrite")
+        t.write(
+            df.where(
+                (F.col("doc_id") >= f"doc{128:012d}")
+                & (F.col("doc_id") < f"doc{192:012d}")
+            ),
+            mode="append",
+        )
+        t.create_tag("v1")
+        t.create_branch("dev")
+        t.write(
+            df.where(F.col("doc_id") >= f"doc{192:012d}"),
+            mode="append",
+            branch="dev",
+        )
+        files = t.files_df(spark).groupBy(
+            F.get_json_object("partition", "$.source").alias("key")
+        ).agg(
+            F.count(F.lit(1)).alias("a"), F.sum("rows").alias("b")
+        ).select(
+            F.lit("file").alias("kind"), "key", "a", "b",
+            F.lit(False).alias("curr"),
+        )
+        hist = t.history_df(spark).select(
+            F.lit("history").alias("kind"),
+            F.concat(
+                F.lit("snap"), F.col("snapshot_id").cast("string"),
+                F.lit(":"), F.col("op"),
+            ).alias("key"),
+            F.col("entry_count").alias("a"),
+            F.col("total_rows").alias("b"),
+            F.col("is_current").alias("curr"),
+        )
+        refs = t.refs_df(spark).select(
+            F.lit("ref").alias("kind"),
+            F.concat("name", F.lit(":"), "type").alias("key"),
+            F.col("snapshot").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            F.lit(False).alias("curr"),
+        )
+        out = files.unionByName(hist).unionByName(refs)
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "kind string, key string, a long, b long, curr boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -944,6 +944,64 @@ class TableIO:
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.entries())
 
+    # -- metadata tables (Iceberg `table.files` / `.history` / `.refs`) -----
+    def files_df(self, spark: SparkSession) -> DataFrame:
+        """The current entry set as a queryable DataFrame (Iceberg's
+        ``SELECT * FROM tbl.files``): one row per data entry with
+        partition values (JSON), row count, checksum, and the writing
+        snapshot — scan planning becomes plain SQL over metadata, no
+        data file touched."""
+        rows = [
+            (
+                e["path"],
+                json.dumps(e["partition"], sort_keys=True),
+                int(e["rows"]),
+                str(e["checksum"]),
+                int(e.get("snapshot", 0)),
+                int(e.get("sv", 0)),
+            )
+            for e in self.entries()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, partition string, rows long, checksum string, "
+            "snapshot long, sv long",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg's ``.history`` /
+        ``.snapshots``): id, op, entry count, total rows, and whether
+        the snapshot is the current one."""
+        m = self._load()
+        cur = m["current_snapshot"]
+        rows = [
+            (
+                int(s["id"]),
+                str(s["op"]),
+                int(s.get("entry_count", len(s.get("entries", [])))),
+                int(sum(e["rows"] for e in s.get("entries", []))),
+                s["id"] == cur,
+                bool(s.get("staged", False)),
+            )
+            for s in m["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, op string, entry_count long, total_rows long, "
+            "is_current boolean, staged boolean",
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg's ``.refs``)."""
+        rows = [
+            (name, r["type"], int(r["snapshot"]))
+            for name, r in sorted(self.refs().items())
+        ]
+        return spark.createDataFrame(
+            rows if rows else [],
+            "name string, type string, snapshot long",
+        )
+
     def vacuum(self, keep_snapshots: int = 1) -> dict:
         """Physically reclaim storage: keep the data dirs referenced by
         the CURRENT entries plus the last ``keep_snapshots`` snapshots'

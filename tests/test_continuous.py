@@ -837,3 +837,15 @@ def test_zorder_prunes_strictly_better_and_safely(spark, tmp_path):
     z_sel, _ = tz.scan_entries(stats_filter=pred)
     l_sel, _ = tl.scan_entries(stats_filter=pred)
     assert len(z_sel) < len(l_sel)
+
+
+def test_metadata_tables_views(spark, tmp_path):
+    t, df = _seq_table(spark, tmp_path, n=32, name="meta")
+    assert t.refs_df(spark).count() == 0  # empty refs view keeps schema
+    f = t.files_df(spark)
+    assert f.count() == len(t.entries())
+    assert {r["snapshot"] for r in f.collect()} == {1}
+    h = t.history_df(spark).collect()
+    assert len(h) == 1 and h[0]["is_current"] and h[0]["total_rows"] == 32
+    t.create_tag("x")
+    assert t.refs_df(spark).collect()[0]["type"] == "tag"
