@@ -389,3 +389,62 @@ def corpus_discords(spark, sf_dir):
         .where(F.col("grank") <= 10)
         .select("grank", "doc_id", "pos", "d2")
     )
+
+
+@register(
+    "corpus_motifs",
+    oracle=_ZBRUTE
+    + """
+    , mpm AS (SELECT doc_id, pos, j, d2 FROM zprof WHERE rn = 1),
+    mot AS (
+      SELECT doc_id, pos, j, d2,
+             row_number() OVER (PARTITION BY doc_id ORDER BY d2, pos)
+               AS rm
+      FROM mpm
+    ),
+    topm AS (
+      SELECT doc_id, pos, j, d2,
+             row_number() OVER (ORDER BY d2, doc_id, pos) AS grank
+      FROM mot WHERE rm = 1
+    )
+    SELECT grank::INT AS grank, doc_id, pos::INT AS pos,
+           j::INT AS nn_pos, d2
+    FROM topm WHERE grank <= 10
+    """,
+)
+def corpus_motifs(spark, sf_dir):
+    """Corpus-level motif report (the twin of corpus_discords): each
+    series' top MOTIF site (z-norm profile argmin — its best-repeated
+    subsequence) with its nearest-neighbor position, globally ranked;
+    the 10 strongest repeats across the corpus. Per-doc reduction
+    happens before the tiny global sort (no all-rows global window at
+    scale), and every double rides the same IEEE-identical expression
+    tree as matrix_profile_znorm, so the ranking is fully
+    driver-hashed."""
+    mp = MP.matrix_profile_znorm(
+        synth.sequences_df(spark, _NZ).withColumn(
+            "tokens", F.slice("tokens", 1, _MAXLEN)
+        ),
+        m=_M,
+        excl=_EXCL,
+    )
+    per_doc = (
+        mp.withColumn(
+            "rm",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("d2"), F.asc("pos"))
+            ),
+        )
+        .where(F.col("rm") == 1)
+        .select("doc_id", "pos", "nn_pos", "d2")
+    )
+    return (
+        per_doc.withColumn(
+            "grank",
+            F.row_number().over(
+                Window.orderBy(F.asc("d2"), F.asc("doc_id"), F.asc("pos"))
+            ),
+        )
+        .where(F.col("grank") <= 10)
+        .select("grank", "doc_id", "pos", "nn_pos", "d2")
+    )
