@@ -166,6 +166,26 @@ def main() -> None:
         final_plan(reg["sax_symbols"](spark, SF)),
     ))
 
+    sections.append((
+        "acf_per_series (autocorrelation, TS1)",
+        "ZERO exchanges: the per-(doc, lag) int64 lag products, head/tail "
+        "sums, and the shared float tail are all scan-side HOFs inside "
+        "codegen; explode(lags) is a generator, not a shuffle. holt_smooth "
+        "/ ewma_smooth / pla_blocks / robust_outliers share this "
+        "exchange-free shape (gated BatchEvalPython-free in "
+        "tests/test_plans.py).",
+        final_plan(reg["acf_per_series"](spark, SF)),
+    ))
+
+    sections.append((
+        "heartbeat_agg (uptime/gap SLO aggregation, TS8)",
+        "ONE hash exchange onto user_id; the lead() window and the "
+        "aggregate share the same sort; all arithmetic integer "
+        "microseconds in codegen. time_weighted_avg and m4_downsample "
+        "share the single-shuffle shape.",
+        final_plan(reg["heartbeat_agg"](spark, SF)),
+    ))
+
     out = [
         "# PLANS — final executed physical plans of the headline pipelines",
         "",
