@@ -568,3 +568,213 @@ def kmv_set_ops(spark, sf_dir):
         "exact_inter",
         F.expr(_KMV_SET_EST.replace("cnt", "icnt")).alias("est_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS12 — cross-correlation (CCF) + lead-lag detection between paired series
+# ---------------------------------------------------------------------------
+
+_CCF_LAGS = (-32, -16, -8, -4, -2, -1, 0, 1, 2, 4, 8, 16, 32)
+_CCF_CAP = 512
+
+# shared float tail over exact ints: corr = num / (sqrt(vx) * sqrt(vy)),
+# degenerate variance pinned to 0 exactly like the znorm profile kernel
+_CCF_EXPR = (
+    "(CASE WHEN vx > 0 AND vy > 0 THEN"
+    " (CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE))"
+    " * sqrt(CAST(vy AS DOUBLE)))) ELSE CAST(0 AS DOUBLE) END)"
+)
+
+_CCF_ORACLE_BODY = f"""
+, cp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         least(least(a.n_tok, b.n_tok), {_CCF_CAP}) AS L,
+         a.tokens AS ta, b.tokens AS tb
+  FROM synth a JOIN synth b
+    ON CAST(substr(b.doc_id, 4, 12) AS INT)
+       = CAST(substr(a.doc_id, 4, 12) AS INT) + 1
+   AND CAST(substr(a.doc_id, 4, 12) AS INT) % 2 = 0
+),
+cl AS (
+  SELECT cp.*, t.k AS lag, abs(t.k) AS s,
+         L - abs(t.k) AS n
+  FROM cp, unnest([{", ".join(str(k) for k in _CCF_LAGS)}]) AS t(k)
+  WHERE L - abs(t.k) > 1
+),
+cx AS (
+  SELECT doc_a, doc_b, lag, n,
+    CASE WHEN lag >= 0 THEN ta[1 : n] ELSE ta[s + 1 : s + n] END AS ax,
+    CASE WHEN lag >= 0 THEN tb[s + 1 : s + n] ELSE tb[1 : n] END AS bx
+  FROM cl
+),
+cs AS (
+  SELECT doc_a, doc_b, lag, n,
+    list_sum(ax)::BIGINT AS sx, list_sum(bx)::BIGINT AS sy,
+    list_sum(list_transform(range(1, n + 1),
+        i -> ax[i]::BIGINT * bx[i]::BIGINT))::BIGINT AS sxy,
+    list_sum(list_transform(ax, x -> x::BIGINT * x::BIGINT))::BIGINT AS sxx,
+    list_sum(list_transform(bx, x -> x::BIGINT * x::BIGINT))::BIGINT AS syy
+  FROM cx
+),
+cc AS (
+  SELECT doc_a, doc_b, lag, n,
+         n::BIGINT * sxy - sx * sy AS num,
+         n::BIGINT * sxx - sx * sx AS vx,
+         n::BIGINT * syy - sy * sy AS vy
+  FROM cs
+),
+ccf AS (SELECT doc_a, doc_b, lag, n, {_CCF_EXPR} AS ccf FROM cc)
+"""
+
+
+def _ccf_df(spark):
+    """Per-(pair, lag) cross-correlation over consecutive doc pairs —
+    exact int64 overlap sums via scan-side HOFs, shared float tail."""
+    df = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        F.substring("doc_id", 4, 12).cast("int").alias("i"),
+        "n_tok",
+        "tokens",
+    )
+    a = df.where(F.col("i") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("i").alias("ia"),
+        F.col("n_tok").alias("na"),
+        F.col("tokens").alias("ta"),
+    )
+    b = df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("ib"),
+        F.col("n_tok").alias("nb"),
+        F.col("tokens").alias("tb"),
+    )
+    cp = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"least(least(na, nb), {_CCF_CAP})").alias("L"),
+        "ta",
+        "tb",
+    )
+    cl = cp.select(
+        "doc_a",
+        "doc_b",
+        "L",
+        "ta",
+        "tb",
+        F.explode(F.array(*[F.lit(k) for k in _CCF_LAGS])).alias("lag"),
+    ).select(
+        "*",
+        F.abs(F.col("lag")).alias("s"),
+        (F.col("L") - F.abs(F.col("lag"))).alias("n"),
+    ).where(F.col("n") > 1)
+    cx = cl.select(
+        "doc_a",
+        "doc_b",
+        "lag",
+        "n",
+        F.expr(
+            "CASE WHEN lag >= 0 THEN slice(ta, 1, n)"
+            " ELSE slice(ta, s + 1, n) END"
+        ).alias("ax"),
+        F.expr(
+            "CASE WHEN lag >= 0 THEN slice(tb, s + 1, n)"
+            " ELSE slice(tb, 1, n) END"
+        ).alias("bx"),
+    )
+    cs = cx.select(
+        "doc_a",
+        "doc_b",
+        "lag",
+        "n",
+        F.expr("aggregate(ax, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("sx"),
+        F.expr("aggregate(bx, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("sy"),
+        F.expr(
+            "aggregate(zip_with(ax, bx,"
+            " (p, q) -> CAST(p AS BIGINT) * CAST(q AS BIGINT)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(ax, 0L, (a, x) ->"
+            " a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(bx, 0L, (a, x) ->"
+            " a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("syy"),
+    )
+    cc = cs.select(
+        "doc_a",
+        "doc_b",
+        "lag",
+        "n",
+        (
+            F.col("n").cast("long") * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).alias("num"),
+        (
+            F.col("n").cast("long") * F.col("sxx")
+            - F.col("sx") * F.col("sx")
+        ).alias("vx"),
+        (
+            F.col("n").cast("long") * F.col("syy")
+            - F.col("sy") * F.col("sy")
+        ).alias("vy"),
+    )
+    return cc.select(
+        "doc_a", "doc_b", "lag", "n", F.expr(_CCF_EXPR).alias("ccf")
+    )
+
+
+@register(
+    "ccf_pairs",
+    oracle=synth_sql(_N)
+    + _CCF_ORACLE_BODY
+    + """
+    SELECT doc_a, doc_b, lag, n, ccf FROM ccf
+    """,
+)
+def ccf_pairs(spark, sf_dir):
+    """TS12: cross-correlation between consecutive doc pairs at 13 lags
+    (-32..32): Pearson over the lag-shifted overlap (capped at 512
+    points), every cross-sum an exact int64 (n*Sxy - SxSy and both
+    variance terms stay under 2^53) and the correlation one shared
+    float tail — 832 REAL doubles hash-match DuckDB with no rounding
+    tolerance. The pair join broadcasts the (tiny) partner side; the
+    lag products are scan-side HOFs."""
+    return _ccf_df(spark)
+
+
+@register(
+    "lead_lag_detect",
+    oracle=synth_sql(_N)
+    + _CCF_ORACLE_BODY
+    + """
+    , lr AS (
+      SELECT doc_a, doc_b, lag, ccf,
+             row_number() OVER (PARTITION BY doc_a
+                                ORDER BY abs(ccf) DESC, lag) AS rn
+      FROM ccf
+    )
+    SELECT doc_a, doc_b, lag AS best_lag, ccf AS best_ccf
+    FROM lr WHERE rn = 1
+    """,
+)
+def lead_lag_detect(spark, sf_dir):
+    """TS12b: lead-lag detection — per pair, the lag maximizing |ccf|
+    (ties to the smallest lag): which series leads the other and by how
+    much. Deterministic because the underlying CCF doubles are
+    bit-identical across engines."""
+    df = _ccf_df(spark)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.abs(F.col("ccf")).desc(), F.col("lag")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lag").alias("best_lag"),
+            F.col("ccf").alias("best_ccf"),
+        )
+    )

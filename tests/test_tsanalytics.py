@@ -271,3 +271,42 @@ def test_robust_outliers_matches_numpy(spark):
         assert r["med"] == med and r["mad"] == mad
         assert r["n_outliers"] == int((rz > 3.5).sum())
         assert r["max_abs_rz"] == pytest.approx(rz.max(), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# CCF + lead-lag (TS12)
+# ---------------------------------------------------------------------------
+
+
+def test_ccf_matches_numpy(spark):
+    out = REGISTRY["ccf_pairs"](spark, SF)
+    rows = {
+        r["lag"]: r
+        for r in out.where(out.doc_a == "doc000000000000").collect()
+    }
+    x = _tokens(0)
+    y = _tokens(1)
+    L = min(len(x), len(y), 512)
+    for k, r in rows.items():
+        s = abs(k)
+        if k >= 0:
+            a, b = x[: L - s], y[s:L]
+        else:
+            a, b = x[s:L], y[: L - s]
+        ref = np.corrcoef(a.astype(float), b.astype(float))[0, 1]
+        assert r["n"] == L - s
+        assert r["ccf"] == pytest.approx(ref, abs=1e-9), (k, ref)
+
+
+def test_lead_lag_is_ccf_argmax(spark):
+    ccf = REGISTRY["ccf_pairs"](spark, SF).collect()
+    best: dict[str, tuple] = {}
+    for r in ccf:
+        key = (-abs(r["ccf"]), r["lag"])
+        if r["doc_a"] not in best or key < best[r["doc_a"]][0]:
+            best[r["doc_a"]] = (key, r["lag"], r["ccf"])
+    out = REGISTRY["lead_lag_detect"](spark, SF).collect()
+    assert len(out) == len(best) == 128
+    for r in out:
+        _, lag, val = best[r["doc_a"]]
+        assert (r["best_lag"], r["best_ccf"]) == (lag, val)
