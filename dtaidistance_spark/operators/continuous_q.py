@@ -1193,3 +1193,107 @@ def metadata_tables_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "partition_evolution_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(192)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source,
+        CASE WHEN h % 97 < 8 THEN least((64 + h % 1985) * 4, 8192)
+             ELSE 64 + h % 1985 END AS n
+      FROM hh
+    ),
+    e1 AS (SELECT count(DISTINCT source) AS c,
+                  max(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS w
+           FROM ss WHERE i < 128),
+    e2 AS (SELECT count(DISTINCT source) AS c,
+                  max(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS w
+           FROM ss WHERE i >= 128),
+    wv AS (SELECT count(*) AS web_rows FROM ss WHERE source = 'web')
+    SELECT 'mixed' AS kind, source AS key,
+           count(*)::BIGINT AS a, sum(n)::BIGINT AS b
+    FROM ss GROUP BY source
+    UNION ALL
+    SELECT 'prune_pre', 'web',
+           1 + (SELECT w FROM e2), (SELECT c - w FROM e2)
+    UNION ALL
+    SELECT 'prune_post', 'web',
+           (SELECT w FROM e1) + (SELECT w FROM e2),
+           (SELECT c - w FROM e1) + (SELECT c - w FROM e2)
+    UNION ALL
+    SELECT 'rows_web', 'web', (SELECT web_rows FROM wv),
+           (SELECT web_rows FROM wv)
+    UNION ALL
+    SELECT 'entries', 'total',
+           (SELECT c FROM e1) + (SELECT c FROM e2), 1
+    """,
+)
+def partition_evolution_check(spark, sf_dir):
+    """Iceberg partition-spec evolution (IO13), driver-oracled: write
+    128 rows UNPARTITIONED, evolve the spec to partition_by=['source']
+    (zero files touched), append 64 rows under the NEW spec, and read
+    the mixed-layout table — the old entry's source column surfaces
+    from the data file, the new entries' from the manifest, and the
+    per-source counts equal the full 192-row distribution. Partition
+    pruning stays SAFE on the mixed table (a pre-evolution entry is
+    never pruned: 2 entries selected for source='web'), and after
+    migrate_partition_spec() rewrites the old entry into the new
+    layout (one atomic 'migrate' commit, rows verified) pruning
+    becomes fully effective (web-only entries selected) with identical
+    row counts. Every number re-derived by DuckDB from id ranges."""
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 192)
+    root = tempfile.mkdtemp(prefix="pspec_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=[])
+        t.write(df.where(F.col("doc_id") < f"doc{128:012d}"), mode="overwrite")
+        ver = t.evolve_partition_spec(["source"])
+        t.write(df.where(F.col("doc_id") >= f"doc{128:012d}"), mode="append")
+        mixed = {
+            r["source"]: (int(r["c"]), int(r["s"]))
+            for r in t.read(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_tok").alias("s"))
+            .collect()
+        }
+        web_pred = lambda p: p.get("source") == "web"  # noqa: E731
+        sel_pre, _ = t.scan_entries(partition_filter=web_pred)
+        skip_pre = len(t.entries()) - len(sel_pre)
+        rows_pre = (
+            t.read(spark, partition_filter=web_pred)
+            .where(F.col("source") == "web")
+            .count()
+        )
+        t.migrate_partition_spec(spark)
+        assert t.snapshots()[-1]["op"] == "migrate"
+        sel_post, _ = t.scan_entries(partition_filter=web_pred)
+        skip_post = len(t.entries()) - len(sel_post)
+        rows_post = (
+            t.read(spark, partition_filter=web_pred)
+            .where(F.col("source") == "web")
+            .count()
+        )
+        rows = [
+            ("mixed", s, c, tot) for s, (c, tot) in sorted(mixed.items())
+        ] + [
+            ("prune_pre", "web", len(sel_pre), skip_pre),
+            ("prune_post", "web", len(sel_post), skip_post),
+            ("rows_web", "web", rows_pre, rows_post),
+            ("entries", "total", len(t.entries()), ver),
+        ]
+        return spark.createDataFrame(
+            rows, "kind string, key string, a long, b long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

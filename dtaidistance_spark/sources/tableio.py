@@ -98,6 +98,13 @@ class TableIO:
         self.stats_cols = stats_cols or []
         self.bloom_cols = bloom_cols or []
         os.makedirs(self.dir, exist_ok=True)
+        # an existing table's CURRENT spec wins over the constructor
+        # argument (partition-spec evolution: a reader/writer opened
+        # with a stale spec must not silently fork the layout)
+        if os.path.exists(self._manifest_path):
+            m = self._load()
+            if m.get("partition_by") is not None:
+                self.partition_by = m["partition_by"]
 
     # -- manifest ----------------------------------------------------------
     @property
@@ -170,6 +177,65 @@ class TableIO:
     def entries(self) -> list[dict]:
         """Current file set: [{path, partition, rows, checksum}]."""
         return self._load()["entries"]
+
+    # -- partition-spec evolution --------------------------------------------
+    def evolve_partition_spec(self, new_partition_by: list[str]) -> int:
+        """Iceberg partition evolution: change the partition spec for
+        FUTURE writes without touching a single existing file. Old
+        entries keep their old partition layout; reads union both
+        (missing partition columns surface from the data itself when
+        the file carries them, else as NULL), and partition pruning
+        NEVER prunes an entry that predates the current spec (it cannot
+        be pruned safely). :meth:`migrate_partition_spec` is the
+        optional rewrite that re-lays old entries under the new spec so
+        pruning becomes fully effective. Returns the new spec version."""
+        m = self._load()
+        ver = m.get("spec_version", 0) + 1
+        m["partition_by"] = list(new_partition_by)
+        m["spec_version"] = ver
+        self._commit(m)
+        self.partition_by = list(new_partition_by)
+        return ver
+
+    def migrate_partition_spec(self, spark: SparkSession) -> int:
+        """Rewrite every entry whose partition keys differ from the
+        CURRENT spec into the current layout — one atomic 'migrate'
+        commit (rows verified). Pending equality-deletes must be
+        applied first (same rule as compact)."""
+        m = self._load()
+        dels = m.get("deletes", [])
+        spec = set(m.get("partition_by", self.partition_by))
+        old = [
+            e
+            for e in m["entries"]
+            if set(e["partition"].keys()) != spec
+        ]
+        if not old:
+            return m["current_snapshot"] or 0
+        if any(self._applicable_deletes(e, dels) for e in old):
+            raise ValueError(
+                "pending equality-deletes apply to pre-evolution entries; "
+                "run apply_deletes() before migrate_partition_spec()"
+            )
+        expected = sum(e["rows"] for e in old)
+        df = self._read_entries(spark, old)
+        snap = self.write(
+            df,
+            mode="append",
+            _op="migrate",
+            _drop_paths={e["path"] for e in old},
+        )
+        got = sum(
+            e["rows"]
+            for e in self.entries()
+            if e.get("snapshot") == snap
+        )
+        if got != expected:
+            raise RuntimeError(
+                f"partition-spec migration row mismatch: {got} != {expected};"
+                f" snapshot {snap - 1} still holds the pre-migration state"
+            )
+        return snap
 
     # -- write -------------------------------------------------------------
     def _lineage(self, df: DataFrame) -> list[dict]:
@@ -254,6 +320,7 @@ class TableIO:
         schema_ddl: str | None = None,
         _op: str | None = None,
         _replace_parts: set[str] | None = None,
+        _drop_paths: set[str] | None = None,
         branch: str | None = None,
         props: dict | None = None,
     ):
@@ -319,7 +386,12 @@ class TableIO:
             if branch is None:
                 m["deletes"] = []
         elif mode == "append":
-            entries = base_entries + new_entries
+            base = (
+                [e for e in base_entries if e["path"] not in _drop_paths]
+                if _drop_paths
+                else base_entries
+            )
+            entries = base + new_entries
         else:  # dynamic
             replaced = {json.dumps(e["partition"], sort_keys=True) for e in new_entries}
             if _replace_parts:
@@ -732,7 +804,16 @@ class TableIO:
         m = self._load()
         entries = self._entries_at(m, snapshot)
         if partition_filter is not None:
-            entries = [e for e in entries if partition_filter(e["partition"])]
+            # spec-evolution safety: an entry written under an older
+            # partition spec (keys differ from the current spec) cannot
+            # be pruned by a partition predicate — always kept
+            spec = set(m.get("partition_by", self.partition_by))
+            entries = [
+                e
+                for e in entries
+                if set(e["partition"].keys()) != spec
+                or partition_filter(e["partition"])
+            ]
         if not stats_filter and not point_filter:
             return entries, []
         selected, skipped = [], []
@@ -801,6 +882,15 @@ class TableIO:
         groups: dict[tuple, list[dict]] = {}
         for e in entries:
             groups.setdefault(self._applicable_deletes(e, deletes), []).append(e)
+        # partition-spec evolution: entries written under different
+        # specs carry different partition keys — attach each entry's
+        # own, and fill any other entry's keys as NULL unless the data
+        # file already carries the column (pre-partitioning writes do)
+        all_keys: list[str] = []
+        for e in entries:
+            for k in e["partition"]:
+                if k not in all_keys:
+                    all_keys.append(k)
         out = None
         for sig in sorted(groups):
             g = None
@@ -808,6 +898,9 @@ class TableIO:
                 d = spark.read.parquet(e["path"])
                 for k, v in e["partition"].items():
                     d = d.withColumn(k, F.lit(v))
+                for k in all_keys:
+                    if k not in e["partition"] and k not in d.columns:
+                        d = d.withColumn(k, F.lit(None).cast("string"))
                 d = self._evolved_fill(d, e.get("sv", 0), m)
                 g = d if g is None else g.unionByName(d)
             for dpath in sig:

@@ -849,3 +849,47 @@ def test_metadata_tables_views(spark, tmp_path):
     assert len(h) == 1 and h[0]["is_current"] and h[0]["total_rows"] == 32
     t.create_tag("x")
     assert t.refs_df(spark).collect()[0]["type"] == "tag"
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution
+# ---------------------------------------------------------------------------
+
+
+def test_partition_evolution_mixed_read_and_migrate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = synth.sequences_df(spark, 64)
+    t = TableIO(str(tmp_path), "pe", partition_by=[])
+    t.write(df.where(F.col("doc_id") < f"doc{32:012d}"), mode="overwrite")
+    t.evolve_partition_spec(["source"])
+    t.write(df.where(F.col("doc_id") >= f"doc{32:012d}"), mode="append")
+    # mixed-layout read returns all rows with a usable source column
+    got = {
+        r["source"]: r["c"]
+        for r in t.read(spark).groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    want = {
+        r["source"]: r["c"]
+        for r in df.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and None not in got
+    # a stale-spec handle adopts the manifest's current spec
+    t2 = TableIO(str(tmp_path), "pe", partition_by=[])
+    assert t2.partition_by == ["source"]
+    # pre-evolution entries are never partition-pruned
+    sel, _ = t.scan_entries(partition_filter=lambda p: p.get("source") == "books")
+    assert any(not e["partition"] for e in sel)
+    # migration rewrites them; counts unchanged, old entry gone
+    t.migrate_partition_spec(spark)
+    assert all(set(e["partition"]) == {"source"} for e in t.entries())
+    got2 = {
+        r["source"]: r["c"]
+        for r in t.read(spark).groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got2 == want
+    # idempotent
+    snap = t.snapshots()[-1]["id"]
+    assert t.migrate_partition_spec(spark) == snap
