@@ -432,3 +432,137 @@ def lttb_check(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R23 — interval overlap join (bucketed scale path, never a cross product)
+# ---------------------------------------------------------------------------
+
+_INC_N = 48
+_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour join grain
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    ),
+    sess AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS ss,
+             epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se
+      FROM g GROUP BY user_id, sid
+    ),
+    inc AS (
+      SELECT k AS incident_id,
+             epoch_us(TIMESTAMP '2024-01-01'
+                      + k * (INTERVAL 15 HOUR)) AS istart,
+             epoch_us(TIMESTAMP '2024-01-01' + k * (INTERVAL 15 HOUR)
+                      + (1 + k % 5) * (INTERVAL 1 HOUR)) AS iend
+      FROM (SELECT unnest(range({_INC_N})) AS k)
+    ),
+    ov AS (
+      SELECT i.incident_id, s.user_id,
+             least(s.se, i.iend) - greatest(s.ss, i.istart) AS ov_us
+      FROM sess s JOIN inc i
+        ON s.ss < i.iend AND i.istart < s.se
+    )
+    SELECT i.incident_id,
+           (i.iend - i.istart)::BIGINT AS duration_us,
+           count(o.user_id)::BIGINT AS n_sessions,
+           coalesce(sum(o.ov_us), 0)::BIGINT AS total_overlap_us,
+           count(DISTINCT o.user_id)::BIGINT AS n_users
+    FROM inc i LEFT JOIN ov o ON i.incident_id = o.incident_id
+    GROUP BY i.incident_id, i.iend - i.istart
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """R23: interval overlap join — which user sessions overlap which
+    incident windows. The naive formulation is a theta join (cross
+    product + range predicate, quadratic); the scale path EXPLODES each
+    interval onto the 6-hour buckets it covers (bounded: a few buckets
+    per interval) and equi-joins on the bucket key, deduplicating pairs
+    that share several buckets before the exact overlap filter — the
+    standard interval-bucketing join that keeps 100 TB of intervals off
+    a CartesianProduct. All bounds integer microseconds, so per-pair
+    overlap durations and the per-incident aggregate are exact; DuckDB
+    re-derives everything with the plain theta join."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    sess = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("ss"),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias("se"),
+        )
+    )
+    inc = spark.range(_INC_N).select(
+        F.col("id").cast("int").alias("incident_id"),
+        (
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            + F.col("id") * F.lit(15 * 3600 * 1_000_000)
+        ).alias("istart"),
+        (
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            + F.col("id") * F.lit(15 * 3600 * 1_000_000)
+            + (1 + F.col("id") % 5) * F.lit(3600 * 1_000_000)
+        ).alias("iend"),
+    )
+    B = _BUCKET_US
+
+    def bucketed(df, lo, hi):
+        # exact integer division — epoch-us values exceed 2^53, so a
+        # float division could misassign a boundary bucket and silently
+        # drop an overlapping pair
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.expr(f"sequence({lo} div {B}, ({hi} - 1) div {B})")
+            ),
+        )
+
+    sb = bucketed(sess, "ss", "se")
+    ib = bucketed(inc, "istart", "iend")
+    pairs = (
+        sb.join(ib, "bucket")
+        .where((F.col("ss") < F.col("iend")) & (F.col("istart") < F.col("se")))
+        .select("incident_id", "user_id", "ss", "se", "istart", "iend")
+        .distinct()
+        .withColumn(
+            "ov_us",
+            F.least("se", "iend") - F.greatest("ss", "istart"),
+        )
+    )
+    agg = pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("ov_us").alias("total_overlap_us"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        inc.join(agg, "incident_id", "left")
+        .select(
+            "incident_id",
+            (F.col("iend") - F.col("istart")).alias("duration_us"),
+            F.coalesce("n_sessions", F.lit(0)).alias("n_sessions"),
+            F.coalesce("total_overlap_us", F.lit(0)).alias(
+                "total_overlap_us"
+            ),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )

@@ -310,3 +310,62 @@ def test_lead_lag_is_ccf_argmax(spark):
     for r in out:
         _, lag, val = best[r["doc_a"]]
         assert (r["best_lag"], r["best_ccf"]) == (lag, val)
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (R23)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_bucketed_equals_theta_and_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators import tsops_q  # noqa: F401
+
+    df = REGISTRY["interval_overlap_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the session x incident pairing must ride the bucket equi-join
+    assert "CartesianProduct" not in plan
+    got = {r["incident_id"]: r for r in df.collect()}
+    # theta-join reference computed directly in Spark
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("ss"),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias("se"),
+        )
+    )
+    inc = spark.range(48).select(
+        F.col("id").cast("int").alias("incident_id"),
+        (
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            + F.col("id") * F.lit(15 * 3600 * 1_000_000)
+        ).alias("istart"),
+        (
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            + F.col("id") * F.lit(15 * 3600 * 1_000_000)
+            + (1 + F.col("id") % 5) * F.lit(3600 * 1_000_000)
+        ).alias("iend"),
+    )
+    theta = (
+        sess.crossJoin(inc)
+        .where((F.col("ss") < F.col("iend")) & (F.col("istart") < F.col("se")))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.least("se", "iend") - F.greatest("ss", "istart")
+            ).alias("total_overlap_us"),
+        )
+    )
+    ref = {r["incident_id"]: r for r in theta.collect()}
+    for k in range(48):
+        want_n = ref[k]["n_sessions"] if k in ref else 0
+        want_ov = ref[k]["total_overlap_us"] if k in ref else 0
+        assert got[k]["n_sessions"] == want_n, k
+        assert got[k]["total_overlap_us"] == want_ov, k
