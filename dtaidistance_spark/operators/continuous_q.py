@@ -642,11 +642,11 @@ def schema_evolution_check(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_rows,
-           sum(n + CASE WHEN i BETWEEN 128 AND 191 THEN 1000000 ELSE 0 END)
+           sum(n + CASE WHEN i BETWEEN 128 AND 191 THEN 1000000 ELSE 0 END)::BIGINT
              AS sum_n_tok,
            count(*) FILTER (WHERE i BETWEEN 128 AND 191) AS n_updated,
            count(*) FILTER (WHERE i < 256) AS n_rows_after_rollback,
-           sum(n) FILTER (WHERE i < 256) AS sum_n_tok_after_rollback
+           sum(n) FILTER (WHERE i < 256)::BIGINT AS sum_n_tok_after_rollback
     FROM ss GROUP BY 1
     """,
 )
@@ -739,7 +739,7 @@ def merge_upsert_check(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_rows_final,
-           sum(n) AS sum_n_tok,
+           sum(n)::BIGINT AS sum_n_tok,
            0 AS n_bad_rows_final,
            count(*) FILTER (WHERE i < 256) AS n_rows_while_staged,
            true AS stage_invisible
@@ -836,10 +836,10 @@ def wap_check(spark, sf_dir):
     )
     SELECT source,
            count(*) FILTER (WHERE visible) AS n_rows_mor,
-           sum(n) FILTER (WHERE visible) AS sum_n_tok_mor,
+           sum(n) FILTER (WHERE visible)::BIGINT AS sum_n_tok_mor,
            count(*) AS n_rows_tt,
            count(*) FILTER (WHERE visible) AS n_rows_cow,
-           sum(n) FILTER (WHERE visible) AS sum_n_tok_cow,
+           sum(n) FILTER (WHERE visible)::BIGINT AS sum_n_tok_cow,
            true AS deletes_cleared
     FROM ss GROUP BY 1
     """,
@@ -930,7 +930,7 @@ def row_delete_check(spark, sf_dir):
            count(*) AS n_dev,
            count(*) FILTER (WHERE i < 128) AS n_tag,
            count(*) AS n_main_after,
-           sum(n) AS sum_n_tok_after
+           sum(n)::BIGINT AS sum_n_tok_after
     FROM ss GROUP BY 1
     """,
 )

@@ -328,7 +328,7 @@ def stream_session_counts(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_rows,
-           sum(n) AS sum_n_tok,
+           sum(n)::BIGINT AS sum_n_tok,
            3 AS n_stream_snapshots,
            2 AS last_batch,
            true AS replay_skipped
