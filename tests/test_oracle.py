@@ -13,12 +13,19 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     diag_q,
     encoding_q,
     flagship,
+    layout_q,
+    motif_q,
     multimodal_q,
     sampling_q,
+    saxindex,
     sketch_q,
     streaming_q,
+    synth_q,
     text_q,
+    tsanalytics_q,
+    tshyper_q,
     tsops_q,
+    tsrobust_q,
 )
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con
