@@ -778,3 +778,154 @@ def lead_lag_detect(spark, sf_dir):
             F.col("ccf").alias("best_ccf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS13 — Goertzel spectral power at target periods (bit-exact fold)
+# ---------------------------------------------------------------------------
+
+# 2*cos(2*pi/P) as shortest round-trip literals: both engines parse the
+# string to the identical nearest double
+_GOERTZEL = (
+    (64, "1.9903694533443939"),
+    (32, "1.9615705608064609"),
+    (16, "1.8477590650225735"),
+    (8, "1.4142135623730951"),
+)
+
+
+def _goertzel_exprs():
+    """(period, spark_expr, duck_expr) triples sharing one op tree.
+    State [s1, s2]; element [x, 0]; the first element doubles as the
+    init because one Goertzel step from (0,0) yields exactly (x1, 0).
+    Power = s1^2 + s2^2 - c*s1*s2 over the full-cycle truncation."""
+    out = []
+    for p, c in _GOERTZEL:
+        cc = f"CAST('{c}' AS DOUBLE)"
+        step_s = (
+            f"(s, x) -> array(((x + ({cc} * element_at(s, 1)))"
+            f" - element_at(s, 2)), element_at(s, 1))"
+        )
+        spark = (
+            f"aggregate(slice(xs, 2, nc - 1),"
+            f" array(element_at(xs, 1), CAST(0 AS DOUBLE)), {step_s})"
+        )
+        duck = (
+            f"list_reduce(list_transform(xs, x -> [x, CAST(0 AS DOUBLE)]),"
+            f" (s, e) -> [((e[1] + ({cc} * s[1])) - s[2]), s[1]])"
+        )
+        pw = (
+            "(((element_at(st, 1) * element_at(st, 1))"
+            " + (element_at(st, 2) * element_at(st, 2)))"
+            f" - (({cc} * element_at(st, 1)) * element_at(st, 2)))"
+        )
+        pw_d = (
+            f"(((st[1] * st[1]) + (st[2] * st[2]))"
+            f" - (({cc} * st[1]) * st[2]))"
+        )
+        out.append((p, spark, duck, pw, pw_d))
+    return out
+
+
+_G_DUCK_BODY = "\n".join(
+    f"""
+    , g{p} AS (
+      SELECT doc_id, nc, {duck} AS st FROM gx
+    ),
+    p{p} AS (SELECT doc_id, {p} AS period, {pw_d} AS power FROM g{p})"""
+    for p, _s, duck, _pw, pw_d in _goertzel_exprs()
+)
+
+_G_UNION = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, period, power FROM p{p}" for p, *_ in _GOERTZEL
+)
+
+
+@register(
+    "goertzel_power",
+    oracle=synth_sql(_N)
+    + f"""
+    , gx AS (
+      SELECT doc_id, n_tok - n_tok % 64 AS nc,
+        list_transform(tokens[1 : n_tok - n_tok % 64],
+                       t -> CAST(t AS DOUBLE)) AS xs
+      FROM synth
+    ){_G_DUCK_BODY}
+    {_G_UNION}
+    """,
+)
+def goertzel_power(spark, sf_dir):
+    """TS13: Goertzel single-bin DFT power at periods 64/32/16/8 over
+    the full-cycle truncation of every series — the DSP way to probe
+    known frequencies without an FFT. The two-state recursion s1' =
+    x + c*s1 - s2 folds left with a list state (same engine-parity
+    argument as Holt; the first [x, 0] element doubles as the init
+    because one step from (0,0) is exactly (x1, 0)); the coefficients
+    are shortest-round-trip literals so both engines hold the identical
+    double. 1024 REAL powers hash-match with no tolerance — the
+    planted period-64 sinusoid is visible at its bin next to the
+    stronger broad-spectrum modular ramp. Zero shuffles."""
+    df = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        F.expr("n_tok - n_tok % 64").alias("nc"),
+        F.expr(
+            "transform(slice(tokens, 1, n_tok - n_tok % 64),"
+            " t -> CAST(t AS DOUBLE))"
+        ).alias("xs"),
+    )
+    parts = []
+    for p, spark_fold, _duck, pw, _pw_d in _goertzel_exprs():
+        parts.append(
+            df.select(
+                "doc_id",
+                F.lit(p).alias("period"),
+                F.expr(spark_fold).alias("st"),
+            ).select("doc_id", "period", F.expr(pw).alias("power"))
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@register(
+    "dominant_period",
+    oracle=synth_sql(_N)
+    + f"""
+    , gx AS (
+      SELECT doc_id, n_tok - n_tok % 64 AS nc,
+        list_transform(tokens[1 : n_tok - n_tok % 64],
+                       t -> CAST(t AS DOUBLE)) AS xs
+      FROM synth
+    ){_G_DUCK_BODY}
+    , allp AS ({_G_UNION}),
+    rk AS (
+      SELECT doc_id, period, power,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY power DESC, period) AS rn
+      FROM allp
+    )
+    SELECT doc_id, period AS dominant_period, power AS peak_power
+    FROM rk WHERE rn = 1
+    """,
+)
+def dominant_period(spark, sf_dir):
+    """TS13b: dominant-frequency detection — per series, the probed
+    period with the highest Goertzel power (ties to the smallest
+    period). Deterministic because the powers are bit-identical. (The
+    broad-spectrum modular ramp out-powers the planted sinusoid for
+    most docs; a deterministic minority still peaks at the planted
+    period 64 — both are real spectral structure.)"""
+    base = goertzel_power(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("power").desc(), F.col("period")
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("period").alias("dominant_period"),
+            F.col("power").alias("peak_power"),
+        )
+    )

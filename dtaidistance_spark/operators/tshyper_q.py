@@ -303,3 +303,144 @@ def m4_downsample(spark, sf_dir):
         one("ts", "rn_first").alias("ts_first"),
         one("ts", "rn_last").alias("ts_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R24 — funnel analysis (ordered event-sequence matching)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_analysis",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+           (SELECT count(*) FROM s2)::BIGINT AS n_viewed_after,
+           (SELECT count(*) FROM s3)::BIGINT AS n_purchased_after,
+           (SELECT count(*) FROM s3 JOIN s2 USING (user_id)
+            WHERE t_purchase - t_view <= INTERVAL 24 HOUR)::BIGINT
+             AS n_converted_24h
+    """,
+)
+def funnel_analysis(spark, sf_dir):
+    """R24: funnel analysis — the ordered-sequence product-analytics
+    operator: users who signed up, then VIEWED strictly after their
+    first signup, then PURCHASED strictly after that first view (plus
+    the 24-hour conversion slice). Each stage is a min-timestamp
+    aggregate joined forward (monotone chaining — no per-user sort of
+    the whole history, three map-side-combinable aggregates and two
+    broadcast-size joins), and every comparison is on exact
+    timestamps, so the four counts are integer-exact. At 10^12 events
+    the stage aggregates shuffle once each on user_id and nothing else
+    moves."""
+    ev = T(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    conv = (
+        s3.join(s2, "user_id")
+        .where(
+            F.unix_micros(F.col("t_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("t_view").cast("timestamp"))
+            <= 24 * 3600 * 1_000_000
+        )
+        .count()
+    )
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, conv)],
+        "n_signup long, n_viewed_after long, n_purchased_after long, "
+        "n_converted_24h long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R25 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS week_no
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week::TIMESTAMP AS cohort_week, week_no::INT AS week_no,
+           count(*)::BIGINT AS n_active,
+           max(count(*)) OVER (PARTITION BY cohort_week)::BIGINT
+             AS cohort_size
+    FROM act GROUP BY cohort_week, week_no
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """R25: cohort retention matrix — users grouped by first-activity
+    week, counted in every later week they were active (week 0 = the
+    whole cohort, so the per-cohort max doubles as the cohort size).
+    One distinct + two grouped aggregates, all counts integer-exact;
+    the first-seen dimension broadcasts. The product-analytics
+    retention triangle, driver-hashed row for row."""
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    out = act.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_week")
+    return out.withColumn("cohort_size", F.max("n_active").over(w)).select(
+        "cohort_week", "week_no", "n_active", "cohort_size"
+    )

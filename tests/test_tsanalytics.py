@@ -369,3 +369,69 @@ def test_interval_join_bucketed_equals_theta_and_no_cartesian(spark):
         want_ov = ref[k]["total_overlap_us"] if k in ref else 0
         assert got[k]["n_sessions"] == want_n, k
         assert got[k]["total_overlap_us"] == want_ov, k
+
+
+# ---------------------------------------------------------------------------
+# Goertzel power + dominant period (TS13); funnel + cohort (R24/R25)
+# ---------------------------------------------------------------------------
+
+
+def test_goertzel_matches_numpy_dft(spark):
+    """Goertzel power at period P == |DFT bin at n/P|^2 of the
+    truncated series (full cycles -> the bin is exact)."""
+    out = REGISTRY["goertzel_power"](spark, SF)
+    rows = {
+        (r["doc_id"], r["period"]): r["power"]
+        for r in out.where(out.doc_id == "doc000000000006").collect()
+    }
+    x = _tokens(6).astype(np.float64)
+    n = len(x) - len(x) % 64
+    x = x[:n]
+    for p in (64, 32, 16, 8):
+        bin_k = n // p
+        ref = np.abs(np.fft.rfft(x)[bin_k]) ** 2
+        got = rows[("doc000000000006", p)]
+        assert got == pytest.approx(ref, rel=1e-6), (p, ref, got)
+
+
+def test_dominant_period_is_power_argmax(spark):
+    """dominant_period must equal the (power DESC, period ASC) argmax
+    of goertzel_power row for row. (The broad-spectrum modular ramp
+    outweighs the planted sinusoid for most docs — a deterministic ~49
+    of 256 still peak at the planted period 64, which the last assert
+    pins.)"""
+    pw = REGISTRY["goertzel_power"](spark, SF).collect()
+    best: dict[str, tuple] = {}
+    for r in pw:
+        key = (-r["power"], r["period"])
+        if r["doc_id"] not in best or key < best[r["doc_id"]][0]:
+            best[r["doc_id"]] = (key, r["period"], r["power"])
+    out = REGISTRY["dominant_period"](spark, SF).collect()
+    assert len(out) == 256
+    for r in out:
+        _, period, power = best[r["doc_id"]]
+        assert (r["dominant_period"], r["peak_power"]) == (period, power)
+    n64 = sum(1 for r in out if r["dominant_period"] == 64)
+    assert n64 >= 30, n64
+
+
+def test_funnel_counts_monotone(spark):
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    r = REGISTRY["funnel_analysis"](spark, SF).collect()[0]
+    assert r["n_signup"] >= r["n_viewed_after"] >= r["n_purchased_after"]
+    assert r["n_purchased_after"] >= r["n_converted_24h"] >= 0
+
+
+def test_cohort_week0_is_cohort_size(spark):
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    rows = REGISTRY["cohort_retention"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_no"]] = r
+    for c, weeks in by_cohort.items():
+        assert 0 in weeks
+        assert weeks[0]["n_active"] == weeks[0]["cohort_size"]
+        for w, r in weeks.items():
+            assert r["n_active"] <= r["cohort_size"]
