@@ -1297,3 +1297,88 @@ def partition_evolution_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "maintenance_check",
+    oracle="""
+    WITH idsx AS (SELECT unnest(range(192)) AS i),
+    hh AS (
+      SELECT i,
+        ('0x' || substr(md5('doc' || lpad(i::VARCHAR, 12, '0')), 1, 15))::BIGINT
+          AS h
+      FROM idsx
+    ),
+    ss AS (
+      SELECT i,
+        CASE WHEN h % 100 < 80 THEN 'web' WHEN h % 100 < 95 THEN 'code'
+             ELSE 'books' END AS source
+      FROM hh
+    )
+    SELECT count(*) FILTER (WHERE i < 128)::BIGINT AS n_tag_rows,
+           count(*)::BIGINT AS n_current_rows,
+           1::BIGINT AS n_orphans_removed,
+           0::BIGINT AS n_orphans_after,
+           true AS tag_survived_vacuum,
+           true AS young_orphan_spared
+    FROM ss
+    """,
+)
+def maintenance_check(spark, sf_dir):
+    """Storage-maintenance suite (IO14/IO15), driver-oracled: write 128
+    rows (snapshot 1), tag it 'v1', overwrite with 192 rows (snapshot
+    2 — snapshot 1's files now unreferenced by current), plant a FAKE
+    crashed-writer dir under data/ (files materialized, commit never
+    landed), then vacuum(keep_snapshots=1). The tag-protected snapshot
+    1 must SURVIVE the expiry with its data (the Iceberg
+    refs-block-expiry rule) and still read exactly 128 rows, while
+    remove_orphan_files deletes exactly the planted debris — sparing
+    it first under a grace window (the in-flight-writer race guard) —
+    and a second pass finds nothing. Counts re-derived by DuckDB."""
+    import os as _os
+    import time as _time
+
+    from dtaidistance_spark import synth
+
+    df = synth.sequences_df(spark, 192)
+    root = tempfile.mkdtemp(prefix="maint_q_")
+    try:
+        t = TableIO(root, "seq", partition_by=["source"])
+        t.write(df.where(F.col("doc_id") < f"doc{128:012d}"), mode="overwrite")
+        t.create_tag("v1")
+        t.write(df, mode="overwrite")
+        t.vacuum(keep_snapshots=1)
+        # crashed-writer debris: a materialized-but-never-committed dir
+        # (planted after vacuum — vacuum's own sweep has no grace
+        # window, which is exactly why the dedicated orphan pass with
+        # one exists)
+        orphan = _os.path.join(root, "seq", "data", "s999999-deadbeef")
+        _os.makedirs(orphan)
+        with open(_os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+            fh.write(b"debris")
+        tag_rows = t.read(spark, ref="v1").count()
+        cur_rows = t.read(spark).count()
+        # grace window spares the young orphan...
+        r0 = t.remove_orphan_files(grace_seconds=3600)
+        spared = orphan in r0["kept_young"] and _os.path.isdir(orphan)
+        # ...then it ages out (backdate the mtime instead of sleeping)
+        _os.utime(orphan, (_time.time() - 7200, _time.time() - 7200))
+        r1 = t.remove_orphan_files(grace_seconds=3600)
+        r2 = t.remove_orphan_files(grace_seconds=3600)
+        return spark.createDataFrame(
+            [
+                (
+                    tag_rows,
+                    cur_rows,
+                    len(r1["removed"]),
+                    len(r2["removed"]),
+                    tag_rows == 128,
+                    bool(spared),
+                )
+            ],
+            "n_tag_rows long, n_current_rows long, n_orphans_removed long, "
+            "n_orphans_after long, tag_survived_vacuum boolean, "
+            "young_orphan_spared boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1100,7 +1100,10 @@ class TableIO:
         the CURRENT entries plus the last ``keep_snapshots`` snapshots'
         entry sets; delete every other data dir under ``data/`` and trim
         older snapshots from the history (they become un-travel-able —
-        the Iceberg ``expire_snapshots`` semantic).
+        the Iceberg ``expire_snapshots`` semantic). Snapshots pointed to
+        by a NAMED REF (branch or tag) are ALWAYS retained with their
+        data — the Iceberg rule: expiry never invalidates a ref — as
+        are unresolved staged (WAP) snapshots.
 
         Separate from :meth:`delete_partitions` by design: retention is
         a cheap metadata commit on the hot path; vacuum is the rare,
@@ -1108,7 +1111,21 @@ class TableIO:
         import shutil
 
         m = self._load()
-        kept_snaps = m["snapshots"][-max(1, keep_snapshots):]
+        protected = {r["snapshot"] for r in m.get("refs", {}).values()}
+        # the CURRENT snapshot's history record must survive even when
+        # staged (WAP) records sit after it in the list and fill the
+        # keep_snapshots tail
+        if m.get("current_snapshot") is not None:
+            protected.add(m["current_snapshot"])
+        tail = m["snapshots"][-max(1, keep_snapshots):]
+        tail_ids = {s["id"] for s in tail}
+        kept_snaps = [
+            s
+            for s in m["snapshots"]
+            if s["id"] in tail_ids
+            or s["id"] in protected
+            or s.get("staged")
+        ]
         keep_paths = {e["path"] for e in m["entries"]}
         for s in kept_snaps:
             keep_paths |= {e["path"] for e in s["entries"]}
@@ -1125,6 +1142,46 @@ class TableIO:
         m["snapshots"] = kept_snaps
         self._commit(m)
         return {"removed_dirs": removed, "kept_snapshots": [s["id"] for s in kept_snaps]}
+
+    def remove_orphan_files(self, grace_seconds: float = 0.0) -> dict:
+        """Iceberg ``remove_orphan_files``: delete directories under
+        ``data/`` and ``deletes/`` that no retained snapshot references
+        — the debris of writers that crashed AFTER materializing their
+        parquet but BEFORE the manifest commit (write() is
+        write-files-then-swap, so such dirs are invisible but consume
+        storage), and delete-key files whose every referencing snapshot
+        has been vacuumed away. ``grace_seconds`` skips young dirs (an
+        in-flight writer's files look orphaned until its commit lands —
+        the same race Iceberg's default 3-day grace guards against).
+        Never touches anything referenced by ANY snapshot in history,
+        current entries, or active delete files."""
+        import shutil
+
+        m = self._load()
+        referenced = {e["path"] for e in m["entries"]}
+        for s in m["snapshots"]:
+            referenced |= {e["path"] for e in s.get("entries", [])}
+            referenced |= {d["path"] for d in s.get("deletes", [])}
+        referenced |= {d["path"] for d in m.get("deletes", [])}
+        now = time.time()
+        removed, kept_young = [], []
+        for sub in ("data", "deletes"):
+            root = os.path.join(self.dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for d in sorted(os.listdir(root)):
+                full = os.path.join(root, d)
+                if any(
+                    p == full or p.startswith(full + os.sep)
+                    for p in referenced
+                ):
+                    continue
+                if now - os.path.getmtime(full) < grace_seconds:
+                    kept_young.append(full)
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return {"removed": removed, "kept_young": kept_young}
 
 
 # ---------------------------------------------------------------------------

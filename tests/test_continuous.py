@@ -893,3 +893,46 @@ def test_partition_evolution_mixed_read_and_migrate(spark, tmp_path):
     # idempotent
     snap = t.snapshots()[-1]["id"]
     assert t.migrate_partition_spec(spark) == snap
+
+
+# ---------------------------------------------------------------------------
+# Vacuum ref-protection + orphan cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_protects_refs_and_staged(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t, df = _seq_table(spark, tmp_path, name="vp")
+    s1 = t.snapshots()[-1]["id"]
+    t.create_tag("keep", snapshot=s1)
+    t.write(df.limit(10), mode="overwrite")
+    t.write(df, mode="overwrite")
+    staged = t.write_staged(df.limit(5), mode="append")
+    t.vacuum(keep_snapshots=1)
+    kept = {s["id"] for s in t.snapshots()}
+    assert s1 in kept and staged in kept  # ref + staged protected
+    assert t.read(spark, ref="keep").count() == 64  # data intact
+    # the middle (unprotected, unreferenced) snapshot is gone
+    assert len(kept) == 3
+
+
+def test_orphan_cleanup_grace_and_safety(spark, tmp_path):
+    import os
+    import time
+
+    t, df = _seq_table(spark, tmp_path, name="orph")
+    data_root = os.path.join(str(tmp_path), "orph", "data")
+    orphan = os.path.join(data_root, "s424242-cafebabe")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "x.parquet"), "wb").write(b"z")
+    # grace spares it
+    r = t.remove_orphan_files(grace_seconds=3600)
+    assert orphan in r["kept_young"] and os.path.isdir(orphan)
+    # aged out -> removed; referenced dirs untouched
+    os.utime(orphan, (time.time() - 7200,) * 2)
+    before = {e["path"] for e in t.entries()}
+    r = t.remove_orphan_files(grace_seconds=3600)
+    assert r["removed"] == [orphan]
+    assert all(os.path.exists(p) for p in before)
+    assert t.read(spark).count() == 64
