@@ -566,3 +566,152 @@ def interval_overlap_join(spark, sf_dir):
             F.coalesce("n_users", F.lit(0)).alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 — swinging-door trending compression (SDT)
+# ---------------------------------------------------------------------------
+
+_SDT_TOL = 5.0
+
+
+def _sdt_points(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.functions.sdt import swinging_door
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts")
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            out = {"user_id": [], "idx": [], "ts": [], "value": []}
+            for uid, pts in zip(b["user_id"], b["pts"]):
+                x = np.asarray(
+                    [p["ts"].timestamp() for p in pts], dtype=np.float64
+                )
+                y = np.asarray([p["value"] for p in pts], dtype=np.float64)
+                for i, j in enumerate(swinging_door(x, y, _SDT_TOL)):
+                    out["user_id"].append(uid)
+                    out["idx"].append(i)
+                    out["ts"].append(pts[int(j)]["ts"])
+                    out["value"].append(float(y[int(j)]))
+            yield pd.DataFrame(out)
+
+    return ev.mapInPandas(
+        kernel, "user_id long, idx int, ts timestamp, value double"
+    )
+
+
+@register("sdt_downsample")
+def sdt_downsample(spark, sf_dir):
+    """E4: swinging-door trending compression of each user's 'error'
+    value stream at tolerance 5.0 (rows-only; the SQL-expressible
+    invariants and the reconstruction-error bound are driver-verified
+    by sdt_check) — the process-historian archiver: keep the sparsest
+    point set whose linear reconstruction stays within the band. Same
+    distribution shape as LTTB: one shuffle onto the series key,
+    Arrow-batched kernel."""
+    return _sdt_points(spark, sf_dir)
+
+
+@register(
+    "sdt_check",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_raw,
+           min(ts)::TIMESTAMP AS first_ts,
+           max(ts)::TIMESTAMP AS last_ts,
+           true AS kept_subset_of_raw,
+           true AS within_tol
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id
+    """,
+)
+def sdt_check(spark, sf_dir):
+    """Oracled SDT invariants, with the tolerance bound verified by an
+    INDEPENDENT Spark-SQL reconstruction (not the kernel's own math):
+    kept points join back to the raw stream by (user, ts, value) —
+    proving they are verbatim raw points — and every raw point joins
+    its bracketing kept pair via a range join, where the interpolation
+    error must be <= tol. The oracle re-derives n_raw and the
+    first/last timestamps (endpoints are always kept) and pins both
+    booleans true."""
+    raw = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts"),
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        )
+    )
+    kept = _sdt_points(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("kts"),
+        F.col("value").alias("kv"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ktu"),
+    )
+    # kept points must be verbatim raw points
+    n_kept = kept.count()
+    n_match = kept.join(
+        raw,
+        (kept.user_id == raw.user_id)
+        & (kept.ktu == raw.tu)
+        & (kept.kv == raw.value),
+        "left_semi",
+    ).count()
+    subset_ok = n_match == n_kept
+    # bracketing segments via lead()
+    w = Window.partitionBy("user_id").orderBy("ktu")
+    seg = (
+        kept.withColumn("ktu2", F.lead("ktu").over(w))
+        .withColumn("kv2", F.lead("kv").over(w))
+        .where(F.col("ktu2").isNotNull())
+    )
+    joined = raw.alias("r").join(
+        seg.alias("s"),
+        (F.col("r.user_id") == F.col("s.user_id"))
+        & (F.col("r.tu") >= F.col("s.ktu"))
+        & (F.col("r.tu") < F.col("s.ktu2")),
+    )
+    err = F.abs(
+        F.col("s.kv")
+        + (F.col("s.kv2") - F.col("s.kv"))
+        * (F.col("r.tu") - F.col("s.ktu")).cast("double")
+        / (F.col("s.ktu2") - F.col("s.ktu")).cast("double")
+        - F.col("r.value")
+    )
+    n_bad = joined.where(err > _SDT_TOL + 1e-9).count()
+    within = n_bad == 0
+    base = raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    rows = [
+        (
+            int(r["user_id"]),
+            int(r["n_raw"]),
+            r["first_ts"],
+            r["last_ts"],
+            bool(subset_ok),
+            bool(within),
+        )
+        for r in base.collect()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, n_raw long, first_ts timestamp, last_ts timestamp, "
+        "kept_subset_of_raw boolean, within_tol boolean",
+    )

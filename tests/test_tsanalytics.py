@@ -435,3 +435,43 @@ def test_cohort_week0_is_cohort_size(spark):
         assert weeks[0]["n_active"] == weeks[0]["cohort_size"]
         for w, r in weeks.items():
             assert r["n_active"] <= r["cohort_size"]
+
+
+# ---------------------------------------------------------------------------
+# Swinging-door compression (E4)
+# ---------------------------------------------------------------------------
+
+
+def _sdt_verify(ts, vals, keep, tol):
+    for a, b in zip(keep, keep[1:]):
+        for i in range(a + 1, b):
+            interp = vals[a] + (vals[b] - vals[a]) * (ts[i] - ts[a]) / (
+                ts[b] - ts[a]
+            )
+            assert abs(interp - vals[i]) <= tol + 1e-12, (a, b, i)
+
+
+def test_sdt_guarantee_and_compression(spark):
+    from dtaidistance_spark.functions.sdt import swinging_door
+
+    rng_free = np.arange(200, dtype=np.float64)
+    # smooth ramp + mild wiggle: compresses hard
+    y = 0.5 * rng_free + np.sin(rng_free / 5)
+    keep = swinging_door(rng_free, y, 2.0)
+    assert keep[0] == 0 and keep[-1] == 199
+    assert len(keep) < 20
+    _sdt_verify(rng_free, y, keep, 2.0)
+    # adversarial: deterministic rough series — guarantee must hold
+    # even when the greedy doors alone would overshoot
+    z = np.array([((i * 2654435761) % 97) / 7.0 for i in range(300)])
+    keep = swinging_door(rng_free[:300] if len(rng_free) >= 300 else
+                         np.arange(300, dtype=np.float64), z, 3.0)
+    _sdt_verify(np.arange(300, dtype=np.float64), z, keep, 3.0)
+    # step function: both edges of the step kept
+    s = np.where(np.arange(100) < 50, 0.0, 100.0)
+    keep = swinging_door(np.arange(100, dtype=np.float64), s, 1.0)
+    _sdt_verify(np.arange(100, dtype=np.float64), s, keep, 1.0)
+    assert 49 in keep and 50 in keep
+    # degenerate sizes
+    assert swinging_door([0.0], [1.0], 1.0) == [0]
+    assert swinging_door([0.0, 1.0], [1.0, 5.0], 1.0) == [0, 1]
