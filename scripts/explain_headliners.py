@@ -186,6 +186,16 @@ def main() -> None:
         final_plan(reg["heartbeat_agg"](spark, SF)),
     ))
 
+    sections.append((
+        "interval_overlap_join (bucketed interval join, R23)",
+        "NO CartesianProduct: both interval sets explode onto bounded "
+        "6-hour buckets and meet in an equi-join on the bucket key; the "
+        "exact overlap predicate filters after, and a distinct dedups "
+        "multi-bucket pairs before aggregation — the interval-bucketing "
+        "join that keeps 100 TB of intervals off a quadratic theta join.",
+        final_plan(reg["interval_overlap_join"](spark, SF)),
+    ))
+
     out = [
         "# PLANS — final executed physical plans of the headline pipelines",
         "",

@@ -109,6 +109,12 @@ def test_no_rowwise_python_across_pipelines(spark, sf_dir):
         "m4_downsample",         # four ranks, one partitioning
         "pla_blocks",            # block explode + HOF OLS, zero shuffles
         "robust_outliers",       # sort-in-row median/MAD, zero shuffles
+        "ccf_pairs",             # broadcast pair join + HOF lag sums
+        "goertzel_power",        # list-state folds, zero shuffles
+        "funnel_analysis",       # min-ts stage chaining
+        "cohort_retention",      # distinct + two aggs
+        "interval_overlap_join", # bucketed interval join (no cartesian)
+        "sdt_downsample",        # per-series Arrow kernel
     ]:
         plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
