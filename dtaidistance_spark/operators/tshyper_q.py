@@ -368,20 +368,25 @@ def funnel_analysis(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    conv = (
-        s3.join(s2, "user_id")
-        .where(
-            F.unix_micros(F.col("t_purchase").cast("timestamp"))
-            - F.unix_micros(F.col("t_view").cast("timestamp"))
-            <= 24 * 3600 * 1_000_000
-        )
-        .count()
-    )
-    n1, n2, n3 = s1.count(), s2.count(), s3.count()
-    return spark.createDataFrame(
-        [(n1, n2, n3, conv)],
-        "n_signup long, n_viewed_after long, n_purchased_after long, "
-        "n_converted_24h long",
+    # one pass over the chained stages: left joins + conditional counts
+    # (a single action; the per-stage recompute of the naive
+    # four-actions formulation would scan the event stream four times)
+    j = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("t_view").alias("n_viewed_after"),
+        F.count("t_purchase").alias("n_purchased_after"),
+        F.sum(
+            F.when(
+                F.col("t_purchase").isNotNull()
+                & (
+                    F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                    - F.unix_micros(F.col("t_view").cast("timestamp"))
+                    <= 24 * 3600 * 1_000_000
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_24h"),
     )
 
 
