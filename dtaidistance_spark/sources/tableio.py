@@ -666,8 +666,12 @@ class TableIO:
         never shadow newer data. Readers anti-join the (small,
         broadcast) key sets at scan time; :meth:`apply_deletes` is the
         copy-on-write maintenance job that folds them into the data
-        files when the MoR overhead accumulates. Returns the delete
-        snapshot id."""
+        files when the MoR overhead accumulates. Contract with
+        continuous aggregates: the invalidation scan diffs (path,
+        checksum) ENTRY sets, which an MoR delete leaves untouched —
+        downstream tiers refresh the deletion only after
+        ``apply_deletes`` rewrites the files (gated in
+        tests/test_continuous.py). Returns the delete snapshot id."""
         m = self._load()
         snap_id = _next_id(m)
         ddir = os.path.join(

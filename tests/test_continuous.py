@@ -936,3 +936,38 @@ def test_orphan_cleanup_grace_and_safety(spark, tmp_path):
     assert r["removed"] == [orphan]
     assert all(os.path.exists(p) for p in before)
     assert t.read(spark).count() == 64
+
+
+def test_row_delete_propagates_to_tiers_via_apply(spark, tmp_path, batches):
+    """Contract pin: an MoR equality-delete leaves entry checksums
+    untouched, so the continuous aggregate's invalidation scan does NOT
+    refresh it; apply_deletes() rewrites the files and the next refresh
+    reflects the deletion — the documented delete -> CoW -> refresh
+    chain."""
+    from pyspark.sql import functions as F
+
+    b1, b2 = batches
+    src = TableIO(str(tmp_path), "tokens", partition_by=["p_day"])
+    ingest(b1, src, mode="overwrite")
+    ingest(b2, src, mode="append")
+    ca = ContinuousAggregate(str(tmp_path), tiers=("1 day",))
+    ca.refresh(spark, src)
+    before = _tier_rows(spark, ca, "1 day")
+    # MoR-delete every doc of one day-1 slice
+    doomed = src.read(spark).where(
+        F.col("doc_id") < f"doc{40:012d}"
+    ).select("doc_id")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    src.delete_rows(doomed, ["doc_id"])
+    ca.refresh(spark, src)
+    assert _tier_rows(spark, ca, "1 day") == before  # MoR invisible to tiers
+    src.apply_deletes(spark)
+    ca.refresh(spark, src)
+    after = _tier_rows(spark, ca, "1 day")
+    assert after != before
+    # and the refreshed tier equals a from-scratch rollup of the
+    # post-delete source
+    ca2 = ContinuousAggregate(str(tmp_path / "fresh"), tiers=("1 day",))
+    ca2.refresh(spark, src)
+    assert after == _tier_rows(spark, ca2, "1 day")
