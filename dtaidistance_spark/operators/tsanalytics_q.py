@@ -32,7 +32,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dtaidistance_spark import synth
-from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.queries import T, register
 from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N = 256
@@ -928,4 +928,176 @@ def dominant_period(spark, sf_dir):
             F.col("period").alias("dominant_period"),
             F.col("power").alias("peak_power"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS14 — Mann-Kendall trend test + Sen's slope (bit-exact)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _med_spark(s: str, n: str) -> str:
+    return (
+        f"(CASE WHEN {n} % 2 = 1 "
+        f"THEN element_at({s}, CAST(({n} + 1) div 2 AS INT)) "
+        f"ELSE (element_at({s}, CAST({n} div 2 AS INT))"
+        f" + element_at({s}, CAST({n} div 2 + 1 AS INT)))"
+        f" / CAST(2 AS DOUBLE) END)"
+    )
+
+
+def _med_duckdb(s: str, n: str) -> str:
+    return (
+        f"(CASE WHEN {n} % 2 = 1 THEN {s}[({n} + 1) // 2] "
+        f"ELSE ({s}[{n} // 2] + {s}[{n} // 2 + 1]) / CAST(2 AS DOUBLE) END)"
+    )
+
+
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN (CAST(s_stat - 1 AS DOUBLE) / sqrt(mk_var))"
+    " WHEN s_stat < 0 THEN (CAST(s_stat + 1 AS DOUBLE) / sqrt(mk_var))"
+    " ELSE CAST(0 AS DOUBLE) END)"
+)
+_MK_TREND = (
+    "(CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'increasing'"
+    " WHEN z < CAST(-1.96 AS DOUBLE) THEN 'decreasing'"
+    " ELSE 'none' END)"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH mk0a AS (
+      SELECT user_id,
+             list_sort(list({{'ts': ts, 'event_id': event_id,
+                             'value': value}})) AS srt,
+             count(*) AS n
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id HAVING count(*) >= 2
+    ),
+    mk0 AS (
+      SELECT user_id, n,
+             list_transform(srt, r -> r.value) AS vs,
+             list_transform(srt, r -> epoch_us(r.ts)) AS tu
+      FROM mk0a
+    ),
+    mk1 AS (
+      SELECT user_id, n,
+        list_sum(flatten(list_transform(range(0, n - 1), i ->
+          list_transform(range(i + 1, n), j ->
+            CASE WHEN vs[j + 1] > vs[i + 1] THEN 1
+                 WHEN vs[j + 1] < vs[i + 1] THEN -1 ELSE 0 END))))::BIGINT
+          AS s_stat,
+        list_sum(flatten(list_transform(range(0, n - 1), i ->
+          list_transform(range(i + 1, n), j ->
+            CASE WHEN vs[j + 1] = vs[i + 1] THEN 1 ELSE 0 END))))::BIGINT
+          AS n_tied_pairs,
+        (n * (n - 1) * (2 * n + 5))::BIGINT AS var_num,
+        list_sort(list_filter(flatten(list_transform(range(0, n - 1), i ->
+          list_transform(range(i + 1, n), j ->
+            CASE WHEN tu[j + 1] = tu[i + 1] THEN CAST(NULL AS DOUBLE)
+                 ELSE ((vs[j + 1] - vs[i + 1])
+                       / (CAST(tu[j + 1] - tu[i + 1] AS DOUBLE)
+                          / CAST({_DAY_US} AS DOUBLE))) END))),
+          x -> x IS NOT NULL)) AS slopes
+      FROM mk0
+    ),
+    mk2 AS (
+      SELECT user_id, n, s_stat, n_tied_pairs,
+             CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE) AS mk_var,
+             {_med_duckdb("slopes", "length(slopes)")} AS sens_slope
+      FROM mk1
+    ),
+    mk3 AS (SELECT *, {_MK_Z} AS z FROM mk2)
+    SELECT user_id, n::BIGINT AS n, s_stat, n_tied_pairs, mk_var, z,
+           sens_slope, {_MK_TREND} AS trend
+    FROM mk3
+    """,
+)
+def mann_kendall_trend(spark, sf_dir):
+    """TS14: Mann-Kendall nonparametric trend test + Sen's slope per
+    user value stream — the standard environmental/SLO trend detector.
+    S = sum of pairwise sign comparisons (integer-exact), variance
+    n(n-1)(2n+5)/18 (tie-uncorrected; the tied-pair count rides along
+    and is zero on this continuous-valued corpus), the normalized Z in
+    one shared float tree, and Sen's slope as the POSITIONAL median of
+    the pairwise per-day slopes (equal-time pairs excluded) — sorted
+    identical doubles, so every column is bit-exact cross-engine, trend
+    labels included. One shuffle onto the user key; the O(n²) pair
+    lists are per-row HOFs (n ≈ tens here; at scale Sen's slope uses
+    the sampled-pairs estimator — documented, not silently swapped)."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    g = g.select(
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        F.expr("transform(pts, p -> p.value)").alias("vs"),
+        F.expr(
+            "transform(pts, p -> unix_micros(CAST(p.ts AS TIMESTAMP)))"
+        ).alias("tu"),
+    )
+    sgn = (
+        "aggregate(flatten(transform(sequence(0, n - 2), i ->"
+        " transform(sequence(i + 1, n - 1), j ->"
+        " CASE WHEN element_at(vs, j + 1) > element_at(vs, i + 1) THEN 1"
+        " WHEN element_at(vs, j + 1) < element_at(vs, i + 1) THEN -1"
+        " ELSE 0 END))), 0L, (a, x) -> a + x)"
+    )
+    tied = (
+        "aggregate(flatten(transform(sequence(0, n - 2), i ->"
+        " transform(sequence(i + 1, n - 1), j ->"
+        " CASE WHEN element_at(vs, j + 1) = element_at(vs, i + 1)"
+        " THEN 1 ELSE 0 END))), 0L, (a, x) -> a + x)"
+    )
+    slopes = (
+        "array_sort(filter(flatten(transform(sequence(0, n - 2), i ->"
+        " transform(sequence(i + 1, n - 1), j ->"
+        " CASE WHEN element_at(tu, j + 1) = element_at(tu, i + 1)"
+        " THEN CAST(NULL AS DOUBLE)"
+        " ELSE ((element_at(vs, j + 1) - element_at(vs, i + 1))"
+        " / (CAST(element_at(tu, j + 1) - element_at(tu, i + 1) AS DOUBLE)"
+        f" / CAST({_DAY_US} AS DOUBLE))) END))), x -> x IS NOT NULL))"
+    )
+    m1 = g.select(
+        "user_id",
+        "n",
+        F.expr(sgn).alias("s_stat"),
+        F.expr(tied).alias("n_tied_pairs"),
+        F.expr(
+            "CAST(n AS BIGINT) * (n - 1) * (2 * n + 5)"
+        ).alias("var_num"),
+        F.expr(slopes).alias("slopes"),
+    )
+    m2 = m1.select(
+        "user_id",
+        "n",
+        "s_stat",
+        "n_tied_pairs",
+        F.expr("CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE)").alias(
+            "mk_var"
+        ),
+        F.expr(_med_spark("slopes", "size(slopes)")).alias("sens_slope"),
+    )
+    m3 = m2.withColumn("z", F.expr(_MK_Z))
+    return m3.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        "s_stat",
+        "n_tied_pairs",
+        "mk_var",
+        "z",
+        "sens_slope",
+        F.expr(_MK_TREND).alias("trend"),
     )

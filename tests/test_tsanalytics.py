@@ -475,3 +475,56 @@ def test_sdt_guarantee_and_compression(spark):
     # degenerate sizes
     assert swinging_door([0.0], [1.0], 1.0) == [0]
     assert swinging_door([0.0, 1.0], [1.0, 5.0], 1.0) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Sen's slope (TS14)
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_numpy(spark, tmp_path):
+    """Hand-built reference on real event data for two users."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["mann_kendall_trend"](spark, SF)
+    rows = {r["user_id"]: r for r in out.collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("event_type") == "view"
+    )
+    for uid in list(rows)[:3]:
+        pts = sorted(
+            (r["ts"], r["event_id"], r["value"])
+            for r in ev.where(F.col("user_id") == uid).collect()
+        )
+        v = np.array([p[2] for p in pts])
+        t = np.array([p[0].timestamp() * 1e6 for p in pts])
+        n = len(v)
+        s = sum(
+            np.sign(v[j] - v[i])
+            for i in range(n - 1)
+            for j in range(i + 1, n)
+        )
+        var = n * (n - 1) * (2 * n + 5) / 18
+        z = (s - np.sign(s)) / np.sqrt(var) if s != 0 else 0.0
+        slopes = sorted(
+            (v[j] - v[i]) / ((t[j] - t[i]) / 86400e6)
+            for i in range(n - 1)
+            for j in range(i + 1, n)
+            if t[j] != t[i]
+        )
+        m = len(slopes)
+        sen = (
+            slopes[m // 2]
+            if m % 2 == 1
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        r = rows[uid]
+        assert r["n"] == n and r["s_stat"] == int(s)
+        assert r["mk_var"] == pytest.approx(var, rel=1e-12)
+        assert r["z"] == pytest.approx(z, rel=1e-9)
+        assert r["sens_slope"] == pytest.approx(sen, rel=1e-9)
+        want = (
+            "increasing" if z > 1.96 else
+            "decreasing" if z < -1.96 else "none"
+        )
+        assert r["trend"] == want
