@@ -240,3 +240,79 @@ def robust_outliers(spark, sf_dir):
             "max_abs_rz"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 — winsorization (percentile clamp; all-integer, bit-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_series",
+    oracle=synth_sql(256)
+    + """
+    , wz AS (
+      SELECT doc_id, n_tok, tokens,
+             list_sort(tokens) AS st,
+             (n_tok * 5 + 99) // 100 AS i_lo,
+             (n_tok * 95 + 99) // 100 AS i_hi
+      FROM synth
+    ),
+    wb AS (
+      SELECT doc_id, n_tok, tokens,
+             st[greatest(1, i_lo)] AS lo, st[i_hi] AS hi
+      FROM wz
+    )
+    SELECT doc_id, n_tok, lo::INT AS lo, hi::INT AS hi,
+           length(list_filter(tokens, x -> x < lo))::BIGINT AS n_below,
+           length(list_filter(tokens, x -> x > hi))::BIGINT AS n_above,
+           md5(array_to_string(
+             list_transform(tokens, x -> greatest(lo, least(hi, x))), ','))
+             AS clamped_md5
+    FROM wb
+    """,
+)
+def winsorize_series(spark, sf_dir):
+    """S6: winsorization — clamp each series at its nearest-rank 5th /
+    95th percentiles, the robust-preprocessing step real pipelines run
+    before means and regressions. The percentile INDICES are pure
+    integer arithmetic (ceil(n·q) as (n·q + 99) div 100), the bounds
+    are positional picks from the sorted int array, and the clamped
+    output is md5-hashed — not a single float anywhere, so the whole
+    query is exact by construction. Zero shuffles."""
+    df = synth.sequences_df(spark, 256).select("doc_id", "n_tok", "tokens")
+    wz = df.select(
+        "doc_id",
+        "n_tok",
+        "tokens",
+        F.expr("array_sort(tokens)").alias("st"),
+        F.expr("CAST((n_tok * 5 + 99) div 100 AS INT)").alias("i_lo"),
+        F.expr("CAST((n_tok * 95 + 99) div 100 AS INT)").alias("i_hi"),
+    )
+    wb = wz.select(
+        "doc_id",
+        "n_tok",
+        "tokens",
+        F.expr("element_at(st, greatest(1, i_lo))").alias("lo"),
+        F.expr("element_at(st, i_hi)").alias("hi"),
+    )
+    return wb.select(
+        "doc_id",
+        "n_tok",
+        "lo",
+        "hi",
+        F.expr("CAST(size(filter(tokens, x -> x < lo)) AS BIGINT)").alias(
+            "n_below"
+        ),
+        F.expr("CAST(size(filter(tokens, x -> x > hi)) AS BIGINT)").alias(
+            "n_above"
+        ),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(tokens, x -> greatest(lo, least(hi, x)))"
+                ).cast("array<string>"),
+                ",",
+            )
+        ).alias("clamped_md5"),
+    )

@@ -528,3 +528,28 @@ def test_mann_kendall_matches_numpy(spark, tmp_path):
             "decreasing" if z < -1.96 else "none"
         )
         assert r["trend"] == want
+
+
+def test_winsorize_matches_numpy(spark):
+    from dtaidistance_spark.operators import tsrobust_q  # noqa: F401
+
+    out = REGISTRY["winsorize_series"](spark, SF)
+    rows = {r["doc_id"]: r for r in out.where(
+        out.doc_id.isin("doc000000000008", "doc000000000033")).collect()}
+    import hashlib
+
+    for i in (8, 33):
+        x = _tokens(i)
+        n = len(x)
+        st = np.sort(x)
+        lo = int(st[max(1, (n * 5 + 99) // 100) - 1])
+        hi = int(st[(n * 95 + 99) // 100 - 1])
+        clamped = np.clip(x, lo, hi)
+        md5 = hashlib.md5(
+            ",".join(str(int(v)) for v in clamped).encode()
+        ).hexdigest()
+        r = rows[f"doc{i:012d}"]
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        assert r["n_below"] == int((x < lo).sum())
+        assert r["n_above"] == int((x > hi).sum())
+        assert r["clamped_md5"] == md5
