@@ -1101,3 +1101,148 @@ def mann_kendall_trend(spark, sf_dir):
         "sens_slope",
         F.expr(_MK_TREND).alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS15 — Spearman rank correlation between paired series (bit-exact)
+# ---------------------------------------------------------------------------
+
+# Pearson over DOUBLED average ranks: 2*rank(x_i) = 2*c_less + c_tie + 1
+# (c_less = values strictly below, c_tie = values equal incl. self) is an
+# INTEGER, and rho is scale-invariant, so every cross-sum stays exact
+# int64 and the correlation is one shared float tail.
+_SP_EXPR = (
+    "(CASE WHEN vx > 0 AND vy > 0 THEN"
+    " (CAST(num AS DOUBLE) / (sqrt(CAST(vx AS DOUBLE))"
+    " * sqrt(CAST(vy AS DOUBLE)))) ELSE CAST(0 AS DOUBLE) END)"
+)
+
+
+@register(
+    "spearman_pairs",
+    oracle=synth_sql(_N)
+    + f"""
+    , sp0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             least(least(a.n_tok, b.n_tok), {_CCF_CAP}) AS n,
+             a.tokens[1 : least(least(a.n_tok, b.n_tok), {_CCF_CAP})] AS xa,
+             b.tokens[1 : least(least(a.n_tok, b.n_tok), {_CCF_CAP})] AS xb
+      FROM synth a JOIN synth b
+        ON CAST(substr(b.doc_id, 4, 12) AS INT)
+           = CAST(substr(a.doc_id, 4, 12) AS INT) + 1
+       AND CAST(substr(a.doc_id, 4, 12) AS INT) % 2 = 0
+    ),
+    sp1 AS (
+      SELECT doc_a, doc_b, n,
+        list_transform(xa, v ->
+          2 * length(list_filter(xa, u -> u < v))
+          + length(list_filter(xa, u -> u = v)) + 1) AS ra,
+        list_transform(xb, v ->
+          2 * length(list_filter(xb, u -> u < v))
+          + length(list_filter(xb, u -> u = v)) + 1) AS rb
+      FROM sp0
+    ),
+    sp2 AS (
+      SELECT doc_a, doc_b, n,
+        list_sum(ra)::BIGINT AS sx, list_sum(rb)::BIGINT AS sy,
+        list_sum(list_transform(range(1, n + 1),
+            i -> ra[i]::BIGINT * rb[i]::BIGINT))::BIGINT AS sxy,
+        list_sum(list_transform(ra, r -> r::BIGINT * r::BIGINT))::BIGINT
+          AS sxx,
+        list_sum(list_transform(rb, r -> r::BIGINT * r::BIGINT))::BIGINT
+          AS syy
+      FROM sp1
+    ),
+    sp3 AS (
+      SELECT doc_a, doc_b, n,
+             n::BIGINT * sxy - sx * sy AS num,
+             n::BIGINT * sxx - sx * sx AS vx,
+             n::BIGINT * syy - sy * sy AS vy
+      FROM sp2
+    )
+    SELECT doc_a, doc_b, n, {_SP_EXPR} AS rho FROM sp3
+    """,
+)
+def spearman_pairs(spark, sf_dir):
+    """TS15: Spearman rank correlation between consecutive doc pairs
+    (512-point truncation) — Pearson over DOUBLED average ranks, which
+    are integers even under ties (2·rank = 2·|below| + |tied| + 1), so
+    all cross-sums stay exact int64 and rho is one shared float tail:
+    128 REAL correlations hash-match with no tolerance. Rank counting
+    is O(n²) per-row HOFs here (the verification tier); the scale path
+    ranks via one sort per series (window rank) — same statistic,
+    different plan. Broadcast pair join, zero other shuffles."""
+    df = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        F.substring("doc_id", 4, 12).cast("int").alias("i"),
+        "n_tok",
+        "tokens",
+    )
+    a = df.where(F.col("i") % 2 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("i").alias("ia"),
+        F.col("n_tok").alias("na"),
+        F.col("tokens").alias("ta"),
+    )
+    b = df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("ib"),
+        F.col("n_tok").alias("nb"),
+        F.col("tokens").alias("tb"),
+    )
+    sp0 = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"least(least(na, nb), {_CCF_CAP})").alias("n"),
+        F.expr(f"slice(ta, 1, least(least(na, nb), {_CCF_CAP}))").alias("xa"),
+        F.expr(f"slice(tb, 1, least(least(na, nb), {_CCF_CAP}))").alias("xb"),
+    )
+    rank = (
+        "transform({x}, v -> 2 * size(filter({x}, u -> u < v))"
+        " + size(filter({x}, u -> u = v)) + 1)"
+    )
+    sp1 = sp0.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        F.expr(rank.format(x="xa")).alias("ra"),
+        F.expr(rank.format(x="xb")).alias("rb"),
+    )
+    sp2 = sp1.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        F.expr("aggregate(ra, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("sx"),
+        F.expr("aggregate(rb, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("sy"),
+        F.expr(
+            "aggregate(zip_with(ra, rb,"
+            " (p, q) -> CAST(p AS BIGINT) * CAST(q AS BIGINT)),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(ra, 0L, (a, x) ->"
+            " a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(rb, 0L, (a, x) ->"
+            " a + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+        ).alias("syy"),
+    )
+    sp3 = sp2.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        (
+            F.col("n").cast("long") * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).alias("num"),
+        (
+            F.col("n").cast("long") * F.col("sxx")
+            - F.col("sx") * F.col("sx")
+        ).alias("vx"),
+        (
+            F.col("n").cast("long") * F.col("syy")
+            - F.col("sy") * F.col("sy")
+        ).alias("vy"),
+    )
+    return sp3.select("doc_a", "doc_b", "n", F.expr(_SP_EXPR).alias("rho"))

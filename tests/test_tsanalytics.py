@@ -553,3 +553,32 @@ def test_winsorize_matches_numpy(spark):
         assert r["n_below"] == int((x < lo).sum())
         assert r["n_above"] == int((x > hi).sum())
         assert r["clamped_md5"] == md5
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    out = REGISTRY["spearman_pairs"](spark, SF)
+    rows = {r["doc_a"]: r for r in out.collect()}
+    assert len(rows) == 128
+
+    def avg_ranks(x):
+        order = np.argsort(x, kind="stable")
+        r = np.empty(len(x), dtype=np.float64)
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and sx[j + 1] == sx[i]:
+                j += 1
+            r[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+
+    for i in (0, 12):
+        x = _tokens(2 * i)
+        y = _tokens(2 * i + 1)
+        L = min(len(x), len(y), 512)
+        rx, ry = avg_ranks(x[:L]), avg_ranks(y[:L])
+        ref = np.corrcoef(rx, ry)[0, 1]
+        r = rows[f"doc{2 * i:012d}"]
+        assert r["n"] == L
+        assert r["rho"] == pytest.approx(ref, abs=1e-9), (i, ref)
