@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.qutil import global_topk
 
 # ---------------------------------------------------------------------------
 # T23 — C4/FineWeb-style rule filters
@@ -262,12 +263,11 @@ def bm25_topk(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= _TOPK)
-        .select("doc_id", "score", "rank")
-    )
+    return global_topk(
+        scored.select("doc_id", "score"),
+        [(F.col("score"), True), (F.col("doc_id"), False)],
+        _TOPK,
+    ).select("doc_id", "score", "rank")
 
 
 # ---------------------------------------------------------------------------

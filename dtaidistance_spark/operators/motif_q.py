@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from dtaidistance_spark import synth
 from dtaidistance_spark.operators import matrixprofile as MP
 from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.qutil import global_topk
 from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N_DOCS = 48
@@ -379,16 +380,12 @@ def corpus_discords(spark, sf_dir):
         .where(F.col("rd") == 1)
         .select("doc_id", "pos", "d2")
     )
-    return (
-        per_doc.withColumn(
-            "grank",
-            F.row_number().over(
-                Window.orderBy(F.desc("d2"), F.asc("doc_id"), F.asc("pos"))
-            ),
-        )
-        .where(F.col("grank") <= 10)
-        .select("grank", "doc_id", "pos", "d2")
-    )
+    return global_topk(
+        per_doc,
+        [(F.col("d2"), True), (F.col("doc_id"), False), (F.col("pos"), False)],
+        10,
+        rank_col="grank",
+    ).select("grank", "doc_id", "pos", "d2")
 
 
 @register(
@@ -438,13 +435,9 @@ def corpus_motifs(spark, sf_dir):
         .where(F.col("rm") == 1)
         .select("doc_id", "pos", "nn_pos", "d2")
     )
-    return (
-        per_doc.withColumn(
-            "grank",
-            F.row_number().over(
-                Window.orderBy(F.asc("d2"), F.asc("doc_id"), F.asc("pos"))
-            ),
-        )
-        .where(F.col("grank") <= 10)
-        .select("grank", "doc_id", "pos", "nn_pos", "d2")
-    )
+    return global_topk(
+        per_doc,
+        [(F.col("d2"), False), (F.col("doc_id"), False), (F.col("pos"), False)],
+        10,
+        rank_col="grank",
+    ).select("grank", "doc_id", "pos", "nn_pos", "d2")

@@ -64,6 +64,44 @@ def jsonify_complex(df: DataFrame) -> DataFrame:
     return out
 
 
+def global_topk(df: DataFrame, keys, k: int, rank_col: str = "rank") -> DataFrame:
+    """Global top-k with a 1..k rank column, planned WITHOUT any
+    partition-less WindowExec (the round-2 scale-killer: a window spec
+    with no partition columns funnels EVERY input row through one partition —
+    Spark itself warns ``No Partition Defined for Window operation``).
+
+    Plan shape (asserted in tests/test_plans.py):
+
+    - ``orderBy(...).limit(k)`` plans as **TakeOrderedAndProject** — a
+      bounded per-partition heap of k rows + a k-row-per-partition merge,
+      the 100 TB-safe global top-k; no full sort ever materializes.
+    - the rank is then derived on the <=k survivors by ONE single-row
+      ``sort_array(collect_list(struct))`` aggregate + ``posexplode`` —
+      zero Window nodes anywhere in the plan.
+
+    ``keys`` is a list of ``(Column, descending: bool)``. Descending keys
+    must be numeric: inside the tie-break struct they are negated, and
+    IEEE negation is order-reversing (including -0.0 <-> 0.0), so the
+    struct sort replays the TakeOrderedAndProject order exactly. The key
+    list must be a total order (include a unique tie-breaker) so the rank
+    matches the oracle's ``row_number()`` deterministically.
+    """
+    payload = df.columns
+    sort_cols = [c.desc() if d else c.asc() for (c, d) in keys]
+    top = df.orderBy(*sort_cols).limit(int(k))
+    keyed = top.select(
+        F.struct(
+            *[((-c) if d else c).alias(f"_k{i}") for i, (c, d) in enumerate(keys)],
+            F.struct(*[F.col(c) for c in payload]).alias("_p"),
+        ).alias("_s")
+    )
+    arr = keyed.agg(F.sort_array(F.collect_list("_s")).alias("_a"))
+    return arr.select(F.posexplode("_a").alias("_i", "_s")).select(
+        F.col("_s._p.*"),
+        (F.col("_i") + F.lit(1)).cast("int").alias(rank_col),
+    )
+
+
 def detach(spark, df: DataFrame) -> DataFrame:
     """Re-create a small result as a local DataFrame (collected Rows +
     the explicit original schema — no pandas round-trip, no inference)

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.qutil import global_topk
 
 _D = 4      # CMS depth (hash rows)
 _W = 256    # CMS width (counters per row)
@@ -87,14 +88,10 @@ def cms_heavy_hitters(spark, sf_dir):
         F.explode(F.split("text", " ")).alias("t")
     )
     exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
-    top = (
-        exact.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("true_cnt").desc(), F.col("t"))
-            ),
-        )
-        .where(F.col("rank") <= _TOPK)
+    top = global_topk(
+        exact,
+        [(F.col("true_cnt"), True), (F.col("t"), False)],
+        _TOPK,
     )
     # sketch: explode each token into its _D (row, bucket) cells, one
     # hash aggregate — partial counts ARE the per-partition sketches
@@ -269,9 +266,8 @@ def token_pmi(spark, sf_dir):
             ),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
-    return (
-        pmi.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 30)
-        .select("bigram", "n_ab", "pmi", "rank")
-    )
+    return global_topk(
+        pmi.select("bigram", "n_ab", "pmi"),
+        [(F.col("pmi"), True), (F.col("bigram"), False)],
+        30,
+    ).select("bigram", "n_ab", "pmi", "rank")

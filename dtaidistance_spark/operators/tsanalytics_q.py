@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from dtaidistance_spark import synth
 from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.qutil import global_topk
 from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N = 256
@@ -346,8 +347,10 @@ def seasonal_anomaly(spark, sf_dir):
     absorbs aggregation-order ulps (the established BM25 pattern);
     ties break on event_id, so the ranking is deterministic. Scale:
     the baseline aggregate is map-side combinable, the join is a
-    broadcast, and the global top-k is TakeOrderedAndProject — no full
-    sort ever materializes."""
+    broadcast, and the global top-k is TakeOrderedAndProject (bounded
+    per-partition heaps; the rank is derived on the <=20 survivors) —
+    no full sort and no partition-less WindowExec ever materializes
+    (gated in tests/test_plans.py)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     b = ev.groupBy(
         "event_type", F.hour("ts").alias("hr")
@@ -358,11 +361,8 @@ def seasonal_anomaly(spark, sf_dir):
     r = ev.withColumn("hr", F.hour("ts")).join(
         F.broadcast(b), ["event_type", "hr"]
     ).withColumn("residual", F.round(F.col("value") - F.col("baseline"), 6))
-    wk = Window.orderBy(F.abs(F.col("residual")).desc(), F.col("event_id"))
-    return (
-        r.withColumn("rnk", F.row_number().over(wk))
-        .where(F.col("rnk") <= 20)
-        .select(
+    top = global_topk(
+        r.select(
             "event_id",
             "event_type",
             "hr",
@@ -370,8 +370,14 @@ def seasonal_anomaly(spark, sf_dir):
             "baseline",
             "n_base",
             "residual",
-            "rnk",
-        )
+        ),
+        [(F.abs(F.col("residual")), True), (F.col("event_id"), False)],
+        20,
+        rank_col="rnk",
+    )
+    return top.select(
+        "event_id", "event_type", "hr", "value",
+        "baseline", "n_base", "residual", "rnk",
     )
 
 

