@@ -95,12 +95,32 @@ def single_linkage(pairs_rows, max_dist: float, on_merge=None) -> dict:
 
 
 def hierarchical_clusters(
-    pairs: DataFrame, all_ids: DataFrame, max_dist: float, id_col: str = "doc_id"
+    pairs: DataFrame, all_ids: DataFrame, max_dist: float,
+    id_col: str = "doc_id", max_pairs: int = 100_000,
 ) -> DataFrame:
     """(id, cluster) at threshold ``max_dist``; singletons are their own
     cluster. The pairs side is distributed; only surviving pairs cross
-    to the driver."""
-    rows = pairs.select("id_a", "id_b", "dist").collect()
+    to the driver.
+
+    Driver-safety: only pairs with ``dist <= max_dist`` are merge-
+    relevant for Kruskal, so that filter runs DISTRIBUTED before the
+    collect, and a ``limit(max_pairs + 1).count()`` probe fails loudly
+    (instead of OOMing the driver) if a loose threshold or weak LB
+    prefilter still leaves more than ``max_pairs`` rows — the documented
+    recipe then is: rollup/PAA the series first so N is post-aggregation
+    small, or tighten ``max_dist``, or raise ``max_pairs`` explicitly."""
+    relevant = pairs.select("id_a", "id_b", "dist").where(
+        F.col("dist") <= max_dist
+    )
+    n_probe = relevant.limit(max_pairs + 1).count()
+    if n_probe > max_pairs:
+        raise ValueError(
+            f"hierarchical_clusters: more than {max_pairs} merge-relevant "
+            f"pairs would be collected to the driver; rollup the series "
+            f"first (small-N post-aggregation regime), tighten max_dist, "
+            f"or raise max_pairs explicitly"
+        )
+    rows = relevant.collect()
     roots = single_linkage(rows, max_dist)
     spark = pairs.sparkSession
     if roots:
@@ -119,18 +139,30 @@ def hierarchical_clusters(
     )
 
 
-def kmedoids(pairs_rows, ids, k: int = 3, max_it: int = 10):
+def kmedoids(pairs_rows, ids, k: int = 3, max_it: int = 10,
+             max_pairs: int = 100_000):
     """Full PAM iterate (SURVEY C4,
     ``ref:dtaidistance/clustering/kmedoids.py::KMedoids`` semantics) over
     a collected sparse/dense condensed pair list — the post-rollup
     small-N regime, like the agglomerative driver. Missing pairs are
     treated as infinitely far (they were pruned by the LB cascade).
 
+    ``max_pairs`` enforces the small-N contract loudly: PAM is
+    driver-side O(N²·k) — past the cap the right move is rolling up the
+    series before clustering, not a bigger driver.
+
     Deterministic: seeds = k ids with smallest (id) after sorting by a
     stable key; ties in assignment go to the lowest medoid id.
     Returns (assignment dict id->medoid, total cost).
     """
     import math
+
+    if max_pairs is not None and len(pairs_rows) > max_pairs:
+        raise ValueError(
+            f"kmedoids: {len(pairs_rows)} collected pairs exceeds the "
+            f"small-N driver cap ({max_pairs}); rollup the series first "
+            f"or raise max_pairs explicitly"
+        )
 
     ids = sorted(str(i) for i in ids)
     D: dict = {}

@@ -59,7 +59,7 @@ def init_centers_pp(df: DataFrame, k: int, length: int, window: int,
     ``kmeansplusplus_centers`` option, made resume-safe): the first
     center is the doc with the smallest xxhash64(doc_id); each further
     center is the doc FARTHEST (max min-DTW-distance to the chosen
-    centers, ties to the smallest doc_id) — the farthest-point variant
+    centers, ties to the LARGEST doc_id) — the farthest-point variant
     of k-means++ (deterministic argmax instead of d²-weighted sampling,
     which would need a random draw the resume contract forbids; spread
     quality is the same mechanism).

@@ -28,6 +28,7 @@ padded length into one (B, band) DP for the DBA hot path.
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 
@@ -547,20 +548,22 @@ def dba_batch(members, center=None, max_it=10, thr=1e-5, window=None):
     return center
 
 
-_DP_WORKSPACE: dict = {}
+_DP_WORKSPACE = threading.local()
 
 
 def _dp_buffers(r, B):
-    """Three recycled (r+1, B) cost-diagonal buffers per worker process
-    (one shape at a time — the mega kernel calls with one chunk shape;
-    workers are single-threaded per task so no sharing hazard). The INF
-    re-fill below is required state reset; the cache only avoids the
-    alloc + first-touch page faults on every call."""
+    """Three recycled (r+1, B) cost-diagonal buffers per THREAD (one
+    shape at a time — the mega kernel calls with one chunk shape).
+    Spark Python workers are single-threaded per task, but the cache is
+    ``threading.local`` anyway so driver-side threaded callers can never
+    silently share (and corrupt) a workspace. The INF re-fill below is
+    required state reset; the cache only avoids the alloc + first-touch
+    page faults on every call."""
     key = (r, B)
-    if _DP_WORKSPACE.get("key") != key:
-        _DP_WORKSPACE["key"] = key
-        _DP_WORKSPACE["bufs"] = tuple(np.empty((r + 1, B)) for _ in range(3))
-    return _DP_WORKSPACE["bufs"]
+    if getattr(_DP_WORKSPACE, "key", None) != key:
+        _DP_WORKSPACE.key = key
+        _DP_WORKSPACE.bufs = tuple(np.empty((r + 1, B)) for _ in range(3))
+    return _DP_WORKSPACE.bufs
 
 
 def _dba_paths_batch_multi(centers_per_row, batch, window=None, batchT=None):
@@ -1178,3 +1181,40 @@ def local_concurrences(
         work[used_r, :] = 0.0
         work[:, used_c] = 0.0
     return out
+
+
+def mk_s_stat(v) -> int:
+    """Mann-Kendall S = sum_{i<j} sign(v_j - v_i) in O(n log^2 n) by
+    merge counting (the TS14 SCALE kernel; the verification tier spells
+    the O(n^2) pair sum as SQL HOFs — tests/test_kernels.py gates the
+    two equal on random tied inputs).
+
+    Bottom-up mergesort over the TIME order: when merging adjacent
+    sorted blocks L (earlier) and R (later), every r in R adds
+    (|L < r| - |L > r|) to S via two vectorized searchsorted calls;
+    within-block pairs were counted at smaller widths. Exact integer —
+    no estimator anywhere."""
+    arr = np.asarray(v, dtype=np.float64).copy()
+    n = arr.size
+    s = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n - width, 2 * width):
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            left = arr[lo:mid]
+            right = arr[mid:hi]
+            s += int(np.searchsorted(left, right, side="left").sum())
+            s -= int(
+                (left.size - np.searchsorted(left, right, side="right")).sum()
+            )
+            arr[lo:hi] = np.sort(arr[lo:hi], kind="mergesort")
+        width *= 2
+    return s
+
+
+def mk_tied_pairs(v) -> int:
+    """Number of (i < j) pairs with v_i == v_j: sum of C(m, 2) over the
+    value multiplicities — O(n log n), exactly the HOF pair count."""
+    _, counts = np.unique(np.asarray(v, dtype=np.float64), return_counts=True)
+    return int((counts * (counts - 1) // 2).sum())

@@ -73,6 +73,8 @@ def candidate_pairs(
     id_col: str = "doc_id",
     max_length_diff: int | None = None,
     lb_kim_threshold: float | None = None,
+    broadcast_max_series: int = 4096,
+    exhaustive_max_series: int | None = 10_000,
 ) -> DataFrame:
     """Self-join on length buckets (+ neighbors) with id_a < id_b, then the
     LB_Kim SQL prefilter. No crossJoin, no N² shuffle rows.
@@ -84,8 +86,42 @@ def candidate_pairs(
     across S tasks instead of one. S scales with the cluster (S ~
     defaultParallelism, floor 16) so a 1000-executor run is not capped
     at 16-way spread; the output is invariant to S (each pair meets in
-    exactly one bucket)."""
+    exactly one bucket).
+
+    Exhaustive-mode guards (both probed with ONE cheap column-pruned
+    ``limit(cap + 1).count()`` job, never a full count):
+
+    - past ``broadcast_max_series`` the salted S×-exploded build side no
+      longer fits any sane broadcast threshold, so the join is pinned to
+      a SHUFFLE hash join (both sides hash-partition on the salt bucket
+      — identical pair set, no driver-side collect of the corpus).
+      Below it the planner may broadcast, which is the right plan small.
+    - past ``exhaustive_max_series`` the N² candidate count itself is
+      the mistake (10k series = 50M exact-DTW pairs), so the call fails
+      loudly; pass a larger value (or ``None``) to opt in explicitly,
+      or set ``max_length_diff`` to get the bucketed join.
+    """
     exhaustive = max_length_diff is None
+    if exhaustive:
+        probe_cap = max(
+            broadcast_max_series,
+            exhaustive_max_series if exhaustive_max_series is not None else 0,
+        )
+        n_probe = feats.limit(probe_cap + 1).count()
+        if (
+            exhaustive_max_series is not None
+            and n_probe > exhaustive_max_series
+        ):
+            raise ValueError(
+                f"exhaustive dtw_pairs (max_length_diff=None) over more "
+                f"than {exhaustive_max_series} series is an all-pairs "
+                f"join (>{exhaustive_max_series**2 // 2} kernel "
+                f"candidates); set max_length_diff for the bucketed "
+                f"join, or raise/None exhaustive_max_series to opt in"
+            )
+        force_shuffle = n_probe > broadcast_max_series
+    else:
+        force_shuffle = False
     n_salt = max(16, feats.sparkSession.sparkContext.defaultParallelism)
     bucket_w = max(max_length_diff or 64, 1)
     a = feats.select(
@@ -121,6 +157,9 @@ def candidate_pairs(
             )
         ).alias("bkt"),
     )
+    if force_shuffle:
+        a = a.hint("shuffle_hash")
+        b = b.hint("shuffle_hash")
     pairs = a.join(b, ["bkt"]).where(F.col("id_a") < F.col("id_b"))
     if max_length_diff is not None:
         pairs = pairs.where(
@@ -146,10 +185,16 @@ def dtw_pairs(
     penalty: float | None = None,
     max_step: float | None = None,
     psi=None,
+    broadcast_max_series: int = 4096,
+    exhaustive_max_series: int | None = 10_000,
 ) -> DataFrame:
     """All pairs within DTW distance ``threshold``: the distance-matrix
     workload as LB-cascade + banded early-abandoning DTW. ``penalty`` /
     ``max_step`` / ``psi`` mirror the K1 kernel parameters.
+    ``broadcast_max_series`` / ``exhaustive_max_series`` gate exhaustive
+    mode (see :func:`candidate_pairs`): past the first the salted join
+    is pinned to a shuffle hash join instead of a broadcast; past the
+    second the all-pairs request fails loudly unless opted into.
 
     Returns (id_a, id_b, dist) with id_a < id_b (condensed form).
 
@@ -175,6 +220,8 @@ def dtw_pairs(
         id_col=id_col,
         max_length_diff=max_length_diff,
         lb_kim_threshold=threshold if psi_zero else None,
+        broadcast_max_series=broadcast_max_series,
+        exhaustive_max_series=exhaustive_max_series,
     ).select("id_a", "id_b", "v_b")
     series_a = feats.select(F.col(id_col).alias("id_a"), "_v")
 

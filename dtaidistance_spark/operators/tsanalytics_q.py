@@ -973,6 +973,49 @@ _MK_TREND = (
 )
 
 
+def _mk_base(spark, sf_dir):
+    """The per-user time-ordered value/time arrays shared by the
+    verification-tier and scale-tier Mann-Kendall queries: one shuffle
+    onto the user key, deterministic (ts, event_id, value) sort."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    return g.select(
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        F.expr("transform(pts, p -> p.value)").alias("vs"),
+        F.expr(
+            "transform(pts, p -> unix_micros(CAST(p.ts AS TIMESTAMP)))"
+        ).alias("tu"),
+    )
+
+
+_MK_ORACLE_BASE = """
+    WITH mk0a AS (
+      SELECT user_id,
+             list_sort(list({'ts': ts, 'event_id': event_id,
+                             'value': value})) AS srt,
+             count(*) AS n
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id HAVING count(*) >= 2
+    ),
+    mk0 AS (
+      SELECT user_id, n,
+             list_transform(srt, r -> r.value) AS vs,
+             list_transform(srt, r -> epoch_us(r.ts)) AS tu
+      FROM mk0a
+    )
+"""
+
+
 @register(
     "mann_kendall_trend",
     oracle=f"""
@@ -1033,27 +1076,11 @@ def mann_kendall_trend(spark, sf_dir):
     the pairwise per-day slopes (equal-time pairs excluded) — sorted
     identical doubles, so every column is bit-exact cross-engine, trend
     labels included. One shuffle onto the user key; the O(n²) pair
-    lists are per-row HOFs (n ≈ tens here; at scale Sen's slope uses
-    the sampled-pairs estimator — documented, not silently swapped)."""
-    ev = T(spark, sf_dir, "events").where(F.col("event_type") == "view")
-    g = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "value"))
-            ).alias("pts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .where(F.col("n") >= 2)
-    )
-    g = g.select(
-        "user_id",
-        F.col("n").cast("int").alias("n"),
-        F.expr("transform(pts, p -> p.value)").alias("vs"),
-        F.expr(
-            "transform(pts, p -> unix_micros(CAST(p.ts AS TIMESTAMP)))"
-        ).alias("tu"),
-    )
+    lists are per-row HOFs (n ≈ tens here — this is the verification
+    tier; the scale tier is :func:`mann_kendall_scaled`: exact
+    merge-count S in O(n log² n) + the deterministic sampled-pairs Sen
+    estimator, shared-column equality gated in tests)."""
+    g = _mk_base(spark, sf_dir)
     sgn = (
         "aggregate(flatten(transform(sequence(0, n - 2), i ->"
         " transform(sequence(i + 1, n - 1), j ->"
@@ -1124,9 +1151,8 @@ _SP_EXPR = (
 )
 
 
-@register(
-    "spearman_pairs",
-    oracle=synth_sql(_N)
+_SPEARMAN_ORACLE = (
+    synth_sql(_N)
     + f"""
     , sp0 AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1167,17 +1193,15 @@ _SP_EXPR = (
       FROM sp2
     )
     SELECT doc_a, doc_b, n, {_SP_EXPR} AS rho FROM sp3
-    """,
+    """
 )
-def spearman_pairs(spark, sf_dir):
-    """TS15: Spearman rank correlation between consecutive doc pairs
-    (512-point truncation) — Pearson over DOUBLED average ranks, which
-    are integers even under ties (2·rank = 2·|below| + |tied| + 1), so
-    all cross-sums stay exact int64 and rho is one shared float tail:
-    128 REAL correlations hash-match with no tolerance. Rank counting
-    is O(n²) per-row HOFs here (the verification tier); the scale path
-    ranks via one sort per series (window rank) — same statistic,
-    different plan. Broadcast pair join, zero other shuffles."""
+
+
+def _spearman_base(spark):
+    """The (doc_a, doc_b, n, xa, xb) consecutive-pair table shared by
+    the verification-tier and scale-tier Spearman queries: even-index
+    docs paired with their successor, both series truncated to the
+    common capped length."""
     df = synth.sequences_df(spark, _N).select(
         "doc_id",
         F.substring("doc_id", 4, 12).cast("int").alias("i"),
@@ -1196,13 +1220,27 @@ def spearman_pairs(spark, sf_dir):
         F.col("n_tok").alias("nb"),
         F.col("tokens").alias("tb"),
     )
-    sp0 = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select(
+    return a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select(
         "doc_a",
         "doc_b",
         F.expr(f"least(least(na, nb), {_CCF_CAP})").alias("n"),
         F.expr(f"slice(ta, 1, least(least(na, nb), {_CCF_CAP}))").alias("xa"),
         F.expr(f"slice(tb, 1, least(least(na, nb), {_CCF_CAP}))").alias("xb"),
     )
+
+
+@register("spearman_pairs", oracle=_SPEARMAN_ORACLE)
+def spearman_pairs(spark, sf_dir):
+    """TS15: Spearman rank correlation between consecutive doc pairs
+    (512-point truncation) — Pearson over DOUBLED average ranks, which
+    are integers even under ties (2·rank = 2·|below| + |tied| + 1), so
+    all cross-sums stay exact int64 and rho is one shared float tail:
+    128 REAL correlations hash-match with no tolerance. Rank counting
+    is O(n²) per-row HOFs here (the verification tier); the scale path
+    is :func:`spearman_scaled` — same statistic via one window-rank
+    sort per series, bit-equal output (gated in tests/test_tsanalytics).
+    Broadcast pair join, zero other shuffles."""
+    sp0 = _spearman_base(spark)
     rank = (
         "transform({x}, v -> 2 * size(filter({x}, u -> u < v))"
         " + size(filter({x}, u -> u = v)) + 1)"
@@ -1252,3 +1290,230 @@ def spearman_pairs(spark, sf_dir):
         ).alias("vy"),
     )
     return sp3.select("doc_a", "doc_b", "n", F.expr(_SP_EXPR).alias("rho"))
+
+
+@register("spearman_scaled", oracle=_SPEARMAN_ORACLE)
+def spearman_scaled(spark, sf_dir):
+    """TS15 SCALE path: the identical Spearman statistic computed with
+    ONE window-rank sort per series instead of the twin's O(n²) per-row
+    rank-counting HOFs. Each pair's series explode to rows; the doubled
+    average rank is 2·rank() + |tie class| − 1 (rank() = |strictly
+    below| + 1, tie size from a count window over the same partition) —
+    an INTEGER equal to the twin's 2·|below| + |tied incl. self| + 1,
+    so all cross-sums stay exact int64 and rho shares the twin's float
+    tail bit-for-bit (equality gated in tests/test_tsanalytics.py; the
+    oracle SQL is the twin's verbatim). Plan: both value windows share
+    one hash exchange on the pair key, then one map-side-combinable
+    sum aggregate — O(n log n) per series, no quadratic anything."""
+    sp0 = _spearman_base(spark)
+    long = sp0.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        F.posexplode(F.arrays_zip("xa", "xb")).alias("pos", "pq"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n",
+        "pos",
+        F.col("pq.xa").alias("va"),
+        F.col("pq.xb").alias("vb"),
+    )
+    wa = Window.partitionBy("doc_a").orderBy("va")
+    wb = Window.partitionBy("doc_a").orderBy("vb")
+    ca = Window.partitionBy("doc_a", "va")
+    cb = Window.partitionBy("doc_a", "vb")
+    ranked = long.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        (
+            2 * F.rank().over(wa).cast("long")
+            + F.count(F.lit(1)).over(ca)
+            - 1
+        ).alias("dra"),
+        (
+            2 * F.rank().over(wb).cast("long")
+            + F.count(F.lit(1)).over(cb)
+            - 1
+        ).alias("drb"),
+    )
+    sp2 = ranked.groupBy("doc_a", "doc_b", "n").agg(
+        F.sum("dra").alias("sx"),
+        F.sum("drb").alias("sy"),
+        F.sum(F.col("dra") * F.col("drb")).alias("sxy"),
+        F.sum(F.col("dra") * F.col("dra")).alias("sxx"),
+        F.sum(F.col("drb") * F.col("drb")).alias("syy"),
+    )
+    sp3 = sp2.select(
+        "doc_a",
+        "doc_b",
+        "n",
+        (
+            F.col("n").cast("long") * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).alias("num"),
+        (
+            F.col("n").cast("long") * F.col("sxx")
+            - F.col("sx") * F.col("sx")
+        ).alias("vx"),
+        (
+            F.col("n").cast("long") * F.col("syy")
+            - F.col("sy") * F.col("sy")
+        ).alias("vy"),
+    )
+    return sp3.select("doc_a", "doc_b", "n", F.expr(_SP_EXPR).alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# TS14 SCALE tier — exact merge-count S + deterministic sampled-pairs Sen
+# ---------------------------------------------------------------------------
+
+_MK_K = 201  # Sen sample size (odd, so the positional median is one pick)
+
+# md5-derived pair indices both engines re-derive identically: for sample
+# k, i = hex[1:15] % n and j = hex[17:31] % n of md5(user_id || ':' || k)
+_MK_I_SPARK = (
+    "(CAST(conv(substr(md5(concat(user_id, ':', CAST(k AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT) % n)"
+)
+_MK_J_SPARK = (
+    "(CAST(conv(substr(md5(concat(user_id, ':', CAST(k AS STRING))),"
+    " 17, 15), 16, 10) AS BIGINT) % n)"
+)
+_MK_SLOPES_SPARK = (
+    f"array_sort(filter(transform(sequence(0, {_MK_K - 1}), k -> "
+    f"CASE WHEN {_MK_I_SPARK} = {_MK_J_SPARK}"
+    f" OR element_at(tu, CAST({_MK_I_SPARK} + 1 AS INT))"
+    f"    = element_at(tu, CAST({_MK_J_SPARK} + 1 AS INT))"
+    " THEN CAST(NULL AS DOUBLE)"
+    f" ELSE ((element_at(vs, CAST({_MK_J_SPARK} + 1 AS INT))"
+    f" - element_at(vs, CAST({_MK_I_SPARK} + 1 AS INT)))"
+    f" / (CAST(element_at(tu, CAST({_MK_J_SPARK} + 1 AS INT))"
+    f" - element_at(tu, CAST({_MK_I_SPARK} + 1 AS INT)) AS DOUBLE)"
+    f" / CAST({_DAY_US} AS DOUBLE))) END), x -> x IS NOT NULL))"
+)
+
+_MK_I_DUCK = (
+    "(('0x' || substr(md5(user_id || ':' || k::VARCHAR), 1, 15))::BIGINT % n)"
+)
+_MK_J_DUCK = (
+    "(('0x' || substr(md5(user_id || ':' || k::VARCHAR), 17, 15))::BIGINT % n)"
+)
+_MK_SLOPES_DUCK = (
+    f"list_sort(list_filter(list_transform(range(0, {_MK_K}), k -> "
+    f"CASE WHEN {_MK_I_DUCK} = {_MK_J_DUCK}"
+    f" OR tu[{_MK_I_DUCK} + 1] = tu[{_MK_J_DUCK} + 1]"
+    " THEN CAST(NULL AS DOUBLE)"
+    f" ELSE ((vs[{_MK_J_DUCK} + 1] - vs[{_MK_I_DUCK} + 1])"
+    f" / (CAST(tu[{_MK_J_DUCK} + 1] - tu[{_MK_I_DUCK} + 1] AS DOUBLE)"
+    f" / CAST({_DAY_US} AS DOUBLE))) END), x -> x IS NOT NULL))"
+)
+
+
+@register(
+    "mann_kendall_scaled",
+    oracle=_MK_ORACLE_BASE
+    + f"""
+    , mks1 AS (
+      SELECT user_id, n,
+        list_sum(flatten(list_transform(range(0, n - 1), i ->
+          list_transform(range(i + 1, n), j ->
+            CASE WHEN vs[j + 1] > vs[i + 1] THEN 1
+                 WHEN vs[j + 1] < vs[i + 1] THEN -1 ELSE 0 END))))::BIGINT
+          AS s_stat,
+        list_sum(flatten(list_transform(range(0, n - 1), i ->
+          list_transform(range(i + 1, n), j ->
+            CASE WHEN vs[j + 1] = vs[i + 1] THEN 1 ELSE 0 END))))::BIGINT
+          AS n_tied_pairs,
+        (n * (n - 1) * (2 * n + 5))::BIGINT AS var_num,
+        {_MK_SLOPES_DUCK} AS slopes
+      FROM mk0
+    ),
+    mks2 AS (
+      SELECT user_id, n, s_stat, n_tied_pairs,
+             CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE) AS mk_var,
+             CASE WHEN length(slopes) = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE {_med_duckdb("slopes", "length(slopes)")}
+             END AS sens_slope_est
+      FROM mks1
+    ),
+    mks3 AS (SELECT *, {_MK_Z} AS z FROM mks2)
+    SELECT user_id, n::BIGINT AS n, s_stat, n_tied_pairs, mk_var, z,
+           sens_slope_est, {_MK_TREND} AS trend
+    FROM mks3
+    """,
+)
+def mann_kendall_scaled(spark, sf_dir):
+    """TS14 SCALE path: the identical Mann-Kendall statistic without
+    the twin's O(n²) per-row pair lists. S and the tied-pair count come
+    from :func:`dtaidistance_spark.kernels.mk_s_stat` /
+    :func:`~.kernels.mk_tied_pairs` — exact merge-count inversion
+    counting in O(n log² n) inside ONE Arrow-batched mapInPandas (the
+    repo's standard per-series kernel shape; fuzz-gated equal to the
+    O(n²) sum in tests). Variance, Z, and the trend label ride the
+    twin's shared float strings, so those columns are BIT-EQUAL to
+    mann_kendall_trend (gated in tests/test_tsanalytics.py). Sen's
+    slope — whose exact form is inherently all-pairs — becomes the
+    standard sampled-pairs estimator over {_MK_K} md5-derived index
+    pairs that DuckDB re-derives verbatim, so even the estimator column
+    is bit-exact oracled (honest rename: ``sens_slope_est``). Plan: one
+    shuffle onto the user key, zero quadratic HOFs anywhere."""
+    import pandas as pd
+
+    from dtaidistance_spark import kernels as K
+
+    g = _mk_base(spark, sf_dir).withColumn(
+        "slopes_s", F.expr(_MK_SLOPES_SPARK)
+    )
+    g = g.select(
+        "user_id",
+        "n",
+        "vs",
+        "tu",
+        F.expr(
+            "CASE WHEN size(slopes_s) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            + _med_spark("slopes_s", "size(slopes_s)")
+            + " END"
+        ).alias("sens_slope_est"),
+    )
+
+    def kern(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "n": pdf["n"],
+                    "s_stat": [K.mk_s_stat(v) for v in pdf["vs"]],
+                    "n_tied_pairs": [K.mk_tied_pairs(v) for v in pdf["vs"]],
+                    "sens_slope_est": pdf["sens_slope_est"],
+                }
+            )
+
+    res = g.mapInPandas(
+        kern,
+        "user_id bigint, n int, s_stat bigint, n_tied_pairs bigint,"
+        " sens_slope_est double",
+    )
+    m2 = res.select(
+        "user_id",
+        "n",
+        "s_stat",
+        "n_tied_pairs",
+        F.expr(
+            "CAST(CAST(n AS BIGINT) * (n - 1) * (2 * n + 5) AS DOUBLE)"
+            " / CAST(18 AS DOUBLE)"
+        ).alias("mk_var"),
+        "sens_slope_est",
+    )
+    m3 = m2.withColumn("z", F.expr(_MK_Z))
+    return m3.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        "s_stat",
+        "n_tied_pairs",
+        "mk_var",
+        "z",
+        "sens_slope_est",
+        F.expr(_MK_TREND).alias("trend"),
+    )

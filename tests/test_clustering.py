@@ -211,3 +211,37 @@ def test_drop_stddev_trims_outlier_from_update(spark):
     # without the trim the outlier drags the center
     _a2, centers_raw = KM.dtw_kmeans(df, k=1, max_it=1, length=64, window=8)
     assert np.abs(centers_raw[0] - want).max() > 10
+
+
+def test_hierarchical_driver_cap_guard(spark, series_pdf):
+    """Loose thresholds must fail loudly before collecting O(N^2) rows
+    to the driver — and below the cap the prefiltered collect must give
+    the identical clustering."""
+    from dtaidistance_spark.operators import pairs as P
+
+    df = spark.createDataFrame(series_pdf[["doc_id", "tokens"]])
+    prs = P.dtw_pairs(df, threshold=1e12, window=8)
+    ids = df.select("doc_id")
+    with pytest.raises(ValueError, match="merge-relevant"):
+        H.hierarchical_clusters(prs, ids, max_dist=1e12, max_pairs=10)
+    a = {
+        (r["doc_id"], r["cluster"])
+        for r in H.hierarchical_clusters(prs, ids, max_dist=6000.0).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster"])
+        for r in H.hierarchical_clusters(
+            prs, ids, max_dist=6000.0, max_pairs=100_000
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_kmedoids_driver_cap_guard():
+    rows = [
+        {"id_a": str(i), "id_b": str(j), "dist": 1.0}
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    with pytest.raises(ValueError, match="small-N driver cap"):
+        H.kmedoids(rows, [str(i) for i in range(20)], k=2, max_pairs=50)

@@ -253,3 +253,44 @@ class TestWeightedDTW:
         ident = np.tile([0.0, 1.0, 0.0, 1.0], (3, 1))
         got = dtw_weighted.distance(a, b, weights=ident)
         assert got == K.dtw_distance(np.asarray(a), np.asarray(b))
+
+
+class TestMannKendallMergeCount:
+    """The TS14 scale kernel: merge-count S == the O(n^2) pair sum."""
+
+    @staticmethod
+    def _brute(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = len(v)
+        s = sum(
+            int(np.sign(v[j] - v[i]))
+            for i in range(n - 1)
+            for j in range(i + 1, n)
+        )
+        t = sum(
+            1
+            for i in range(n - 1)
+            for j in range(i + 1, n)
+            if v[i] == v[j]
+        )
+        return s, t
+
+    def test_fuzz_with_ties(self):
+        rng = np.random.default_rng(7)
+        for trial in range(40):
+            n = int(rng.integers(2, 120))
+            # heavy ties: values drawn from a small integer alphabet
+            v = rng.integers(0, max(2, n // 4), size=n).astype(float)
+            s, t = self._brute(v)
+            assert K.mk_s_stat(v) == s, (trial, v)
+            assert K.mk_tied_pairs(v) == t, (trial, v)
+
+    def test_edge_shapes(self):
+        assert K.mk_s_stat([1.0, 2.0]) == 1
+        assert K.mk_s_stat([2.0, 1.0]) == -1
+        assert K.mk_s_stat([5.0, 5.0]) == 0
+        assert K.mk_tied_pairs([5.0, 5.0, 5.0]) == 3
+        # strictly increasing: S = n*(n-1)/2
+        v = np.arange(257, dtype=float)
+        assert K.mk_s_stat(v) == 257 * 256 // 2
+        assert K.mk_tied_pairs(v) == 0

@@ -205,3 +205,36 @@ def test_dtw_knn_partitions_smaller_than_k(spark):
     got = P.dtw_knn(df, [("q", q)], k=7, window=8).collect()
     want = sorted((K.dtw_distance(a, q, window=8), i) for i, a in zip(ids, arrs))[:7]
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [i for _, i in want]
+
+
+def test_exhaustive_guard_raises_past_cap(spark, small):
+    _, df = small
+    with pytest.raises(ValueError, match="all-pairs"):
+        P.dtw_pairs(
+            df, threshold=1e9, window=8, exhaustive_max_series=N - 1
+        ).collect()
+
+
+def test_exhaustive_past_broadcast_cap_plans_shuffle_join(spark, small):
+    """Above broadcast_max_series the salted exhaustive join must NOT
+    build a BroadcastExchange over the S×-exploded corpus (driver-OOM
+    shape at scale); it pins a shuffle hash join keyed on the salt
+    bucket. Same pair set either way (checked vs the default plan)."""
+    pdf, df = small
+    feats = P.with_series_features(df)
+    cand = P.candidate_pairs(feats, broadcast_max_series=N // 2,
+                             exhaustive_max_series=None)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in P.dtw_pairs(
+            df, threshold=9000.0, window=8, broadcast_max_series=N // 2
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in P.dtw_pairs(df, threshold=9000.0, window=8).collect()
+    }
+    assert got == want and len(got) > 0

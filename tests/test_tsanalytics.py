@@ -582,3 +582,55 @@ def test_spearman_matches_scipy_free_reference(spark):
         r = rows[f"doc{2 * i:012d}"]
         assert r["n"] == L
         assert r["rho"] == pytest.approx(ref, abs=1e-9), (i, ref)
+
+
+# ---------------------------------------------------------------------------
+# TS14/TS15 scale tiers: bit-equality with the O(n^2) verification twins
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_scaled_bit_equals_twin(spark):
+    """The merge-count S, tied-pair count, variance, Z, and trend label
+    must be BIT-EQUAL to the O(n^2) HOF twin; the sampled Sen estimator
+    column (honestly renamed sens_slope_est) is checked for plain
+    finiteness + sign agreement with the exact twin on strong trends."""
+    twin = {
+        r["user_id"]: r
+        for r in REGISTRY["mann_kendall_trend"](spark, SF).collect()
+    }
+    scaled = {
+        r["user_id"]: r
+        for r in REGISTRY["mann_kendall_scaled"](spark, SF).collect()
+    }
+    assert set(twin) == set(scaled) and len(twin) >= 10
+    for uid, t in twin.items():
+        s = scaled[uid]
+        assert s["n"] == t["n"]
+        assert s["s_stat"] == t["s_stat"], uid
+        assert s["n_tied_pairs"] == t["n_tied_pairs"], uid
+        # identical float strings -> identical doubles, no tolerance
+        assert s["mk_var"] == t["mk_var"], uid
+        assert s["z"] == t["z"], uid
+        assert s["trend"] == t["trend"], uid
+        if abs(t["z"]) > 1.96 and s["sens_slope_est"] is not None:
+            assert np.sign(s["sens_slope_est"]) == np.sign(
+                t["sens_slope"]
+            ), uid
+
+
+def test_spearman_scaled_bit_equals_twin(spark):
+    """Window-rank doubled ranks == HOF-counted doubled ranks, so every
+    rho must be the identical double (same int64 cross-sums, same float
+    tail)."""
+    twin = {
+        r["doc_a"]: r for r in REGISTRY["spearman_pairs"](spark, SF).collect()
+    }
+    scaled = {
+        r["doc_a"]: r
+        for r in REGISTRY["spearman_scaled"](spark, SF).collect()
+    }
+    assert set(twin) == set(scaled) and len(twin) == 128
+    for k, t in twin.items():
+        s = scaled[k]
+        assert (s["doc_b"], s["n"]) == (t["doc_b"], t["n"])
+        assert s["rho"] == t["rho"], k  # bit-exact, no tolerance
