@@ -280,22 +280,36 @@ dtw_barycenter = types.SimpleNamespace(dba=_dba, dba_loop=_dba)
 # -- preprocessing / similarity / alignment ---------------------------------
 
 
+def _smoothing(series, smooth=None, window=5):
+    """``ref:dtaidistance/preprocessing.py::smoothing`` — upstream
+    applies ``filtfilt(butter(2, 2*smooth))``; this is that exact
+    recipe, dependency-free (:func:`kernels.smoothing_butterworth`).
+    ``smooth=None`` falls back to the SQL-expressible moving average
+    (the engine's window-oracle form)."""
+    series = np.asarray(series, dtype=np.float64)
+    if smooth is None:
+        return _K.smoothing(series, window=window)
+    return _K.smoothing_butterworth(series, smooth)
+
+
 def _differencing(series, smooth=None):
     """``ref:dtaidistance/preprocessing.py::differencing`` — np.diff,
-    then optional moving-average low-pass (scipy-free substitute for the
-    reference's Butterworth; window derived from the smooth fraction)."""
+    then the upstream Butterworth ``filtfilt`` low-pass when ``smooth``
+    is given (short post-diff series fall back to the moving-average
+    low-pass rather than failing, since upstream's scipy call would)."""
     d = np.diff(np.asarray(series, dtype=np.float64))
     if smooth is not None:
-        w = max(3, int(round(1.0 / max(smooth, 1e-6))) | 1)
-        d = _K.smoothing(d, window=min(w, max(3, len(d) | 1)))
+        if len(d) > 10:
+            d = _K.smoothing_butterworth(d, smooth)
+        else:
+            w = max(3, int(round(1.0 / max(smooth, 1e-6))) | 1)
+            d = _K.smoothing(d, window=min(w, max(3, len(d) | 1)))
     return d
 
 
 preprocessing = types.SimpleNamespace(
     differencing=_differencing,
-    smoothing=lambda series, smooth=None, window=5: _K.smoothing(
-        np.asarray(series, dtype=np.float64), window=window
-    ),
+    smoothing=_smoothing,
 )
 
 

@@ -1083,6 +1083,119 @@ def smoothing(s, window: int = 5):
     return (csum[hi] - csum[lo]) / (hi - lo)
 
 
+def butter2_lowpass(wn: float):
+    """2nd-order Butterworth low-pass ``(b, a)`` at normalized cutoff
+    ``wn`` (fraction of Nyquist, 0 < wn < 1) — the dependency-free
+    equivalent of ``scipy.signal.butter(2, wn)`` via the standard
+    bilinear transform of the analog prototype s² + √2·s + 1 with
+    frequency pre-warp K = tan(π·wn/2). Unity DC gain by construction
+    (sum(b) == sum(a)). Coefficients match scipy's published values
+    (gated in tests/test_kernels.py on butter(2, 0.2))."""
+    if not 0.0 < wn < 1.0:
+        raise ValueError(f"normalized cutoff must be in (0, 1), got {wn}")
+    k = math.tan(math.pi * wn / 2.0)
+    k2 = k * k
+    sq2 = math.sqrt(2.0)
+    d = 1.0 + sq2 * k + k2
+    b = np.array([k2 / d, 2.0 * k2 / d, k2 / d])
+    a = np.array([1.0, 2.0 * (k2 - 1.0) / d, (1.0 - sq2 * k + k2) / d])
+    return b, a
+
+
+def lfilter(b, a, x, zi=None):
+    """IIR filter in direct form II transposed (the
+    ``scipy.signal.lfilter`` recurrence): ``y[n] = b0·x[n] + z1[n-1]``,
+    ``zi[n] = b[i+1]·x[n] − a[i+1]·y[n] + z[i+1][n-1]``. Returns
+    ``(y, zf)`` when ``zi`` is given, else ``y``. Scalar Python loop —
+    the per-series regime (rollup-sized arrays), not a hot batch path."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    if a[0] != 1.0:
+        b, a = b / a[0], a / a[0]
+    order = max(len(a), len(b)) - 1
+    if order == 0:
+        y = b[0] * x
+        return (y, np.zeros(0)) if zi is not None else y
+    bb = np.zeros(order + 1)
+    aa = np.zeros(order + 1)
+    bb[: len(b)] = b
+    aa[: len(a)] = a
+    z = np.zeros(order) if zi is None else np.asarray(zi, np.float64).copy()
+    y = np.empty_like(x)
+    for n in range(len(x)):
+        xn = x[n]
+        yn = bb[0] * xn + z[0]
+        for i in range(order - 1):
+            z[i] = bb[i + 1] * xn - aa[i + 1] * yn + z[i + 1]
+        z[order - 1] = bb[order] * xn - aa[order] * yn
+        y[n] = yn
+    return (y, z) if zi is not None else y
+
+
+def lfilter_zi(b, a):
+    """Steady-state initial filter delay values (``scipy.signal.
+    lfilter_zi``): solve (I − Aᵀ)·zi = b[1:] − a[1:]·b[0] where A is the
+    companion matrix of the (monic) denominator — filtering a constant
+    c with ``zi=zi*c`` then yields exactly c from the first sample."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    if a[0] != 1.0:
+        b, a = b / a[0], a / a[0]
+    n = max(len(a), len(b))
+    aa = np.zeros(n)
+    bb = np.zeros(n)
+    aa[: len(a)] = a
+    bb[: len(b)] = b
+    comp_t = np.zeros((n - 1, n - 1))
+    comp_t[:, 0] = -aa[1:]
+    comp_t[: n - 2, 1:] = np.eye(n - 2)
+    rhs = bb[1:] - aa[1:] * bb[0]
+    return np.linalg.solve(np.eye(n - 1) - comp_t, rhs)
+
+
+def filtfilt(b, a, x):
+    """Zero-phase forward-backward filtering with odd end extension and
+    steady-state initial conditions — the ``scipy.signal.filtfilt``
+    default recipe (padtype='odd', padlen=3·max(len(a), len(b)),
+    method='pad'): no phase shift, squared magnitude response."""
+    x = np.asarray(x, dtype=np.float64)
+    padlen = 3 * max(len(a), len(b))
+    if len(x) <= padlen:
+        raise ValueError(
+            f"filtfilt needs len(x) > {padlen}, got {len(x)}"
+        )
+    ext = np.concatenate(
+        [2.0 * x[0] - x[padlen:0:-1], x, 2.0 * x[-1] - x[-2 : -padlen - 2 : -1]]
+    )
+    zi = lfilter_zi(b, a)
+    y, _ = lfilter(b, a, ext, zi=zi * ext[0])
+    y, _ = lfilter(b, a, y[::-1], zi=zi * y[-1])
+    y = y[::-1]
+    return y[padlen : len(y) - padlen]
+
+
+def smoothing_butterworth(s, smooth: float):
+    """S2, upstream-true: ``ref:dtaidistance/preprocessing.py::
+    smoothing`` applies ``filtfilt(butter(2, 2·smooth))`` per series
+    (cutoff = fs·smooth over Nyquist = fs/2). ``smooth`` ∈ (0, 0.5);
+    series shorter than the filtfilt pad (10 points at order 2) raise,
+    as upstream's scipy call does. The moving-average :func:`smoothing`
+    remains the SQL-oracle-able window form; this is the numerically
+    upstream-faithful one."""
+    s = np.asarray(s, dtype=np.float64)
+    if not 0.0 < smooth < 0.5:
+        raise ValueError(f"smooth must be in (0, 0.5), got {smooth}")
+    b, a = butter2_lowpass(2.0 * smooth)
+    try:
+        return filtfilt(b, a, s)
+    except ValueError as exc:
+        raise ValueError(
+            "Cannot apply smoothing: series too short for the filter "
+            "pad; use a longer series or no smoothing"
+        ) from exc
+
+
 # ---------------------------------------------------------------------------
 # M6 — local concurrences (ref:dtaidistance/subsequence/dtw.py::
 # local_concurrences / ref:dtaidistance/dtw.py::warping_paths_affinity).

@@ -346,3 +346,124 @@ def warping_paths_check(spark, sf_dir):
             "warp_ok boolean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 upstream-true — Butterworth filtfilt smoothing
+# ---------------------------------------------------------------------------
+
+_BW_B, _BW_A = K.butter2_lowpass(0.2)  # smooth=0.1 -> wn = 2*smooth
+_BW_ZI = K.lfilter_zi(_BW_B, _BW_A)
+_B0, _B1, _B2 = (repr(float(v)) for v in _BW_B)
+_A1, _A2 = repr(float(_BW_A[1])), repr(float(_BW_A[2]))
+_Z1, _Z2 = repr(float(_BW_ZI[0])), repr(float(_BW_ZI[1]))
+
+
+def _bw_step(acc: str, x: str) -> str:
+    """One direct-form-II-transposed step as a list-state fold body —
+    the EXACT float tree of kernels.lfilter's inner loop (y computed as
+    b0*x + z1; each recomputation is the same correctly-rounded double),
+    so DuckDB's fold reproduces the numpy kernel bit-for-bit."""
+    return (
+        f"list_concat([{_B1}*{x} - {_A1}*({_B0}*{x} + {acc}[1]) + {acc}[2],"
+        f" {_B2}*{x} - {_A2}*({_B0}*{x} + {acc}[1])],"
+        f" list_append({acc}[3:], {_B0}*{x} + {acc}[1]))"
+    )
+
+
+_BW_FOLD_F = (
+    f"list_reduce(list_prepend([{_Z1}*ext[1], {_Z2}*ext[1]],"
+    f" list_transform(ext, v -> [v])),"
+    f" (acc, xl) -> {_bw_step('acc', 'xl[1]')})"
+)
+_BW_FOLD_B = (
+    f"list_reduce(list_prepend([{_Z1}*ysf[n + 18], {_Z2}*ysf[n + 18]],"
+    f" list_transform(list_reverse(ysf), v -> [v])),"
+    f" (acc, xl) -> {_bw_step('acc', 'xl[1]')})"
+)
+
+
+@register(
+    "butterworth_smooth",
+    oracle=f"""
+    WITH bw0 AS (
+      SELECT user_id, event_type,
+             list_transform(list_sort(list({{'ts': ts, 'event_id': event_id,
+                                             'value': value}})),
+                            r -> r.value) AS xs,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type HAVING count(*) > 9
+    ),
+    bw1 AS (
+      SELECT user_id, event_type, n,
+        list_concat(list_concat(
+          list_transform(range(0, 9), i -> 2.0*xs[1] - xs[10 - i]), xs),
+          list_transform(range(0, 9), i -> 2.0*xs[n] - xs[n - 1 - i])) AS ext
+      FROM bw0
+    ),
+    bw2 AS (SELECT user_id, event_type, n, ({_BW_FOLD_F})[3:] AS ysf
+            FROM bw1),
+    bw3 AS (SELECT user_id, event_type, n,
+                   list_reverse(({_BW_FOLD_B})[3:]) AS ysb FROM bw2),
+    bw4 AS (SELECT user_id, event_type, n, ysb[10:n + 9] AS sm FROM bw3)
+    SELECT user_id, event_type,
+           CAST(generate_subscripts(sm, 1) - 1 AS INT) AS pos,
+           unnest(sm) AS smoothed
+    FROM bw4
+    """,
+)
+def butterworth_smooth(spark, sf_dir):
+    """S2 UPSTREAM-TRUE (``ref:dtaidistance/preprocessing.py::
+    smoothing``): zero-phase 2nd-order Butterworth low-pass
+    (smooth=0.1, i.e. butter(2, 0.2) + filtfilt with odd padding and
+    steady-state zi) over each (user, event_type) value series — the
+    dependency-free :func:`kernels.filtfilt` running inside ONE Arrow
+    mapInPandas after one shuffle onto the series key. The oracle
+    re-derives the filter as a DuckDB list-state fold spelling the
+    IDENTICAL float tree (y = b0·x + z1; z1' = b1·x − a1·y + z2;
+    z2' = b2·x − a2·y, zi/coefficient literals repr-injected), so every
+    smoothed double hash-matches bit-exactly — no tolerance anywhere.
+    The moving-average twin ``smoothing_events`` stays as the pure
+    window-SQL form; this one is the numerically upstream-faithful S2."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") > 9)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("transform(pts, p -> p.value)").alias("xs"),
+        )
+    )
+
+    def kern(it):
+        for pdf in it:
+            uids, etys, poss, sms = [], [], [], []
+            for uid, ety, xs in zip(
+                pdf["user_id"], pdf["event_type"], pdf["xs"]
+            ):
+                y = K.filtfilt(_BW_B, _BW_A, np.asarray(xs, np.float64))
+                uids.extend([uid] * len(y))
+                etys.extend([ety] * len(y))
+                poss.extend(range(len(y)))
+                sms.extend(y)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(uids, dtype="int64"),
+                    "event_type": pd.Series(etys, dtype="object"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "smoothed": pd.Series(sms, dtype="float64"),
+                }
+            )
+
+    return g.mapInPandas(
+        kern, "user_id bigint, event_type string, pos int, smoothed double"
+    )

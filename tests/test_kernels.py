@@ -294,3 +294,97 @@ class TestMannKendallMergeCount:
         v = np.arange(257, dtype=float)
         assert K.mk_s_stat(v) == 257 * 256 // 2
         assert K.mk_tied_pairs(v) == 0
+
+
+class TestButterworthS2:
+    """S2 upstream-true smoothing: butter(2, wn) + filtfilt, scipy-free."""
+
+    def test_coefficients_match_published_butter_2_02(self):
+        # scipy.signal.butter(2, 0.2) — published rounded values
+        b, a = K.butter2_lowpass(0.2)
+        np.testing.assert_allclose(
+            b, [0.0674553, 0.1349105, 0.0674553], atol=1e-6
+        )
+        np.testing.assert_allclose(a, [1.0, -1.1429805, 0.4128016], atol=1e-6)
+        # unity DC gain by construction
+        assert b.sum() == pytest.approx(a.sum(), rel=1e-15)
+
+    def test_defining_butterworth_magnitude_property(self):
+        """Independent analytic gate: under the bilinear transform the
+        digital magnitude must be EXACTLY the Butterworth response in
+        prewarped frequency, |H(e^jw)|^2 = 1/(1 + (tan(w/2)/tan(wc/2))^4),
+        with the half-power point landing exactly on the cutoff."""
+        for wn in (0.05, 0.2, 0.35, 0.7):
+            b, a = K.butter2_lowpass(wn)
+            wc = np.pi * wn
+            for w in (0.1 * np.pi, 0.3 * np.pi, 0.5 * np.pi, 0.9 * np.pi):
+                z = np.exp(-1j * w)
+                h = (b[0] + b[1] * z + b[2] * z * z) / (
+                    1.0 + a[1] * z + a[2] * z * z
+                )
+                want = 1.0 / (1.0 + (np.tan(w / 2) / np.tan(wc / 2)) ** 4)
+                assert abs(h) ** 2 == pytest.approx(want, abs=1e-12)
+            zc = np.exp(-1j * wc)
+            hc = (b[0] + b[1] * zc + b[2] * zc * zc) / (
+                1.0 + a[1] * zc + a[2] * zc * zc
+            )
+            assert abs(hc) ** 2 == pytest.approx(0.5, abs=1e-12)
+
+    def test_lfilter_fir_equals_convolution(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=50)
+        b = np.array([0.5, 0.3, 0.2])
+        got = K.lfilter(b, [1.0], x)
+        want = np.convolve(x, b)[: len(x)]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_lfilter_zi_steady_state(self):
+        b, a = K.butter2_lowpass(0.3)
+        zi = K.lfilter_zi(b, a)
+        y, _ = K.lfilter(b, a, np.full(20, 7.5), zi=zi * 7.5)
+        np.testing.assert_allclose(y, 7.5, rtol=1e-12)
+
+    def test_filtfilt_zero_phase_and_attenuation(self):
+        t = np.arange(400, dtype=np.float64)
+        slow = np.sin(2 * np.pi * t / 200)          # f = 0.005 cycles/sample
+        fast = 0.5 * np.sin(2 * np.pi * t / 4)       # f = 0.25 (Nyquist/2)
+        b, a = K.butter2_lowpass(0.05)
+        y = K.filtfilt(b, a, slow + fast)
+        # the slow component passes nearly untouched, the fast one dies
+        mid = slice(50, 350)
+        assert np.max(np.abs(y[mid] - slow[mid])) < 0.005
+        # zero phase: peak of the recovered slow wave stays at t=50
+        assert abs(int(np.argmax(y[:150])) - 50) <= 1
+        # time-reversal invariance of the zero-phase filter, up to the
+        # edge transient (padlen=9 << the wn=0.05 time constant, as in
+        # scipy's default — transients enter from opposite ends)
+        y_rev = K.filtfilt(b, a, (slow + fast)[::-1])[::-1]
+        np.testing.assert_allclose(y[mid], y_rev[mid], atol=2e-3)
+
+    def test_filtfilt_preserves_constant_and_line(self):
+        b, a = K.butter2_lowpass(0.2)
+        np.testing.assert_allclose(
+            K.filtfilt(b, a, np.full(30, 3.25)), 3.25, rtol=1e-12
+        )
+        # a ramp survives up to the documented O(|pole|^padlen) edge
+        # transient (the odd extension is exact; zi assumes a constant)
+        line = 0.5 * np.arange(60) - 4.0
+        got = K.filtfilt(b, a, line)
+        assert np.max(np.abs(got - line)) < 0.02
+        assert np.max(np.abs(got[10:-10] - line[10:-10])) < 1e-3
+
+    def test_smoothing_butterworth_guards(self):
+        with pytest.raises(ValueError, match="smooth"):
+            K.smoothing_butterworth(np.arange(50.0), 0.7)
+        with pytest.raises(ValueError, match="too short"):
+            K.smoothing_butterworth(np.arange(5.0), 0.1)
+
+    def test_compat_surface(self):
+        from dtaidistance_spark.compat import preprocessing
+
+        x = np.sin(np.arange(100) / 7.0) + np.arange(100) * 0.01
+        got = preprocessing.smoothing(x, smooth=0.1)
+        b, a = K.butter2_lowpass(0.2)
+        np.testing.assert_allclose(got, K.filtfilt(b, a, x), rtol=1e-12)
+        d = preprocessing.differencing(x, smooth=0.1)
+        assert len(d) == 99 and np.isfinite(d).all()
