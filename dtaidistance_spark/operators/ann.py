@@ -257,14 +257,17 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized codes on the inverted lists (Jegou et al.,
 # "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
-# FAISS IVFPQ layout, here with by_residual=False: codes quantize the
-# normalized vectors themselves, the coarse quantizer only routes).
+# FAISS IVFPQ layout, with by_residual=True: codes quantize the RESIDUAL
+# x_norm − centroid[list(x)], the standard FAISS recall lift — residuals
+# are centered and much smaller than raw vectors, so the same code
+# budget spends its resolution where the coarse quantizer left error).
 # ---------------------------------------------------------------------------
 
 
 def train_pq_codebooks(
     emb: DataFrame, dim: int, m: int = 8, ks: int = 32, sample: int = 4096,
     max_it: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train the product quantizer: split the (unit-normalized) vector
     into ``m`` subspaces of ``dim/m`` dims, run a seeded L2 Lloyd
@@ -272,7 +275,10 @@ def train_pq_codebooks(
     same deterministic hash-ordered sample as the coarse quantizer.
     Returns ``(m, ks, dim/m)``. Like the IVF centroids, the trained
     object is tiny (m*ks*dsub floats) — train driver-side once,
-    broadcast into the encode/search UDFs."""
+    broadcast into the encode/search UDFs.
+
+    With ``centroids`` given, trains on RESIDUALS (each sample minus its
+    nearest coarse centroid) — ``by_residual=True``."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
     dsub = dim // m
     rows = (
@@ -283,6 +289,8 @@ def train_pq_codebooks(
     )
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        X = X - centroids[np.argmax(X @ centroids.T, axis=1)]
     rng = np.random.default_rng(SEED)
     books = np.empty((m, ks, dsub))
     for j in range(m):
@@ -308,19 +316,22 @@ def train_pq_codebooks(
 def encode_pq(
     emb: DataFrame, codebooks: np.ndarray,
     vec_col: str = "embedding", out_col: str = "pq_code",
+    centroids: np.ndarray | None = None, list_col: str = "list_ids",
 ) -> DataFrame:
     """Append ``pq_code array<int>`` (m sub-codes per vector): one
     vectorized argmin per subspace per Arrow batch. This column — a few
     BYTES per vector instead of dim floats — is what the corpus side of
     the search shuffles and stores; at 100 TB the raw embedding column
-    never leaves the scan."""
+    never leaves the scan.
+
+    With ``centroids`` given, encodes the RESIDUAL vs the row's coarse
+    list (``list_col[0]``, as appended by :func:`add_ivf_lists`) —
+    ``by_residual=True``."""
     m, ks, dsub = codebooks.shape
     CB = codebooks
+    CC = centroids
 
-    @pandas_udf("array<int>")
-    def codes(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    def _encode(mat: np.ndarray) -> np.ndarray:
         out = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             S = mat[:, j * dsub : (j + 1) * dsub]
@@ -331,9 +342,30 @@ def encode_pq(
                 + (C * C).sum(1)[None, :]
             )
             out[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(out))
+        return out
 
-    return emb.withColumn(out_col, codes(F.col(vec_col)))
+    if CC is None:
+
+        @pandas_udf("array<int>")
+        def codes(v: pd.Series) -> pd.Series:
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series(list(_encode(mat)))
+
+        return emb.withColumn(out_col, codes(F.col(vec_col)))
+
+    @pandas_udf("array<int>")
+    def codes_res(v: pd.Series, lists: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        lid = np.asarray([int(ls[0]) for ls in lists])
+        return pd.Series(list(_encode(mat - CC[lid])))
+
+    return emb.withColumn(out_col, codes_res(F.col(vec_col), F.col(list_col)))
 
 
 def ivf_pq_topk(
@@ -342,6 +374,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    by_residual: bool = True,
+    refine: int | None = 4,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the memory-bounded scale tier below
     IVF-Flat: the corpus crosses the list shuffle as (id, m sub-codes)
@@ -351,21 +385,36 @@ def ivf_pq_topk(
     normalized query — arithmetically the SAME sum as the classic
     per-query ADC lookup table (grouped by subspace), kept in gather
     form so one einsum per Arrow batch covers all queries in the batch.
-    Approximation error vs IVF-Flat is the PQ quantization distortion;
-    measured by ``ann_ivfpq_recall``."""
+
+    ``by_residual=True`` (the FAISS default and recall lift): codes
+    quantize x_norm − C[list], and ADC scores q·C[list] + q·recon(r) —
+    the coarse term is exact, the PQ budget covers only the residual.
+
+    ``refine`` (FAISS's IVFPQR / refine stage): the top ``refine·k`` ADC
+    candidates per query are re-ranked by EXACT cosine. The raw vectors
+    for that are fetched by a semi-join on the ≤ refine·k·n_queries
+    surviving ids — the 100 TB corpus embedding column still never
+    crosses the candidate shuffle; only the tiny winner set is re-read.
+    Recall then approaches the IVF-Flat ceiling for the same probe
+    budget while the candidate scan stays PQ-cheap. ``refine=None``
+    returns raw ADC ranking. Measured by ``ann_ivfpq_recall``."""
     if centroids is None:
         centroids = train_ivf_centroids(
             emb, dim, n_list=n_list, id_col=id_col, vec_col=vec_col
         )
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            emb, dim, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+            emb, dim, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+            centroids=centroids if by_residual else None,
         )
     mm, _, dsub = codebooks.shape
     CB = codebooks
+    CC = centroids if by_residual else None
 
+    with_lists = add_ivf_lists(emb, centroids, 1, vec_col)
     corpus = encode_pq(
-        add_ivf_lists(emb, centroids, 1, vec_col), codebooks, vec_col
+        with_lists, codebooks, vec_col,
+        centroids=CC, list_col="list_ids",
     ).select(
         F.col(id_col).alias("nn_id"),
         "pq_code",
@@ -378,25 +427,47 @@ def ivf_pq_topk(
     )
 
     @pandas_udf("double")
-    def adc(code: pd.Series, q: pd.Series) -> pd.Series:
+    def adc(code: pd.Series, q: pd.Series, lst: pd.Series) -> pd.Series:
         codes_ = np.asarray([np.asarray(c, dtype=np.int64) for c in code])
         qmat = np.asarray([np.asarray(x, dtype=np.float64) for x in q])
         qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
         recon = CB[np.arange(mm)[None, :], codes_]  # (b, m, dsub)
         recon = recon.reshape(len(codes_), mm * dsub)
+        if CC is not None:
+            recon = recon + CC[np.asarray(lst, dtype=np.int64)]
         return pd.Series(np.einsum("bd,bd->b", qmat, recon))
 
     cands = (
         corpus.join(qs, on="_list")
         .where(F.col("query_id") != F.col("nn_id"))
-        .select("query_id", "_q", "nn_id", "pq_code")
+        .select("query_id", "_q", "nn_id", "pq_code", "_list")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("nn_id")
     )
-    return (
-        cands.withColumn("approx_cosine", adc("pq_code", "_q"))
+    scored = (
+        cands.withColumn("approx_cosine", adc("pq_code", "_q", "_list"))
         .withColumn("rank", F.row_number().over(w))
+    )
+    if refine is None:
+        return scored.where(F.col("rank") <= k).select(
+            "query_id", "nn_id", "rank",
+            F.round("approx_cosine", 4).alias("approx_cosine"),
+        )
+    pool = scored.where(F.col("rank") <= refine * k).select(
+        "query_id", "_q", "nn_id"
+    )
+    raw = emb.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).cast("array<double>").alias("_c"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("nn_id")
+    )
+    return (
+        pool.join(raw, "nn_id")
+        .withColumn("approx_cosine", _norm_dot("_q", "_c"))
+        .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
         .select(
             "query_id", "nn_id", "rank",

@@ -309,7 +309,7 @@ def test_ivfpq_adc_matches_numpy_reconstruction(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 2)
     got = A.ivf_pq_topk(
         emb, qs, dim=64, k=5, n_list=4, n_probe=4, m=16, ks=64,
-        codebooks=books,
+        codebooks=books, by_residual=False, refine=None,
     ).collect()
     assert got, "no candidates returned"
     vecs = {
@@ -463,3 +463,40 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     for lang, mu in means.items():
         if lang != "en":
             assert means["en"] > mu, (lang, mu, means["en"])
+
+
+def test_ivfpq_residual_refine_beats_raw_adc(spark, sf_dir):
+    """The two FAISS lifts must actually lift: residual codes + exact
+    refine of the 4k ADC pool reach at least the raw-ADC recall (and in
+    practice sit near the IVF-Flat ceiling; measured 0.925/0.85 at
+    sf0.001/sf0.01), and the refined ranking's scores are true cosines
+    (each row matches the exact tier's score for that pair)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4)
+    exact = A.brute_cosine_topk(emb, qs, k=10).persist()
+    raw = A.ivf_pq_topk(
+        emb, qs, dim=64, k=10, n_list=16, n_probe=10, m=16, ks=64,
+        by_residual=False, refine=None,
+    )
+    lifted = A.ivf_pq_topk(
+        emb, qs, dim=64, k=10, n_list=16, n_probe=10, m=16, ks=64,
+        by_residual=True, refine=4,
+    ).persist()
+    r_raw = A.recall_at_k(raw, exact, k=10).collect()[0].recall_at_k
+    r_lift = A.recall_at_k(lifted, exact, k=10).collect()[0].recall_at_k
+    assert r_lift >= max(r_raw, 0.7), (r_raw, r_lift)
+    # refined scores are exact cosines: compare vs the brute tier
+    exact_scores = {
+        (r.query_id, r.nn_id): r.cosine for r in exact.collect()
+    }
+    hits = 0
+    for r in lifted.collect():
+        key = (r.query_id, r.nn_id)
+        if key in exact_scores:
+            assert r.approx_cosine == pytest.approx(
+                exact_scores[key], abs=1e-4
+            )
+            hits += 1
+    assert hits >= 20
