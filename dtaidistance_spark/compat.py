@@ -361,12 +361,11 @@ def subsequence_alignment(query, series, **kw):
 subsequence = types.SimpleNamespace(subsequence_alignment=subsequence_alignment)
 
 
-# -- dtw_weighted (C5, kernel only) ------------------------------------------
+# -- dtw_weighted (C5: kernel + decision-tree weight learning) ---------------
 
 
 def _weighted_distance(s1, s2, weights=None, window=None, max_dist=None, **_ignored):
-    """``ref:dtaidistance/dtw_weighted.py::distance`` signature subset
-    (the decision-tree weight learning stays out of scope)."""
+    """``ref:dtaidistance/dtw_weighted.py::distance`` signature subset."""
     return _K.dtw_weighted_distance(
         np.asarray(s1, dtype=np.float64),
         np.asarray(s2, dtype=np.float64),
@@ -374,7 +373,34 @@ def _weighted_distance(s1, s2, weights=None, window=None, max_dist=None, **_igno
     )
 
 
-dtw_weighted = types.SimpleNamespace(distance=_weighted_distance)
+def _compute_weights_using_dt(series, labels, prototypeidx, **kwargs):
+    """``ref:dtaidistance/dtw_weighted.py::compute_weights_using_dt``
+    surface — see :mod:`dtaidistance_spark.weightlearn`."""
+    from dtaidistance_spark import weightlearn as _WL
+
+    return _WL.compute_weights_using_dt(series, labels, prototypeidx, **kwargs)
+
+
+def _series_to_dt(series, prototypeidx, window=None):
+    """``ref:dtaidistance/dtw_weighted.py::series_to_dt``-shaped
+    featurization (the (N, 2n) per-side deviation matrix)."""
+    from dtaidistance_spark import weightlearn as _WL
+
+    return _WL.series_to_features(series, prototypeidx, window=window)
+
+
+def _wl_tree(*args, **kwargs):
+    from dtaidistance_spark import weightlearn as _WL
+
+    return _WL.DecisionTreeClassifier(*args, **kwargs)
+
+
+dtw_weighted = types.SimpleNamespace(
+    distance=_weighted_distance,
+    compute_weights_using_dt=_compute_weights_using_dt,
+    series_to_dt=_series_to_dt,
+    DecisionTreeClassifier=_wl_tree,
+)
 
 
 # -- clustering --------------------------------------------------------------

@@ -949,8 +949,8 @@ def dtw_ndim_warping_path(from_s, to_s, **kwargs):
 
 def dtw_weighted_distance(s1, s2, weights=None, window=None, max_dist=None):
     """Weighted DTW (C5, ``ref:dtaidistance/dtw_weighted.py::distance``
-    — the weighted kernel only; the decision-tree weight *learning* that
-    upstream layers on top for explainability stays out of scope).
+    — the kernel half; the decision-tree weight *learning* upstream
+    layers on top lives in :mod:`dtaidistance_spark.weightlearn`).
 
     ``weights``: (len(s1), 4) array of per-index piecewise-linear
     rectifiers (x_neg, w_neg, x_pos, w_pos) applied to the residual
