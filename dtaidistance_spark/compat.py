@@ -264,14 +264,22 @@ dtw_ndim = types.SimpleNamespace(
 # -- dtw_barycenter ----------------------------------------------------------
 
 
-def _dba(s, c=None, max_it=10, thr=1e-5, mask=None, use_c=False, window=None, **kw):
-    """``ref:dtaidistance/dtw_barycenter.py::dba`` — ``mask`` restricts
-    to a boolean-selected subset (the kmeans per-cluster call shape)."""
+def _dba(s, c=None, max_it=10, thr=1e-5, mask=None, use_c=False, window=None,
+         nb_initial_samples=None, nb_prob_samples=None, **kw):
+    """``ref:dtaidistance/dtw_barycenter.py::dba`` / ``dba_loop`` —
+    ``mask`` restricts to a boolean-selected subset (the kmeans
+    per-cluster call shape); ``nb_initial_samples``/``nb_prob_samples``
+    are honored by the kernel (deterministic variants, see
+    :func:`dtaidistance_spark.kernels.dba`)."""
     series = [np.asarray(x, dtype=np.float64) for x in s]
     if mask is not None:
         series = [x for x, m in zip(series, mask) if m]
     center = None if c is None else np.asarray(c, dtype=np.float64)
-    return _K.dba(series, center=center, max_it=max_it, thr=thr, window=window)
+    return _K.dba(
+        series, center=center, max_it=max_it, thr=thr, window=window,
+        nb_initial_samples=nb_initial_samples,
+        nb_prob_samples=nb_prob_samples,
+    )
 
 
 dtw_barycenter = types.SimpleNamespace(dba=_dba, dba_loop=_dba)

@@ -390,22 +390,71 @@ def dba_update(center, series_list, window=None):
     return sums / cnts
 
 
-def dba(series_list, center=None, max_it=10, thr=1e-5, window=None):
+def dba(series_list, center=None, max_it=10, thr=1e-5, window=None,
+        nb_initial_samples=None, nb_prob_samples=None):
     """DBA loop (``ref:dtaidistance/dtw_barycenter.py::dba_loop``).
 
     Deterministic: the caller must pass ``series_list`` in a stable order;
     the default initial center is the member whose length is the median
-    (ties -> earliest in the list), which is order-stable."""
+    (ties -> earliest in the list), which is order-stable.
+
+    ``nb_initial_samples``: when ``center`` is None, evaluate that many
+    candidate initial centers (evenly spaced over the stable
+    length-sorted order, so k=1 is exactly the median default) and keep
+    the one with the smallest total DTW cost to all members (ties to
+    the earliest candidate) — the upstream multi-start knob, made
+    deterministic.
+
+    ``nb_prob_samples``: each iteration updates the average from only
+    that many members — deterministically the ones FARTHEST from the
+    current center (ties to the smallest index), the resume-safe
+    substitute for upstream's distance-proportional random sampling
+    ([VERIFY] upstream's exact sampling law once the mount is
+    populated; the contract gated here: k >= len(series) reproduces the
+    full-mask loop bit-for-bit, smaller k still converges and stays
+    order-deterministic)."""
     series_list = [np.asarray(s, dtype=np.float64) for s in series_list]
     if not series_list:
         raise ValueError("dba needs at least one series")
     if center is None:
         lengths = [len(s) for s in series_list]
         order = sorted(range(len(series_list)), key=lambda i: (lengths[i], i))
-        center = series_list[order[len(order) // 2]]
+        if nb_initial_samples is None or nb_initial_samples <= 1:
+            center = series_list[order[len(order) // 2]]
+        else:
+            k = min(nb_initial_samples, len(order))
+            picks = [order[len(order) // 2]] + [
+                order[(i * (len(order) - 1)) // (k - 1)] for i in range(k)
+            ]
+            seen, cands = set(), []
+            for i in picks:
+                if i not in seen:
+                    seen.add(i)
+                    cands.append(i)
+            best = None  # (cost, candidate order position)
+            for pos, i in enumerate(cands):
+                cost = sum(
+                    dtw_distance(series_list[i], s, window=window)
+                    for s in series_list
+                )
+                if best is None or (cost, pos) < best[:2]:
+                    best = (cost, pos, i)
+            center = series_list[best[2]]
     center = np.asarray(center, dtype=np.float64).copy()
     for _ in range(max_it):
-        new_center = dba_update(center, series_list, window=window)
+        members = series_list
+        if (
+            nb_prob_samples is not None
+            and 0 < nb_prob_samples < len(series_list)
+        ):
+            dists = [
+                dtw_distance(center, s, window=window) for s in series_list
+            ]
+            worst = sorted(
+                range(len(series_list)), key=lambda i: (-dists[i], i)
+            )[:nb_prob_samples]
+            members = [series_list[i] for i in sorted(worst)]
+        new_center = dba_update(center, members, window=window)
         delta = float(np.max(np.abs(new_center - center)))
         center = new_center
         if delta <= thr:

@@ -388,3 +388,66 @@ class TestButterworthS2:
         np.testing.assert_allclose(got, K.filtfilt(b, a, x), rtol=1e-12)
         d = preprocessing.differencing(x, smooth=0.1)
         assert len(d) == 99 and np.isfinite(d).all()
+
+
+class TestDbaSampling:
+    """A1 signature parity: nb_initial_samples / nb_prob_samples."""
+
+    @staticmethod
+    def _members(seed=9, n=12, length=32):
+        rng = np.random.default_rng(seed)
+        base = np.sin(np.arange(length) / 3.0) * 10
+        return [base + rng.normal(0, 1.0, size=length) for _ in range(n)]
+
+    def test_prob_samples_full_equals_default(self):
+        ms = self._members()
+        a = K.dba(ms, max_it=5)
+        b = K.dba(ms, max_it=5, nb_prob_samples=len(ms))
+        c = K.dba(ms, max_it=5, nb_prob_samples=10_000)
+        assert np.array_equal(a, b) and np.array_equal(a, c)
+
+    def test_prob_samples_subset_deterministic_and_sane(self):
+        ms = self._members()
+        a = K.dba(ms, max_it=5, nb_prob_samples=4)
+        b = K.dba(ms, max_it=5, nb_prob_samples=4)
+        assert np.array_equal(a, b)
+        assert a.shape == K.dba(ms, max_it=5).shape
+        # still a barycenter-ish object: closer on average than a member
+        mean_d = np.mean([K.dtw_distance(a, m) for m in ms])
+        worst_member = max(
+            np.mean([K.dtw_distance(x, m) for m in ms]) for x in ms[:3]
+        )
+        assert mean_d < worst_member
+
+    def test_initial_samples_one_is_median_default(self):
+        ms = self._members()
+        assert np.array_equal(
+            K.dba(ms, max_it=3), K.dba(ms, max_it=3, nb_initial_samples=1)
+        )
+
+    def test_initial_samples_picks_lower_cost_start(self):
+        # plant an outlier at the median-length slot position so the
+        # default start is bad; multi-start must not do worse
+        ms = self._members()
+        ms[len(ms) // 2] = ms[len(ms) // 2] + 500.0
+
+        def cost(center):
+            return sum(K.dtw_distance(center, m) for m in ms)
+
+        c_multi = K.dba(ms, max_it=1, nb_initial_samples=6)
+        c_def = K.dba(ms, max_it=1)
+        assert cost(c_multi) <= cost(c_def) + 1e-9
+
+    def test_compat_passthrough(self):
+        from dtaidistance_spark.compat import dtw_barycenter
+
+        ms = self._members()
+        got = dtw_barycenter.dba_loop(
+            ms, max_it=4, nb_prob_samples=len(ms), nb_initial_samples=1
+        )
+        assert np.array_equal(got, K.dba(ms, max_it=4))
+        # mask parity
+        mask = [i % 2 == 0 for i in range(len(ms))]
+        got_m = dtw_barycenter.dba(ms, mask=mask, max_it=4)
+        want_m = K.dba([m for m, k in zip(ms, mask) if k], max_it=4)
+        assert np.array_equal(got_m, want_m)
