@@ -527,11 +527,13 @@ class HierarchicalTree:
 
 
 class LinkageTree:
-    """``ref:dtaidistance/clustering/hierarchical.py::LinkageTree``
-    (computation half; the matplotlib dendrogram wrapper stays out of
-    scope): ``fit(series)`` computes ``self.linkage`` in scipy Z-format.
-    Only single linkage is offered — the method whose merges are exactly
-    derivable from the engine's distributed (LB-pruned) pair set."""
+    """``ref:dtaidistance/clustering/hierarchical.py::LinkageTree``:
+    ``fit(series)`` computes ``self.linkage`` in scipy Z-format; the
+    dendrogram renders via ``plot`` (dependency-free SVG), ``to_newick``
+    and ``to_ascii`` — matplotlib is absent from this container, so the
+    SVG writer replaces upstream's canvas. Only single linkage is
+    offered — the method whose merges are exactly derivable from the
+    engine's distributed (LB-pruned) pair set."""
 
     def __init__(self, dists_fun=None, dists_options=None, method="single",
                  **_ignored):
@@ -569,6 +571,15 @@ class LinkageTree:
         if self.linkage is None:
             raise ValueError("call fit() first")
         return ascii_dendrogram(self.linkage, labels)
+
+    def plot(self, filename=None, labels=None, **_ignored) -> str:
+        """``LinkageTree.plot`` — SVG dendrogram (returns the SVG
+        string; writes it when ``filename`` is given)."""
+        from dtaidistance_spark.visualisation import plot_linkage
+
+        if self.linkage is None:
+            raise ValueError("call fit() first")
+        return plot_linkage(self.linkage, labels=labels, filename=filename)
 
 
 class KMedoids:
@@ -642,3 +653,27 @@ def subsequence_search(query, s, dists_options=None, **kw):
 
 
 subsequence.subsequence_search = subsequence_search
+
+
+# -- dtw_visualisation (SVG; matplotlib absent from the container) -----------
+
+
+def _plot_warping(s1, s2, path=None, filename=None, **kw):
+    """``ref:dtaidistance/dtw_visualisation.py::plot_warping`` surface
+    — returns/writes a standalone SVG instead of a matplotlib figure."""
+    from dtaidistance_spark.visualisation import plot_warping as _pw
+
+    return _pw(s1, s2, path=path, filename=filename, **kw)
+
+
+def _plot_warpingpaths(s1, s2, paths=None, path=None, filename=None, **kw):
+    """``ref:dtaidistance/dtw_visualisation.py::plot_warpingpaths``."""
+    from dtaidistance_spark.visualisation import plot_warpingpaths as _pwp
+
+    return _pwp(s1, s2, paths=paths, path=path, filename=filename, **kw)
+
+
+dtw_visualisation = types.SimpleNamespace(
+    plot_warping=_plot_warping,
+    plot_warpingpaths=_plot_warpingpaths,
+)
