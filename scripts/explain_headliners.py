@@ -123,8 +123,10 @@ def main() -> None:
         "bm25_topk (BM25 ranked retrieval, T25)",
         "explode -> per-(doc,term) tf; the vocabulary-sized df/idf "
         "table and the 1-row corpus stats BROADCAST onto the tf "
-        "stream; one global window rank for top-k. The only exchanges "
-        "are the tf aggregate and the final single-partition rank.",
+        "stream; global top-k is TakeOrderedAndProject (bounded "
+        "per-partition heaps, k-row merge — round 3 killed the former "
+        "single-partition window rank) with the 1..k rank derived on "
+        "the <=k survivors. The only exchange is the tf aggregate.",
         final_plan(reg["bm25_topk"](spark, SF)),
     ))
 
@@ -194,6 +196,54 @@ def main() -> None:
         "multi-bucket pairs before aggregation — the interval-bucketing "
         "join that keeps 100 TB of intervals off a quadratic theta join.",
         final_plan(reg["interval_overlap_join"](spark, SF)),
+    ))
+
+    sections.append((
+        "mann_kendall_scaled (TS14 scale tier)",
+        "ONE hash exchange onto the user key; S and the tied-pair count "
+        "come from the O(n log^2 n) merge-count kernel inside a single "
+        "Arrow MapInPandas (no quadratic HOF pair lists anywhere); the "
+        "201-pair sampled Sen estimator is codegen HOF arithmetic on "
+        "the same pass. Compare the twin mann_kendall_trend, whose "
+        "nested-lambda pair lists are the verification tier.",
+        final_plan(reg["mann_kendall_scaled"](spark, SF)),
+    ))
+
+    sections.append((
+        "spearman_scaled (TS15 scale tier)",
+        "series explode to rows; BOTH value-rank windows and the tie "
+        "count windows share ONE hash exchange on the pair key, then "
+        "one map-side-combinable sum aggregate — O(n log n) per series "
+        "vs the twin's per-row O(n^2) rank-counting HOFs; rho is "
+        "bit-equal to the twin (gated).",
+        final_plan(reg["spearman_scaled"](spark, SF)),
+    ))
+
+    sections.append((
+        "butterworth_smooth (S2 upstream-true zero-phase filter)",
+        "ONE shuffle onto the (user, event_type) series key; the "
+        "filtfilt kernel (odd padding + steady-state zi + "
+        "forward/backward order-2 recursion) runs in a single Arrow "
+        "MapInPandas; every smoothed double is bit-exact vs a DuckDB "
+        "list-fold of the identical float tree.",
+        final_plan(reg["butterworth_smooth"](spark, SF)),
+    ))
+
+    pdf_big = paa_series_df(spark, 500, length=64).persist()
+    pdf_big.count()
+    sections.append((
+        "dtw_pairs exhaustive past the broadcast cap (shuffle fallback)",
+        "above broadcast_max_series the salted all-pairs join pins to a "
+        "SHUFFLE hash join keyed on the salt bucket — NO "
+        "BroadcastExchange of the SX-exploded corpus (the round-2 "
+        "driver-OOM shape at scale), identical pair set (gated in "
+        "tests/test_pairs.py).",
+        final_plan(
+            P.dtw_pairs(
+                pdf_big, threshold=8000.0, window=8,
+                broadcast_max_series=256,
+            )
+        ),
     ))
 
     out = [
