@@ -1517,3 +1517,150 @@ def mann_kendall_scaled(spark, sf_dir):
         "sens_slope_est",
         F.expr(_MK_TREND).alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS16 — classical seasonal decomposition (trend / seasonal / remainder)
+# ---------------------------------------------------------------------------
+
+_DEC_P = 64  # the generator's planted period
+_DEC_H = _DEC_P // 2
+_DEC_CAP = 512
+
+# 128*trend[t] = sum(x[t-32..t+31]) + sum(x[t-31..t+32]) — the classical
+# centered 2x64-MA with half-weight ends, scaled to stay exact int64.
+_DEC_TREND_SPARK = (
+    f"transform(sequence({_DEC_H + 1}, n - {_DEC_H}), t ->"
+    f" aggregate(slice(xs, t - {_DEC_H}, {_DEC_P}), 0L,"
+    "  (a, x) -> a + CAST(x AS BIGINT))"
+    f" + aggregate(slice(xs, t - {_DEC_H - 1}, {_DEC_P}), 0L,"
+    "  (a, x) -> a + CAST(x AS BIGINT)))"
+)
+_DEC_TREND_DUCK = (
+    f"list_transform(range({_DEC_H + 1}, n - {_DEC_H - 1}), t ->"
+    f" list_sum(xs[t - {_DEC_H} : t + {_DEC_H - 1}])::BIGINT"
+    f" + list_sum(xs[t - {_DEC_H - 1} : t + {_DEC_H}])::BIGINT)"
+)
+# 128*detrended[t] (int64), indexed by interior offset i = t - 32
+_DEC_D128_SPARK = (
+    f"transform(sequence({_DEC_H + 1}, n - {_DEC_H}), t ->"
+    f" 128 * CAST(element_at(xs, CAST(t AS INT)) AS BIGINT)"
+    f" - element_at(tr, CAST(t - {_DEC_H} AS INT)))"
+)
+_DEC_D128_DUCK = (
+    f"list_transform(range({_DEC_H + 1}, n - {_DEC_H - 1}), t ->"
+    f" 128 * xs[t] - tr[t - {_DEC_H}])"
+)
+# per phase k: exact int64 sum + count of d128 over interior positions
+# with (t-1) % 64 == k, then one float division per phase
+_DEC_SEAS_SPARK = (
+    f"transform(sequence(0, {_DEC_P - 1}), k ->"
+    " CAST(aggregate("
+    f"   filter(sequence({_DEC_H + 1}, n - {_DEC_H}), t -> (t - 1) % {_DEC_P} = k),"
+    f"   0L, (a, t) -> a + element_at(d128, CAST(t - {_DEC_H} AS INT)))"
+    " AS DOUBLE) / CAST(size("
+    f"   filter(sequence({_DEC_H + 1}, n - {_DEC_H}), t -> (t - 1) % {_DEC_P} = k)"
+    ") AS DOUBLE))"
+)
+_DEC_SEAS_DUCK = (
+    f"list_transform(range(0, {_DEC_P}), k ->"
+    " CAST(list_sum(list_transform("
+    f"   list_filter(range({_DEC_H + 1}, n - {_DEC_H - 1}), t -> (t - 1) % {_DEC_P} = k),"
+    f"   t -> d128[t - {_DEC_H}]))::BIGINT"
+    " AS DOUBLE) / CAST(len("
+    f"   list_filter(range({_DEC_H + 1}, n - {_DEC_H - 1}), t -> (t - 1) % {_DEC_P} = k)"
+    ") AS DOUBLE))"
+)
+# center = left-fold mean of the 64 phase means (same order both engines;
+# 0.0 + s1 == s1 in IEEE for these non-negative-zero values)
+_DEC_C_SPARK = (
+    "aggregate(seas, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    f" / CAST({_DEC_P} AS DOUBLE)"
+)
+_DEC_C_DUCK = (
+    "list_reduce(seas, (a, v) -> a + v)"
+    f" / CAST({_DEC_P} AS DOUBLE)"
+)
+
+
+@register(
+    "seasonal_decompose",
+    oracle=synth_sql(_N)
+    + f"""
+    , dec0 AS (
+      SELECT doc_id,
+             tokens[1 : least(n_tok, {_DEC_CAP})] AS xs,
+             least(n_tok, {_DEC_CAP}) AS n
+      FROM synth WHERE n_tok >= {2 * _DEC_P}
+    ),
+    dec1 AS (SELECT doc_id, xs, n, {_DEC_TREND_DUCK} AS tr FROM dec0),
+    dec2 AS (SELECT *, {_DEC_D128_DUCK} AS d128 FROM dec1),
+    dec3 AS (SELECT *, {_DEC_SEAS_DUCK} AS seas FROM dec2),
+    dec4 AS (SELECT *, {_DEC_C_DUCK} AS c FROM dec3),
+    dec5 AS (
+      SELECT doc_id, c, seas, d128, tr,
+             unnest(range({_DEC_H + 1}, n - {_DEC_H - 1})) AS t
+      FROM dec4
+    )
+    SELECT doc_id, CAST(t AS INT) AS pos,
+           CAST(tr[t - {_DEC_H}] AS DOUBLE) / CAST(128 AS DOUBLE) AS trend,
+           (seas[((t - 1) % {_DEC_P}) + 1] - c) / CAST(128 AS DOUBLE)
+             AS seasonal,
+           (CAST(d128[t - {_DEC_H}] AS DOUBLE)
+             - (seas[((t - 1) % {_DEC_P}) + 1] - c)) / CAST(128 AS DOUBLE)
+             AS remainder
+    FROM dec5
+    """,
+)
+def seasonal_decompose(spark, sf_dir):
+    """TS16: classical seasonal decomposition at the generator's
+    planted period 64 — trend = centered 2x64 moving average
+    (half-weight ends, the textbook even-period convention), seasonal =
+    centered per-phase means of the detrended series, remainder = the
+    rest. Everything cross-row is EXACT int64 (the 2xMA is a sum of two
+    64-term integer sums; 128·detrended stays integer), so the only
+    float steps are one division per phase, the order-pinned 64-term
+    center fold, and the per-row output scalings — identical trees in
+    the DuckDB oracle, hence every trend/seasonal/remainder double
+    hash-matches bit-exactly (~95k rows). Zero shuffles: per-series
+    HOFs on the distributed generator, explode is a Generate node.
+    Scale note: the O(n·p) per-row slice sums are the verification
+    spelling; at longer n the same integers come from one cumsum window
+    (documented, same statistic)."""
+    df = synth.sequences_df(spark, _N).where(
+        F.col("n_tok") >= 2 * _DEC_P
+    ).select(
+        "doc_id",
+        F.expr(f"slice(tokens, 1, least(n_tok, {_DEC_CAP}))").alias("xs"),
+        F.expr(f"CAST(least(n_tok, {_DEC_CAP}) AS INT)").alias("n"),
+    )
+    df = df.withColumn("tr", F.expr(_DEC_TREND_SPARK))
+    df = df.withColumn("d128", F.expr(_DEC_D128_SPARK))
+    df = df.withColumn("seas", F.expr(_DEC_SEAS_SPARK))
+    df = df.withColumn("c", F.expr(_DEC_C_SPARK))
+    out = df.select(
+        "doc_id",
+        "c",
+        "seas",
+        "d128",
+        "tr",
+        F.posexplode(F.expr(f"sequence({_DEC_H + 1}, n - {_DEC_H})")).alias(
+            "_i", "t"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("t").cast("int").alias("pos"),
+        F.expr(
+            f"CAST(element_at(tr, _i + 1) AS DOUBLE) / CAST(128 AS DOUBLE)"
+        ).alias("trend"),
+        F.expr(
+            f"(element_at(seas, CAST((t - 1) % {_DEC_P} AS INT) + 1) - c)"
+            " / CAST(128 AS DOUBLE)"
+        ).alias("seasonal"),
+        F.expr(
+            f"(CAST(element_at(d128, _i + 1) AS DOUBLE)"
+            f" - (element_at(seas, CAST((t - 1) % {_DEC_P} AS INT) + 1) - c))"
+            " / CAST(128 AS DOUBLE)"
+        ).alias("remainder"),
+    )

@@ -634,3 +634,46 @@ def test_spearman_scaled_bit_equals_twin(spark):
         s = scaled[k]
         assert (s["doc_b"], s["n"]) == (t["doc_b"], t["n"])
         assert s["rho"] == t["rho"], k  # bit-exact, no tolerance
+
+
+def test_seasonal_decompose_matches_numpy(spark):
+    """TS16 == the textbook classical decomposition: trend = centered
+    2x64-MA with half-weight ends, seasonal = centered per-phase means
+    of detrended, remainder = rest; additivity holds exactly."""
+    out = REGISTRY["seasonal_decompose"](spark, SF)
+    rows = out.where(out.doc_id.isin("doc000000000002", "doc000000000005"))
+    got = {}
+    for r in rows.collect():
+        got.setdefault(r["doc_id"], {})[r["pos"]] = (
+            r["trend"], r["seasonal"], r["remainder"]
+        )
+    p, h = 64, 32
+    for i in (2, 5):
+        x = _tokens(i)[:512].astype(np.float64)
+        n = len(x)
+        if n < 2 * p:
+            assert f"doc{i:012d}" not in got
+            continue
+        # trend via convolution with the classical 2xMA kernel
+        kern = np.ones(p + 1) / p
+        kern[0] = kern[-1] = 1 / (2 * p)
+        trend = np.full(n, np.nan)
+        for t in range(h, n - h):
+            trend[t] = float(np.dot(kern, x[t - h : t + h + 1]))
+        detr = x - trend
+        seas_means = np.array([
+            np.nanmean(detr[np.arange(n) % p == k]) for k in range(p)
+        ])
+        seas_means -= seas_means.mean()
+        d = got[f"doc{i:012d}"]
+        assert len(d) == n - p
+        for t1 in sorted(d):
+            t0 = t1 - 1  # queries are 1-based positions
+            tr, se, re_ = d[t1]
+            assert tr == pytest.approx(trend[t0], rel=1e-12), (i, t1)
+            assert se == pytest.approx(seas_means[t0 % p], rel=1e-9, abs=1e-9)
+            assert re_ == pytest.approx(
+                detr[t0] - seas_means[t0 % p], rel=1e-9, abs=1e-9
+            )
+            # additivity: trend + seasonal + remainder == x exactly-ish
+            assert tr + se + re_ == pytest.approx(x[t0], rel=1e-12)
