@@ -210,6 +210,17 @@ dtw.DTWSettings = DTWSettings
 
 # -- ed ----------------------------------------------------------------------
 
+def _ed_distance_matrix(s, block=None, compact=False, only_triu=False,
+                        **_ignored):
+    """``ref:dtaidistance/ed.py::distance_matrix`` — same upper-triangle
+    / block / compact conventions as the dtw matrix."""
+    series = [np.asarray(x, dtype=np.float64) for x in s]
+    return _matrix_from_fn(
+        series, _K.ed_distance,
+        block=block, compact=compact, only_triu=only_triu,
+    )
+
+
 ed = types.SimpleNamespace(
     distance=lambda s1, s2: _K.ed_distance(
         np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64)
@@ -217,6 +228,8 @@ ed = types.SimpleNamespace(
     distance_fast=lambda s1, s2: _K.ed_distance(
         np.asarray(s1, dtype=np.float64), np.asarray(s2, dtype=np.float64)
     ),
+    distance_matrix=_ed_distance_matrix,
+    distance_matrix_fast=_ed_distance_matrix,
 )
 
 

@@ -237,3 +237,18 @@ def test_linkage_tree_newick_and_ascii():
     for leaf in "0123":
         assert f"{leaf}:" in nw2
     assert lt.to_ascii().count("\n") == 6
+
+
+def test_ed_distance_matrix_conventions():
+    """ed.distance_matrix mirrors the dtw matrix conventions (symmetric
+    mirror, zero diagonal, compact condensed entries)."""
+    from dtaidistance_spark.compat import ed
+
+    series = [np.array([0.0, 0, 0]), np.array([1.0, 1, 1]),
+              np.array([3.0, 3, 3])]
+    m = ed.distance_matrix(series)
+    assert m.shape == (3, 3) and np.allclose(np.diag(m), 0.0)
+    assert abs(m[0, 1] - np.sqrt(3.0)) < 1e-12
+    assert m[1, 0] == m[0, 1] and abs(m[0, 2] - np.sqrt(27.0)) < 1e-12
+    c = ed.distance_matrix(series, compact=True)
+    assert np.allclose(c, [m[0, 1], m[0, 2], m[1, 2]])
