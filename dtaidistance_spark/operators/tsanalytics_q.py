@@ -1664,3 +1664,116 @@ def seasonal_decompose(spark, sf_dir):
             " / CAST(128 AS DOUBLE)"
         ).alias("remainder"),
     )
+
+
+@register(
+    "seasonal_decompose_scaled",
+    oracle=synth_sql(_N)
+    + f"""
+    , dec0 AS (
+      SELECT doc_id,
+             tokens[1 : least(n_tok, {_DEC_CAP})] AS xs,
+             least(n_tok, {_DEC_CAP}) AS n
+      FROM synth WHERE n_tok >= {2 * _DEC_P}
+    ),
+    dec1 AS (SELECT doc_id, xs, n, {_DEC_TREND_DUCK} AS tr FROM dec0),
+    dec2 AS (SELECT *, {_DEC_D128_DUCK} AS d128 FROM dec1),
+    dec3 AS (SELECT *, {_DEC_SEAS_DUCK} AS seas FROM dec2),
+    dec4 AS (SELECT *, {_DEC_C_DUCK} AS c FROM dec3),
+    dec5 AS (
+      SELECT doc_id, c, seas, d128, tr,
+             unnest(range({_DEC_H + 1}, n - {_DEC_H - 1})) AS t
+      FROM dec4
+    )
+    SELECT doc_id, CAST(t AS INT) AS pos,
+           CAST(tr[t - {_DEC_H}] AS DOUBLE) / CAST(128 AS DOUBLE) AS trend,
+           (seas[((t - 1) % {_DEC_P}) + 1] - c) / CAST(128 AS DOUBLE)
+             AS seasonal,
+           (CAST(d128[t - {_DEC_H}] AS DOUBLE)
+             - (seas[((t - 1) % {_DEC_P}) + 1] - c)) / CAST(128 AS DOUBLE)
+             AS remainder
+    FROM dec5
+    """,
+)
+def seasonal_decompose_scaled(spark, sf_dir):
+    """TS16 SCALE tier: the identical decomposition computed ROW-
+    parallel — the twin's O(n·p) per-row slice sums become two framed
+    window sums over exploded rows, so per-row work is O(1) and a
+    million-point series costs a sort, not 64M interpreted HOF ops.
+
+    Plan: explode once; the two 64-row-frame integer sums (the 2×MA
+    halves) share ONE hash exchange on the doc key; the per-phase sums
+    ride a second exchange on (doc, phase); the 64 phase means fold
+    back per doc in phase order (the twin's exact float order) and
+    rejoin the rows on the doc key. All cross-row arithmetic stays
+    int64, the float tail is the twin's tree verbatim — every output
+    double is BIT-EQUAL to ``seasonal_decompose`` (gated) and the
+    oracle SQL is the twin's, so the driver hash must match too."""
+    base = (
+        synth.sequences_df(spark, _N)
+        .where(F.col("n_tok") >= 2 * _DEC_P)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(least(n_tok, {_DEC_CAP}) AS INT)").alias("n"),
+            F.posexplode(
+                F.expr(f"slice(tokens, 1, least(n_tok, {_DEC_CAP}))")
+            ).alias("_i", "x"),
+        )
+        .select(
+            "doc_id", "n", (F.col("_i") + 1).alias("t"),
+            F.col("x").cast("long").alias("x"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("t")
+    rows = base.select(
+        "doc_id",
+        "n",
+        "t",
+        "x",
+        (
+            F.sum("x").over(wd.rowsBetween(-_DEC_H, _DEC_H - 1))
+            + F.sum("x").over(wd.rowsBetween(-(_DEC_H - 1), _DEC_H))
+        ).alias("trend128"),
+    ).where(
+        (F.col("t") >= _DEC_H + 1) & (F.col("t") <= F.col("n") - _DEC_H)
+    )
+    rows = rows.select(
+        "doc_id",
+        "t",
+        ((F.col("t") - 1) % _DEC_P).alias("phase"),
+        (128 * F.col("x") - F.col("trend128")).alias("d128"),
+        "trend128",
+    )
+    wp = Window.partitionBy("doc_id", "phase")
+    rows = rows.withColumn(
+        "seas128",
+        F.sum("d128").over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp).cast("double"),
+    )
+    cper = (
+        rows.groupBy("doc_id", "phase")
+        .agg(F.first("seas128").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("phase", "s"))).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(ps, CAST(0 AS DOUBLE), (a, v) -> a + v.s)"
+                f" / CAST({_DEC_P} AS DOUBLE)"
+            ).alias("c"),
+        )
+    )
+    out = rows.join(cper, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("t").cast("int").alias("pos"),
+        F.expr(
+            "CAST(trend128 AS DOUBLE) / CAST(128 AS DOUBLE)"
+        ).alias("trend"),
+        F.expr("(seas128 - c) / CAST(128 AS DOUBLE)").alias("seasonal"),
+        F.expr(
+            "(CAST(d128 AS DOUBLE) - (seas128 - c)) / CAST(128 AS DOUBLE)"
+        ).alias("remainder"),
+    )

@@ -677,3 +677,20 @@ def test_seasonal_decompose_matches_numpy(spark):
             )
             # additivity: trend + seasonal + remainder == x exactly-ish
             assert tr + se + re_ == pytest.approx(x[t0], rel=1e-12)
+
+
+def test_seasonal_decompose_scaled_bit_equals_twin(spark):
+    """The window-sum scale tier must reproduce every trend/seasonal/
+    remainder double of the HOF twin bit-for-bit (same int64 sums, same
+    float tail)."""
+    twin = {
+        (r["doc_id"], r["pos"]): (r["trend"], r["seasonal"], r["remainder"])
+        for r in REGISTRY["seasonal_decompose"](spark, SF).collect()
+    }
+    scaled = {
+        (r["doc_id"], r["pos"]): (r["trend"], r["seasonal"], r["remainder"])
+        for r in REGISTRY["seasonal_decompose_scaled"](spark, SF).collect()
+    }
+    assert set(twin) == set(scaled) and len(twin) > 10_000
+    for k, tv in twin.items():
+        assert scaled[k] == tv, k  # bit-exact, no tolerance
