@@ -187,3 +187,57 @@ def test_stride_predicate_matches_python_sampler():
             if n <= m or ((i * m + n - 1) // n) * n < (i + 1) * m
         ]
         assert got == want, (n, m)
+
+
+# -- round-3 kernels ----------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=2, max_size=96))
+def test_mk_merge_count_equals_pair_sum(vals):
+    """mk_s_stat / mk_tied_pairs == the O(n^2) definitions on heavily
+    tied integer series of any length."""
+    v = np.asarray(vals, dtype=np.float64)
+    n = len(v)
+    s = sum(
+        int(np.sign(v[j] - v[i]))
+        for i in range(n - 1)
+        for j in range(i + 1, n)
+    )
+    t = sum(
+        1 for i in range(n - 1) for j in range(i + 1, n) if v[i] == v[j]
+    )
+    assert K.mk_s_stat(v) == s
+    assert K.mk_tied_pairs(v) == t
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=0.02, max_value=0.95),
+    st.floats(min_value=-1e3, max_value=1e3),
+    st.integers(12, 80),
+)
+def test_filtfilt_dc_exact_and_bounded(wn, c, n):
+    """For ANY cutoff: unity DC gain (constants pass through exactly to
+    float precision) and BIBO stability (output bounded by a modest
+    multiple of the input range) through the full filtfilt recipe."""
+    b, a = K.butter2_lowpass(wn)
+    # poles strictly inside the unit circle (stability)
+    roots = np.roots(a)
+    assert np.all(np.abs(roots) < 1.0 - 1e-12)
+    y = K.filtfilt(b, a, np.full(n, c))
+    np.testing.assert_allclose(y, c, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(finite, min_size=10, max_size=60))
+def test_lfilter_zi_step_steady_state(xs):
+    """lfilter with zi scaled by the first sample starts in steady state:
+    prepending ANY constant run of the first value changes nothing."""
+    x = np.asarray(xs, dtype=np.float64)
+    b, a = K.butter2_lowpass(0.3)
+    zi = K.lfilter_zi(b, a)
+    y1, _ = K.lfilter(b, a, x, zi=zi * x[0])
+    ext = np.concatenate([np.full(7, x[0]), x])
+    y2, _ = K.lfilter(b, a, ext, zi=zi * x[0])
+    np.testing.assert_allclose(y1, y2[7:], rtol=1e-9, atol=1e-9)
