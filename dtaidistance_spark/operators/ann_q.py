@@ -57,19 +57,20 @@ def ann_ivf_topk(spark, sf_dir):
     ann_ivf_recall)."""
     emb = T(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < _NQ)
-    return A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=6)
+    return A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=8)
 
 
 @register("ann_ivf_recall")
 def ann_ivf_recall(spark, sf_dir):
     """Measured recall@10 of the IVF tier vs the exact tier (same
     worst-case-corpus caveat as ann_lsh_recall: near-uniform synthetic
-    embeddings blunt every space-partitioning index; n_probe=6 of
-    n_list=16 trades a 2.7x candidate cut for high recall here, while
-    clustered real corpora run n_probe/n_list ~ 1/100)."""
+    embeddings blunt every space-partitioning index; n_probe=8 of
+    n_list=16 trades a 2x candidate cut for 0.8625/0.7375 measured
+    recall at sf0.001/sf0.01, while clustered real corpora run
+    n_probe/n_list ~ 1/100)."""
     emb = T(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < _NQ)
-    approx = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=6)
+    approx = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=8)
     exact = A.brute_cosine_topk(emb, qs, k=10)
     return A.recall_at_k(approx, exact, k=10)
 
@@ -96,7 +97,7 @@ def _recall_check(spark, sf_dir, tier: str, floor: float):
     if tier == "lsh":
         approx = A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=16, n_planes=4)
     else:
-        approx = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=6)
+        approx = A.ivf_cosine_topk(emb, qs, dim=64, k=10, n_list=16, n_probe=8)
     exact = A.brute_cosine_topk(emb, qs, k=10)
     rec = A.recall_at_k(approx, exact, k=10)
     return rec.select(
@@ -121,14 +122,14 @@ def ann_lsh_recall_check(spark, sf_dir):
 
 @register(
     "ann_ivf_recall_check",
-    oracle="SELECT 'ivf' AS tier, 0.55 AS floor, true AS met",
+    oracle="SELECT 'ivf' AS tier, 0.65 AS floor, true AS met",
 )
 def ann_ivf_recall_check(spark, sf_dir):
-    """IVF tier recall floor (measured 0.7625 at sf0.001, 0.65 at
-    sf0.01 with n_probe=6/n_list=16 on the near-uniform synthetic
+    """IVF tier recall floor (measured 0.8625 at sf0.001, 0.7375 at
+    sf0.01 with n_probe=8/n_list=16 on the near-uniform synthetic
     embeddings — the worst case for space partitioning; clustered real
     corpora do far better at far lower probe fractions)."""
-    return _recall_check(spark, sf_dir, "ivf", 0.55)
+    return _recall_check(spark, sf_dir, "ivf", 0.65)
 
 
 def _ivfpq(emb, qs):
