@@ -397,3 +397,78 @@ def stream_sink_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_gapfill_locf",
+    oracle="""
+    WITH hm AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hm GROUP BY 1),
+    grid AS (
+      SELECT s.user_id,
+             unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR)) AS hour
+      FROM sp s
+    ),
+    j AS (
+      SELECT g.user_id, g.hour, hm.v
+      FROM grid g LEFT JOIN hm
+        ON hm.user_id = g.user_id AND hm.h = g.hour
+    )
+    SELECT user_id, hour,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+    FROM j
+    """,
+)
+def stream_gapfill_locf_q(spark, sf_dir):
+    """R12-as-a-stream: continuous stateful LOCF gap-fill
+    (``streaming/continuous.stream_gapfill_locf`` —
+    applyInPandasWithState, per-user hourly (sum, count) state,
+    event-time-timeout emission of the complete filled series exactly
+    once). Replayed over the events table and drained with availableNow
+    + the far-future closer batch, the emitted rows equal the per-user
+    batch gap-fill SQL exactly: hourly-mean grid from each user's first
+    to last observed hour, last observation carried forward across
+    interior gaps."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark.streaming import continuous as S
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_gapfill_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            S.stream_gapfill_locf(stream, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        # far-future closer in its OWN micro-batch: advances the
+        # watermark past every user's last hour so every key times out
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, 0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -273,3 +273,116 @@ def stream_to_tableio(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_gapfill_locf(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    continuous LOCF gap-fill — the streaming form of the batch
+    ``gapfill_locf`` grid query, per-user semantics (R12 as a stream).
+
+    Per user the state accumulates hourly (sum, count) pairs as
+    micro-batches fold in; an EVENT-TIME timeout fires once the
+    watermark passes the user's last observed hour, at which point the
+    user emits their complete filled series exactly once — the hourly
+    grid from their FIRST to their LAST observed hour with hourly means
+    where data exists and the last observation carried forward across
+    interior gaps (no leading NULLs, no unbounded trailing fill: the
+    well-defined per-user window). Append semantics; late rows beyond
+    the watermark never reach the operator.
+
+    Bounded state: one (int64, float64, int64) triple per DISTINCT
+    observed hour per user — days of data are a few hundred triples.
+    Means round HALF_UP to 4 decimals exactly like the batch query's
+    ``F.round``, so the drained stream equals the per-user batch SQL
+    (the ``stream_gapfill_locf`` registry oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts_col).alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    hour_us = 3_600_000_000
+
+    def _round4_half_up(x: float) -> float:
+        import math
+
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 10_000.0 + 0.5) / 10_000.0
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            hours, sums, cnts = state.get
+            state.remove()
+            order = np.argsort(np.asarray(hours, dtype=np.int64))
+            hs = [int(hours[i]) for i in order]
+            means = {
+                h: _round4_half_up(float(sums[i]) / float(cnts[i]))
+                for h, i in zip(hs, order)
+            }
+            grid = list(range(hs[0], hs[-1] + hour_us, hour_us))
+            out_h, out_v = [], []
+            last = None
+            for g in grid:
+                if g in means:
+                    last = means[g]
+                out_h.append(g)
+                out_v.append(last)
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(grid), uid, dtype=np.int64),
+                    "hour": pd.to_datetime(np.asarray(out_h), unit="us"),
+                    "v_locf": np.asarray(out_v, dtype=np.float64),
+                }
+            )
+            return
+        if state.exists:
+            hours, sums, cnts = state.get
+            acc = {
+                int(h): (float(s), int(c))
+                for h, s, c in zip(hours, sums, cnts)
+            }
+        else:
+            acc = {}
+        for pdf in pdfs:
+            hus = pdf["h"].astype("int64") // 1000  # ns -> us
+            for h, v in zip(hus, pdf["v"]):
+                s, c = acc.get(int(h), (0.0, 0))
+                acc[int(h)] = (s + float(v), c + 1)
+        hours = sorted(acc)
+        state.update(
+            (
+                [int(h) for h in hours],
+                [acc[h][0] for h in hours],
+                [int(acc[h][1]) for h in hours],
+            )
+        )
+        # fire once the watermark passes the last observed hour's end
+        end_ms = (hours[-1] + hour_us) // 1000
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — make fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, hour timestamp, v_locf double",
+        stateStructType=(
+            "hours array<long>, sums array<double>, cnts array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -218,3 +218,66 @@ def test_tableio_sink_exactly_once_replay(spark, tmp_path):
     snaps = [s for s in t.snapshots() if s["op"] == "stream"]
     assert len(snaps) == 2
     assert t.properties()["last_committed_batch"] == 1
+
+
+def test_stream_gapfill_locf_hand_case(spark, tmp_path):
+    """Two users with interior gaps: user 1 has hours 0,1,4 (gap 2-3
+    filled with hour-1's mean), user 2 has hours 2,3 only. Grid spans
+    each user's own first..last hour; means aggregate across
+    micro-batches; every user emits exactly once."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2024, 3, 1)
+
+    def ev(hour, minute, uid, val):
+        return (datetime(2024, 3, 1, hour, minute), uid, val)
+
+    # two separate files -> two micro-batches (maxFilesPerTrigger=1):
+    # hour-1 mean (10+30)/2 must combine across batches
+    batch1 = [ev(0, 5, 1, 4.0), ev(1, 10, 1, 10.0), ev(2, 0, 2, 7.0)]
+    batch2 = [ev(1, 50, 1, 30.0), ev(4, 20, 1, 2.5), ev(3, 30, 2, 9.0)]
+    schema = "ts timestamp, user_id long, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            S.stream_gapfill_locf(stream, watermark="10 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(
+        [(datetime(2030, 1, 1), -1, 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    rows = (
+        spark.read.parquet(sink).where(F.col("user_id") >= 0)
+        .orderBy("user_id", "hour").collect()
+    )
+    got = [(r["user_id"], r["hour"].hour, r["v_locf"]) for r in rows]
+    assert got == [
+        (1, 0, 4.0),
+        (1, 1, 20.0),   # (10+30)/2 across two micro-batches
+        (1, 2, 20.0),   # interior gap: LOCF
+        (1, 3, 20.0),   # interior gap: LOCF
+        (1, 4, 2.5),
+        (2, 2, 7.0),
+        (2, 3, 9.0),
+    ]
+    # exactly once per (user, hour)
+    assert len({(u, h) for u, h, _ in got}) == len(got)
