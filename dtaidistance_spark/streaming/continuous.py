@@ -357,7 +357,9 @@ def stream_gapfill_locf(
         else:
             acc = {}
         for pdf in pdfs:
-            hus = pdf["h"].astype("int64") // 1000  # ns -> us
+            # pin the resolution explicitly: pandas may hand Arrow
+            # timestamps back as [ns] or [us] depending on version
+            hus = pdf["h"].astype("datetime64[us]").astype("int64")
             for h, v in zip(hus, pdf["v"]):
                 s, c = acc.get(int(h), (0.0, 0))
                 acc[int(h)] = (s + float(v), c + 1)
