@@ -472,3 +472,94 @@ def stream_gapfill_locf_q(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_gapfill_linear",
+    oracle="""
+    WITH hm AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hm GROUP BY 1),
+    grid AS (
+      SELECT s.user_id,
+             unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR)) AS hour
+      FROM sp s
+    ),
+    j AS (
+      SELECT g.user_id, g.hour AS h, hm.v
+      FROM grid g LEFT JOIN hm
+        ON hm.user_id = g.user_id AND hm.h = g.hour
+    ),
+    f AS (
+      SELECT user_id, h, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+          last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v_next,
+          first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t_next
+      FROM j
+    )
+    SELECT user_id, h AS hour,
+        round(CASE
+            WHEN v IS NOT NULL THEN v
+            ELSE v_prev + (v_next - v_prev)
+                * ((epoch(h) - epoch(t_prev)) / (epoch(t_next) - epoch(t_prev)))
+        END + 1e-9, 4) AS v_lin
+    FROM f
+    """,
+)
+def stream_gapfill_linear_q(spark, sf_dir):
+    """R11-as-a-stream: the linear-interpolation twin of
+    ``stream_gapfill_locf`` — same stateful operator in mode='linear',
+    emitting each user's complete filled series exactly once with
+    interior gaps interpolated between the neighbouring hourly means
+    using the batch query's exact float tree (+1e-9 boundary nudge;
+    every interior hour has both neighbours by construction, so the
+    LOCF fallback arm never fires and the oracle needs no ELSE)."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark.streaming import continuous as S
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_gapfill_lin_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            S.stream_gapfill_locf(
+                stream, watermark="30 minutes", mode="linear"
+            )
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, 0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+        return detach(
+            spark, out.select("user_id", "hour", F.col("v_locf").alias("v_lin"))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

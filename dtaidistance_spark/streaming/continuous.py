@@ -281,10 +281,17 @@ def stream_gapfill_locf(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    mode: str = "locf",
 ) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
-    continuous LOCF gap-fill — the streaming form of the batch
-    ``gapfill_locf`` grid query, per-user semantics (R12 as a stream).
+    continuous gap-fill — the streaming form of the batch
+    ``gapfill_locf``/``gapfill_linear`` grid queries, per-user semantics
+    (R12 as a stream). ``mode='locf'`` carries the last observation
+    forward; ``mode='linear'`` interpolates interior gaps between the
+    neighbouring hourly means with the batch query's exact float tree
+    (ratio of integer hour offsets, +1e-9 boundary nudge, HALF_UP
+    round to 4 — every interior hour has both neighbours by
+    construction, so no LOCF fallback arm is ever taken).
 
     Per user the state accumulates hourly (sum, count) pairs as
     micro-batches fold in; an EVENT-TIME timeout fires once the
@@ -334,12 +341,30 @@ def stream_gapfill_locf(
             }
             grid = list(range(hs[0], hs[-1] + hour_us, hour_us))
             out_h, out_v = [], []
-            last = None
-            for g in grid:
-                if g in means:
-                    last = means[g]
-                out_h.append(g)
-                out_v.append(last)
+            if mode == "linear":
+                nxt = 0  # index of the next observed hour >= g
+                for g in grid:
+                    if g in means:
+                        v = _round4_half_up(means[g] + 1e-9)
+                        nxt += 1
+                    else:
+                        hp, hn = hs[nxt - 1], hs[nxt]
+                        vp, vn = means[hp], means[hn]
+                        # the batch oracle's tree: vp + (vn-vp)*ratio
+                        v = _round4_half_up(
+                            vp
+                            + (vn - vp) * (float(g - hp) / float(hn - hp))
+                            + 1e-9
+                        )
+                    out_h.append(g)
+                    out_v.append(v)
+            else:
+                last = None
+                for g in grid:
+                    if g in means:
+                        last = means[g]
+                    out_h.append(g)
+                    out_v.append(last)
             yield pd.DataFrame(
                 {
                     "user_id": np.full(len(grid), uid, dtype=np.int64),

@@ -281,3 +281,51 @@ def test_stream_gapfill_locf_hand_case(spark, tmp_path):
     ]
     # exactly once per (user, hour)
     assert len({(u, h) for u, h, _ in got}) == len(got)
+
+
+def test_stream_gapfill_linear_hand_case(spark, tmp_path):
+    """mode='linear': the 2-hour interior gap between means 20.0 (hour
+    1) and 2.5 (hour 4) interpolates at 1/3 and 2/3."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long, value double"
+    rows = [
+        (datetime(2024, 3, 1, 0, 5), 1, 4.0),
+        (datetime(2024, 3, 1, 1, 10), 1, 10.0),
+        (datetime(2024, 3, 1, 1, 50), 1, 30.0),
+        (datetime(2024, 3, 1, 4, 20), 1, 2.5),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            S.stream_gapfill_locf(stream, watermark="10 minutes",
+                                  mode="linear")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(
+        [(datetime(2030, 1, 1), -1, 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = [
+        (r["hour"].hour, r["v_locf"])
+        for r in spark.read.parquet(sink).where(F.col("user_id") >= 0)
+        .orderBy("hour").collect()
+    ]
+    # 20 -> 2.5 over 3 hours: 20 - 17.5/3 = 14.1667, - 2*17.5/3 = 8.3333
+    assert got == [
+        (0, 4.0), (1, 20.0), (2, 14.1667), (3, 8.3333), (4, 2.5)
+    ]
