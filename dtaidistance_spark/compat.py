@@ -167,6 +167,11 @@ dtw = types.SimpleNamespace(
         **kw,
     ),
     warping_amount=_K.warping_amount,
+    warping_path_fast=lambda from_s, to_s, **kw: _K.warping_path(
+        np.asarray(from_s, dtype=np.float64),
+        np.asarray(to_s, dtype=np.float64),
+        **kw,
+    ),
     warping_paths_fast=lambda s1, s2, **kw: _K.warping_paths(
         np.asarray(s1, dtype=np.float64),
         np.asarray(s2, dtype=np.float64),
@@ -351,7 +356,28 @@ def _distance_to_similarity(D, r=None, method="exponential"):
     raise ValueError(f"unknown method: {method}")
 
 
-similarity = types.SimpleNamespace(distance_to_similarity=_distance_to_similarity)
+def _squash(X, r=None, base=None, x0=None, method="logistic"):
+    """``ref:dtaidistance/similarity.py::squash`` — squash values
+    toward [0, 1): logistic 1/(1+exp(-(x-x0)/r)) or exponential
+    1-exp(-x/r) ([VERIFY] exact upstream defaults once the mount is
+    populated; the shape/monotonicity contract is gated)."""
+    X = np.asarray(X, dtype=np.float64)
+    finite = X[np.isfinite(X)]
+    if r is None:
+        r = float(finite.std()) or 1.0 if len(finite) else 1.0
+    if x0 is None:
+        x0 = float(finite.mean()) if len(finite) else 0.0
+    if method == "logistic":
+        return 1.0 / (1.0 + np.exp(-(X - x0) / r))
+    if method in ("exponential", "exp"):
+        return 1.0 - np.exp(-X / r)
+    raise ValueError(f"unknown method: {method}")
+
+
+similarity = types.SimpleNamespace(
+    distance_to_similarity=_distance_to_similarity,
+    squash=_squash,
+)
 
 alignment = types.SimpleNamespace(
     needleman_wunsch=lambda s1, s2, **kw: _K.needleman_wunsch(s1, s2, **kw),

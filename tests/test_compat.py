@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 
 from dtaidistance_spark.compat import (
     alignment,
@@ -252,3 +253,20 @@ def test_ed_distance_matrix_conventions():
     assert m[1, 0] == m[0, 1] and abs(m[0, 2] - np.sqrt(27.0)) < 1e-12
     c = ed.distance_matrix(series, compact=True)
     assert np.allclose(c, [m[0, 1], m[0, 2], m[1, 2]])
+
+
+def test_similarity_squash_and_fast_aliases():
+    import numpy as np
+
+    from dtaidistance_spark.compat import dtw, similarity
+
+    X = np.array([0.0, 1.0, 2.0, 5.0])
+    sq = similarity.squash(X, r=1.0, x0=1.0, method="logistic")
+    assert np.all((0 < sq) & (sq < 1)) and np.all(np.diff(sq) > 0)
+    assert sq[1] == pytest.approx(0.5)
+    ex = similarity.squash(X, r=2.0, method="exponential")
+    assert ex[0] == 0.0 and np.all(np.diff(ex) > 0) and ex[-1] < 1.0
+    # *_fast aliases delegate to the same kernels
+    p1 = dtw.warping_path([0.0, 1, 2], [0.0, 2, 2])
+    p2 = dtw.warping_path_fast([0.0, 1, 2], [0.0, 2, 2])
+    assert p1 == p2
