@@ -327,3 +327,80 @@ def test_substring_dedup_exact_span(spark, tmp_path):
     out = REGISTRY["substring_dedup_spans"](spark, p).collect()
     spans = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"]) for r in out}
     assert spans == {(0, 3, 9, 6), (1, 3, 9, 6)}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (T31): python-reference register parity, estimate accuracy,
+# merge == union, and the small-range linear-counting branch.
+# ---------------------------------------------------------------------------
+
+
+def _hll_py(values, m=256):
+    """Independent python HLL: same md5 hash/index/rho contract."""
+    import hashlib
+
+    regs = [0] * m
+    for v in values:
+        hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = hv % m
+        q = hv // m
+        rho = 53 if q == 0 else 53 - q.bit_length()
+        regs[idx] = max(regs[idx], rho)
+    return regs
+
+
+def _hll_est(regs, m=256):
+    import math
+
+    s = 0.0
+    for r in regs:
+        s += 1.0 / (1 << r)
+    raw = 0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 / s
+    v = regs.count(0)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def test_hll_registers_match_python_reference(spark):
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.sketch_q import _HLL_N
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["hll_distinct"](spark, "unused").collect()
+    }
+    pdf = synth.sequences_local(_HLL_N)
+    for src in ("web", "code", "books"):
+        vals = [
+            t for toks, s in zip(pdf["tokens"], pdf["source"])
+            if s == src for t in toks
+        ]
+        regs = _hll_py(vals)
+        import hashlib
+
+        md5 = hashlib.md5(",".join(map(str, regs)).encode()).hexdigest()
+        assert rows[src]["reg_md5"] == md5
+        assert rows[src]["reg_sum"] == sum(regs)
+        assert abs(rows[src]["est"] - _hll_est(regs)) < 1e-3
+        # m=256 HLL standard error is 1.04/sqrt(256) = 6.5%; allow 4 sigma
+        true = len(set(vals))
+        assert abs(rows[src]["est"] - true) / true < 0.26
+
+
+def test_hll_merge_equals_union(spark):
+    row = REGISTRY["hll_union_check"](spark, "unused").collect()[0]
+    assert row["union_equals_direct"] is True
+    assert row["n_sources"] == 3
+    assert row["merged_md5"] == row["direct_md5"]
+    # merged estimate within 4 sigma of the true global distinct count
+    assert abs(row["est_merged"] - row["true_distinct"]) / row["true_distinct"] < 0.26
+
+
+def test_hll_small_range_linear_counting():
+    # 10 distinct values: raw HLL over-corrects; linear counting kicks in
+    regs = _hll_py(range(10))
+    est = _hll_est(regs)
+    assert abs(est - 10) < 2.5  # ln-based small-range estimate is tight
+    # and the branch actually fired (v_zero > 0, raw <= 640)
+    assert regs.count(0) > 0
