@@ -449,3 +449,109 @@ def cohort_retention(spark, sf_dir):
     return out.withColumn("cohort_size", F.max("n_active").over(w)).select(
         "cohort_week", "week_no", "n_active", "cohort_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# TS17 — Holt-Winters seasonal (triple-exponential) smoothing, additive,
+# period m = 8, alpha = beta = gamma = 1/2 (bit-exact list-state fold).
+#
+# Same exactness recipe as Holt (module docstring): every update is a
+# half-sum, so the 10-state recursion [level, trend, s1..s8] walks an
+# identical IEEE op sequence in Spark `aggregate` and DuckDB
+# `list_reduce`. Init follows the classical convention: level = mean of
+# the first period (an integer sum / 8 — exact), trend = 0, seasonals =
+# first-period deviations. The season ring rotates so that s1 always
+# applies to the NEXT observation, hence forecast1 = level + trend + s1.
+# Zero shuffles — the fold runs inside the scan projection.
+# ---------------------------------------------------------------------------
+
+_HW_L1_SPARK = (
+    "((x - element_at(s, 3)) + (element_at(s, 1) + element_at(s, 2)))"
+    " / CAST(2 AS DOUBLE)"
+)
+
+_HW_SPARK = f"""
+aggregate(
+  slice(transform(tokens, t -> CAST(t AS DOUBLE)), 9, n_tok - 8),
+  array(l0, CAST(0 AS DOUBLE),
+        CAST(element_at(tokens, 1) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 2) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 3) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 4) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 5) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 6) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 7) AS DOUBLE) - l0,
+        CAST(element_at(tokens, 8) AS DOUBLE) - l0),
+  (s, x) -> array(
+    {_HW_L1_SPARK},
+    (element_at(s, 2) + ({_HW_L1_SPARK} - element_at(s, 1)))
+      / CAST(2 AS DOUBLE),
+    element_at(s, 4), element_at(s, 5), element_at(s, 6),
+    element_at(s, 7), element_at(s, 8), element_at(s, 9),
+    element_at(s, 10),
+    ((x - ({_HW_L1_SPARK})) + element_at(s, 3)) / CAST(2 AS DOUBLE)))
+"""
+
+_HW_L1_DUCK = "((e[1] - s[3]) + (s[1] + s[2])) / CAST(2 AS DOUBLE)"
+
+_HW_DUCK = f"""
+list_reduce(list_prepend(
+  [l0, CAST(0 AS DOUBLE),
+   tokens[1]::DOUBLE - l0, tokens[2]::DOUBLE - l0,
+   tokens[3]::DOUBLE - l0, tokens[4]::DOUBLE - l0,
+   tokens[5]::DOUBLE - l0, tokens[6]::DOUBLE - l0,
+   tokens[7]::DOUBLE - l0, tokens[8]::DOUBLE - l0],
+  list_transform(tokens[9:n_tok], t -> [t::DOUBLE])),
+  (s, e) -> [
+    {_HW_L1_DUCK},
+    (s[2] + ({_HW_L1_DUCK} - s[1])) / CAST(2 AS DOUBLE),
+    s[4], s[5], s[6], s[7], s[8], s[9], s[10],
+    ((e[1] - ({_HW_L1_DUCK})) + s[3]) / CAST(2 AS DOUBLE)])
+"""
+
+# DuckDB `st[k]` is 1-based; Spark's bracket indexing is 0-based, so the
+# Spark projection uses element_at (1-based) for the identical columns.
+_HW_OUT = (
+    "st[1] AS level, st[2] AS trend, st[1] + st[2] + st[3] AS forecast1, "
+    "st[3] AS s1, st[4] AS s2, st[5] AS s3, st[6] AS s4, "
+    "st[7] AS s5, st[8] AS s6, st[9] AS s7, st[10] AS s8"
+)
+
+_HW_OUT_SPARK = [
+    "element_at(st, 1) AS level",
+    "element_at(st, 2) AS trend",
+    "element_at(st, 1) + element_at(st, 2) + element_at(st, 3) AS forecast1",
+] + [f"element_at(st, {k + 2}) AS s{k}" for k in range(1, 9)]
+
+
+@register(
+    "holt_winters_smooth",
+    oracle=synth_sql(_N)
+    + f"""
+    , hw0 AS (
+      SELECT doc_id, n_tok, tokens,
+        (tokens[1]+tokens[2]+tokens[3]+tokens[4]
+         +tokens[5]+tokens[6]+tokens[7]+tokens[8])::DOUBLE
+          / CAST(8 AS DOUBLE) AS l0
+      FROM synth
+    ),
+    hw AS (SELECT doc_id, n_tok, {_HW_DUCK} AS st FROM hw0)
+    SELECT doc_id, n_tok, {_HW_OUT} FROM hw
+    """,
+)
+def holt_winters_smooth(spark, sf_dir):
+    """TS17: Holt-Winters additive seasonal smoothing per series at
+    period 8 — level, trend, the one-step forecast level+trend+s1, and
+    all eight terminal seasonal components, every double bit-identical
+    across engines (no rounding tolerance anywhere; see the section
+    comment for the init/rotation conventions)."""
+    df = synth.sequences_df(spark, _N).withColumn(
+        "l0",
+        F.expr(
+            "CAST(aggregate(slice(tokens, 1, 8), CAST(0 AS BIGINT),"
+            " (a, t) -> a + t) AS DOUBLE) / CAST(8 AS DOUBLE)"
+        ),
+    )
+    return df.select(
+        "doc_id", "n_tok", F.expr(_HW_SPARK).alias("st")
+    ).selectExpr("doc_id", "n_tok", *_HW_OUT_SPARK)

@@ -166,6 +166,36 @@ def test_holt_bitwise_fold_parity(spark):
         assert struct.pack("<d", r["forecast1"]) == struct.pack("<d", l + b)
 
 
+def test_holt_winters_bitwise_fold_parity(spark):
+    """TS17: the 10-state [level, trend, s1..s8] recursion at period 8,
+    alpha=beta=gamma=1/2, replayed in pure python with the exact IEEE op
+    order of the SQL fold — every output double must be bit-identical."""
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    out = REGISTRY["holt_winters_smooth"](spark, SF)
+    rows = {r["doc_id"]: r for r in out.where(
+        out.doc_id.isin("doc000000000001", "doc000000000050")).collect()}
+    for i in (1, 50):
+        x = _tokens(i).astype(np.float64)
+        l0 = float(int(x[:8].sum())) / 8.0  # int64 sum then one /8, exact
+        l, b = l0, 0.0
+        season = [float(v) - l0 for v in x[:8]]  # s applies to NEXT obs
+        for v in x[8:]:
+            l2 = ((float(v) - season[0]) + (l + b)) / 2.0
+            b = (b + (l2 - l)) / 2.0
+            s_new = ((float(v) - l2) + season[0]) / 2.0
+            season = season[1:] + [s_new]
+            l = l2
+        r = rows[f"doc{i:012d}"]
+        assert struct.pack("<d", r["level"]) == struct.pack("<d", l)
+        assert struct.pack("<d", r["trend"]) == struct.pack("<d", b)
+        assert struct.pack("<d", r["forecast1"]) == struct.pack(
+            "<d", l + b + season[0])
+        for k in range(8):
+            assert struct.pack("<d", r[f"s{k + 1}"]) == struct.pack(
+                "<d", season[k]), (i, k)
+
+
 def test_twa_hand_case(spark, tmp_path):
     """value 0 held for 3s then 12 held for 1s -> twa = (0*3 + 12*1)/4 = 3."""
     from datetime import datetime
