@@ -555,3 +555,143 @@ def holt_winters_smooth(spark, sf_dir):
     return df.select(
         "doc_id", "n_tok", F.expr(_HW_SPARK).alias("st")
     ).selectExpr("doc_id", "n_tok", *_HW_OUT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# TS18 — OHLC / candlestick aggregate (TimescaleDB `candlestick_agg`):
+# open/high/low/close per (event_type, day). Open/close are selected by
+# the total order (ts, event_id) — microsecond ties broken by event_id —
+# via two row_number windows sharing one hash shuffle on the bucket key.
+# High/low/n are order-free; the volume sum is the one cross-row float
+# fold, so it alone carries round(6) (module-docstring rationale).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_candlestick",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+             epoch_us(ts) AS tu, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY tu, event_id) AS rn1,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY tu DESC, event_id DESC) AS rn2
+      FROM s
+    )
+    SELECT event_type, bucket,
+           count(*) AS n_events,
+           max(CASE WHEN rn1 = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn2 = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ohlc_candlestick(spark, sf_dir):
+    """TS18: candlestick_agg analog — first/last (by the (ts, event_id)
+    total order), min/max, count, and value-volume per event_type per
+    day. open/high/low/close hash-match with NO tolerance (selection,
+    not arithmetic); only the volume sum is rounded. Plan: one shuffle
+    onto (event_type, day); both row_number windows and the final
+    aggregate reuse that exchange."""
+    ev = T(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("bucket"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_id",
+        "value",
+    )
+    wkey = ["event_type", "bucket"]
+    w1 = Window.partitionBy(*wkey).orderBy("tu", "event_id")
+    w2 = Window.partitionBy(*wkey).orderBy(
+        F.col("tu").desc(), F.col("event_id").desc()
+    )
+    r = s.withColumn("rn1", F.row_number().over(w1)).withColumn(
+        "rn2", F.row_number().over(w2)
+    )
+    return r.groupBy(*wkey).agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn1") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn2") == 1, F.col("value"))).alias("close"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS19 — state aggregate (TimescaleDB `state_agg` / `duration_in`):
+# LOCF state semantics — each event's type is the user's state until the
+# next event of ANY type — so duration-in-state is the lead() delta
+# summed per (user, state), and n_entries counts transitions INTO the
+# state (lag() change points). Pure integer-microsecond arithmetic:
+# every output column hash-matches with no tolerance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "state_durations",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, event_type
+      FROM events
+    ),
+    l AS (
+      SELECT *,
+        lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS nxt,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+          AS prev_state
+      FROM s
+    )
+    SELECT user_id, event_type AS state,
+           count(*) AS n_events,
+           sum(CASE WHEN prev_state IS NULL
+                     OR prev_state <> event_type THEN 1 ELSE 0 END)::BIGINT
+             AS n_entries,
+           sum(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - tu END)::BIGINT
+             AS duration_us
+    FROM l GROUP BY user_id, event_type
+    """,
+)
+def state_durations(spark, sf_dir):
+    """TS19: state_agg / duration_in analog — per user and state, the
+    total microseconds spent in the state (LOCF hold until the next
+    event), the number of entries into the state, and the event count.
+    One shuffle on user_id: lead(), lag(), and the re-key to
+    (user, state) share the same sorted exchange (the (user, state)
+    aggregate is a hash agg over already-colocated rows). Integer
+    epochs end to end — bit-exact oracle."""
+    ev = T(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    l = s.withColumn("nxt", F.lead("tu").over(w)).withColumn(
+        "prev_state", F.lag("event_type").over(w)
+    )
+    return l.groupBy(
+        "user_id", F.col("event_type").alias("state")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("prev_state").isNull()
+                | (F.col("prev_state") != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_entries"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("nxt") - F.col("tu")
+            )
+        ).alias("duration_us"),
+    )

@@ -221,6 +221,73 @@ def test_twa_hand_case(spark, tmp_path):
     assert r["twa"] == 3.0  # last point's value never weighs in (LOCF)
 
 
+def test_ohlc_hand_case(spark, tmp_path):
+    """Open/close follow the (ts, event_id) total order, including a
+    microsecond tie broken by event_id; high/low/volume are order-free."""
+    from datetime import datetime
+
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        # same timestamp for events 2 and 1 -> open must be event 1's value
+        (2, 1, t0, "trade", 50.0, "{}"),
+        (1, 1, t0, "trade", 10.0, "{}"),
+        (3, 1, datetime(2024, 3, 1, 10, 0, 0), "trade", 99.0, "{}"),
+        (4, 1, datetime(2024, 3, 1, 11, 0, 0), "trade", 7.0, "{}"),
+        # a second day-bucket
+        (5, 1, datetime(2024, 3, 2, 9, 0, 0), "trade", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = {
+        r["bucket"].day: r
+        for r in REGISTRY["ohlc_candlestick"](spark, p).collect()
+    }
+    d1 = out[1]
+    assert d1["open"] == 10.0  # tie on ts -> lower event_id wins
+    assert d1["close"] == 7.0 and d1["high"] == 99.0 and d1["low"] == 7.0
+    assert d1["n_events"] == 4 and d1["volume"] == 166.0
+    d2 = out[2]
+    assert d2["open"] == d2["close"] == d2["high"] == d2["low"] == 3.0
+
+
+def test_state_durations_hand_case(spark, tmp_path):
+    """A->A->B->A: state A is entered twice (start + return), holds for
+    the two leading seconds plus nothing after the last event; B holds
+    for exactly one second."""
+    from datetime import datetime
+
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 0, 0, 0), "A", 0.0, "{}"),
+        (2, 7, datetime(2024, 1, 1, 0, 0, 1), "A", 0.0, "{}"),
+        (3, 7, datetime(2024, 1, 1, 0, 0, 2), "B", 0.0, "{}"),
+        (4, 7, datetime(2024, 1, 1, 0, 0, 3), "A", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = {
+        r["state"]: r
+        for r in REGISTRY["state_durations"](spark, p).collect()
+    }
+    assert out["A"]["n_events"] == 3 and out["A"]["n_entries"] == 2
+    assert out["A"]["duration_us"] == 2_000_000  # trailing A holds nothing
+    assert out["B"]["n_events"] == 1 and out["B"]["n_entries"] == 1
+    assert out["B"]["duration_us"] == 1_000_000
+
+
 def test_heartbeat_hand_case(spark, tmp_path):
     """beats at 0, 10min, 60min with T=30min: uptime = 10+30+30 = 70min
     over a 90min span; longest gap 50min."""
