@@ -515,3 +515,325 @@ def hll_union_check(spark, sf_dir):
             "true_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T32 — UddSketch-style mergeable quantile sketch (TimescaleDB
+# `percentile_agg` / `uddsketch`): a log-bucketed histogram with EXACT
+# integer bucket edges, so — unlike a float-gamma UddSketch — the whole
+# sketch, the merge, and the percentile estimates are bit-reproducible
+# across engines with no tolerance anywhere.
+#
+# Bucketing (tokens are int32 in [0, VOCAB)): values 0..7 get identity
+# buckets (exact); v >= 8 gets idx = 8*e + sub where e = bitlength(v)-1
+# (length of the unpadded bin() string, the HLL rho trick) and sub = the
+# three bits after the leading one. Bucket width is 2^(e-3), i.e. a
+# fixed <= 1/8 relative width (gamma = 2^(1/8) in UddSketch terms), so a
+# midpoint estimate carries <= ~6.7% relative error by construction.
+# Edges reconstruct exactly: lo = (8+sub) << (e-3), hi = lo + width - 1.
+#
+# Scale shape: bucket assignment is scan-side codegen; the sketch is ONE
+# map-side-combined count aggregate onto (source, idx) — at most 128
+# rows per group cross the shuffle regardless of input size. Percentile
+# selection folds over the <=128-length packed array (no partition-less
+# window anywhere); rank r_q = ceil(q*n/100) in pure integers. The
+# per-value exact percentile used as the verification column is the full
+# sort the sketch REPLACES at scale — it rides a source-partitioned
+# cumulative window over distinct values.
+#
+# Mergeability contract (`uddq_merge_check`): bucket counts are summed,
+# so the merge is associative/commutative — per-source sketches rolled
+# up equal the sketch built directly over all tokens (md5 equality),
+# exactly the merge a continuous-aggregate tier performs to answer
+# percentile queries from <= 128 counters per window without a rescan.
+# ---------------------------------------------------------------------------
+
+_UDQ_N = 256
+
+_UDQ_IDX_SPARK = (
+    "CASE WHEN t < 8 THEN t ELSE (length(bin(CAST(t AS BIGINT))) - 1) * 8"
+    " + (shiftright(t, length(bin(CAST(t AS BIGINT))) - 4) & 7) END"
+)
+_UDQ_IDX_DUCK = (
+    "CASE WHEN t < 8 THEN t ELSE (length(bin(t::BIGINT)) - 1) * 8"
+    " + ((t >> (length(bin(t::BIGINT)) - 4)) & 7) END"
+)
+
+
+def _udq_edges(i: str, engine: str):
+    """(lo, hi, est) integer expressions for bucket index ``i``."""
+    if engine == "spark":
+        w = f"shiftleft(1, (({i}) div 8) - 3)"
+        dv = "div"
+    else:
+        w = f"(1 << ((({i}) // 8) - 3))"
+        dv = "//"
+    lo = f"CASE WHEN ({i}) < 8 THEN ({i}) ELSE (8 + ({i}) % 8) * {w} END"
+    hi = (
+        f"CASE WHEN ({i}) < 8 THEN ({i})"
+        f" ELSE (8 + ({i}) % 8) * {w} + {w} - 1 END"
+    )
+    est = f"(({lo}) + ({hi})) {dv} 2"
+    return lo, hi, est
+
+
+_UDQ_QS = (50, 90, 99)
+
+# shared DuckDB prefix: bucket counts, packed sketch, cumulative fold
+_UDQ_DUCK_BK = f"""
+tok AS (SELECT source, unnest(tokens) AS t FROM synth),
+bk AS (SELECT source, {_UDQ_IDX_DUCK} AS idx, count(*)::BIGINT AS cnt
+       FROM tok GROUP BY 1, 2),
+packed AS (SELECT source,
+             list(idx ORDER BY idx) AS idxs,
+             list(cnt ORDER BY idx) AS cnts,
+             md5(string_agg(idx::VARCHAR || ':' || cnt::VARCHAR, ','
+                            ORDER BY idx)) AS sketch_md5
+           FROM bk GROUP BY source),
+cc AS (SELECT *, list_transform(range(1, len(cnts) + 1),
+                   k -> list_sum(cnts[1:k])::BIGINT) AS cums FROM packed),
+tt AS (SELECT *, cums[len(cums)] AS n_total FROM cc),
+rr AS (SELECT *,
+         {", ".join(f"idxs[list_filter(range(1, len(cums) + 1), "
+                    f"k -> cums[k] >= ({q} * n_total + 99) // 100)[1]]"
+                    f" AS i{q}" for q in _UDQ_QS)}
+       FROM tt)
+"""
+
+
+def _synth_sql_udq():
+    from dtaidistance_spark.operators.synth_q import synth_sql
+
+    return synth_sql(_UDQ_N)
+
+
+def _udq_bk_spark(spark):
+    """(source, idx, cnt) — the per-source bucket-count sketch rows.
+    One map-side-combined shuffle; <=128 rows per source."""
+    from dtaidistance_spark import synth
+
+    tok = synth.sequences_df(spark, _UDQ_N).select(
+        "source", F.explode("tokens").alias("t")
+    )
+    return (
+        tok.selectExpr("source", f"{_UDQ_IDX_SPARK} AS idx")
+        .groupBy("source", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _udq_packed_spark(bk):
+    """Pack per-source sketch rows into ordered (idxs, cnts) arrays with
+    the canonical md5, cumulative counts, totals, and the selected
+    bucket index per target percentile — all array HOFs, no window."""
+    packed = bk.groupBy("source").agg(
+        F.expr("sort_array(collect_list(struct(idx, cnt)))").alias("a")
+    ).selectExpr(
+        "source",
+        "transform(a, s -> s.idx) AS idxs",
+        "transform(a, s -> s.cnt) AS cnts",
+        "md5(array_join(transform(a, s -> concat(CAST(s.idx AS STRING),"
+        " ':', CAST(s.cnt AS STRING))), ',')) AS sketch_md5",
+    )
+    cc = packed.selectExpr(
+        "*",
+        "transform(sequence(1, size(cnts)), k -> aggregate(slice(cnts,"
+        " 1, k), CAST(0 AS BIGINT), (s, x) -> s + x)) AS cums",
+    ).selectExpr("*", "element_at(cums, size(cums)) AS n_total")
+    sels = [
+        f"element_at(idxs, element_at(filter(sequence(1, size(cums)),"
+        f" k -> element_at(cums, k) >= ({q} * n_total + 99) div 100), 1))"
+        f" AS i{q}"
+        for q in _UDQ_QS
+    ]
+    return cc.selectExpr("*", *sels)
+
+
+def _udq_out_cols(engine: str):
+    cols = []
+    for q in _UDQ_QS:
+        lo, hi, est = _udq_edges(f"i{q}", engine)
+        cols += [
+            f"{est} AS p{q}_est",
+            f"p{q}_exact",
+            f"(p{q}_exact >= ({lo}) AND p{q}_exact <= ({hi}))"
+            f" AS p{q}_ok",
+        ]
+    return cols
+
+
+@register(
+    "uddq_sketch",
+    oracle=_synth_sql_udq()
+    + ", "
+    + _UDQ_DUCK_BK
+    + f"""
+    , vc AS (SELECT source, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    vw AS (SELECT source, t,
+             sum(c) OVER (PARTITION BY source ORDER BY t)::BIGINT AS vcum
+           FROM vc),
+    ex AS (SELECT vw.source,
+             {", ".join(f"min(CASE WHEN vcum >= ({q} * n_total + 99) // 100"
+                        f" THEN t END) AS p{q}_exact" for q in _UDQ_QS)}
+           FROM vw JOIN rr ON vw.source = rr.source
+           GROUP BY vw.source)
+    SELECT rr.source, n_total, len(idxs)::BIGINT AS n_buckets, sketch_md5,
+           {", ".join(_udq_out_cols("duck"))}
+    FROM rr JOIN ex ON rr.source = ex.source
+    """,
+)
+def uddq_sketch(spark, sf_dir):
+    """T32: mergeable log-bucket quantile sketch per source — packed
+    (idx, cnt) histogram (md5-canonical), p50/p90/p99 midpoint
+    estimates from the sketch, the EXACT per-source percentiles as
+    verification columns, and the p*_ok invariant that the exact value
+    lies inside the selected bucket (true by construction: the sketch
+    is a lossless bucket histogram, so the rank-r value falls in the
+    chosen bucket — the estimate error is bounded by the <=1/8 relative
+    bucket width). Every column is integer or md5 — bit-exact oracle.
+    Scale: one (source, idx) count shuffle (<=128 rows per source);
+    the exact columns ride a source-partitioned cumulative window over
+    distinct values — the very sort the sketch replaces at scale."""
+    from pyspark.sql import Window
+
+    from dtaidistance_spark import synth
+
+    bk = _udq_bk_spark(spark)
+    rr = _udq_packed_spark(bk)
+    tok = synth.sequences_df(spark, _UDQ_N).select(
+        "source", F.explode("tokens").alias("t")
+    )
+    vc = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vw = vc.withColumn("vcum", F.sum("c").over(w))
+    ex = (
+        vw.join(rr.select("source", "n_total"), "source")
+        .groupBy("source")
+        .agg(
+            *[
+                F.expr(
+                    f"min(CASE WHEN vcum >= ({q} * n_total + 99) div 100"
+                    f" THEN t END)"
+                ).alias(f"p{q}_exact")
+                for q in _UDQ_QS
+            ]
+        )
+    )
+    return rr.join(ex, "source").selectExpr(
+        "source",
+        "n_total",
+        "CAST(size(idxs) AS BIGINT) AS n_buckets",
+        "sketch_md5",
+        *_udq_out_cols("spark"),
+    )
+
+
+@register(
+    "uddq_merge_check",
+    oracle=_synth_sql_udq()
+    + ", "
+    + _UDQ_DUCK_BK
+    + f"""
+    , mg AS (SELECT idx, sum(cnt)::BIGINT AS cnt FROM bk GROUP BY idx),
+    mpacked AS (SELECT list(idx ORDER BY idx) AS idxs,
+                  list(cnt ORDER BY idx) AS cnts,
+                  md5(string_agg(idx::VARCHAR || ':' || cnt::VARCHAR, ','
+                                 ORDER BY idx)) AS merged_md5
+                FROM mg),
+    mcc AS (SELECT *, list_transform(range(1, len(cnts) + 1),
+                    k -> list_sum(cnts[1:k])::BIGINT) AS cums FROM mpacked),
+    mtt AS (SELECT *, cums[len(cums)] AS n_total FROM mcc),
+    mrr AS (SELECT *,
+            {", ".join(f"idxs[list_filter(range(1, len(cums) + 1), "
+                       f"k -> cums[k] >= ({q} * n_total + 99) // 100)[1]]"
+                       f" AS i{q}" for q in _UDQ_QS)}
+            FROM mtt),
+    dk AS (SELECT {_UDQ_IDX_DUCK} AS idx, count(*)::BIGINT AS cnt
+           FROM tok GROUP BY 1),
+    dmd AS (SELECT md5(string_agg(idx::VARCHAR || ':' || cnt::VARCHAR, ','
+                                  ORDER BY idx)) AS direct_md5 FROM dk)
+    SELECT (SELECT count(DISTINCT source) FROM synth)::BIGINT AS n_sources,
+           n_total, merged_md5, direct_md5,
+           merged_md5 = direct_md5 AS merge_equals_direct,
+           {", ".join(f"{_udq_edges(f'i{q}', 'duck')[2]} AS p{q}_est"
+                      for q in _UDQ_QS)}
+    FROM mrr CROSS JOIN dmd
+    """,
+)
+def uddq_merge_check(spark, sf_dir):
+    """T32b: the quantile-sketch mergeability contract — summing the
+    per-source bucket counts yields byte-identical sketch bytes (md5)
+    to the sketch built directly over ALL tokens, because bucket-count
+    merge is associative/commutative addition. This is the rollup a
+    continuous-aggregate tier performs: <=128 counters per window
+    answer percentile queries with bounded relative error and no raw
+    rescan. Output also carries the merged-sketch p50/p90/p99
+    estimates (identical to direct by the md5 identity)."""
+    from dtaidistance_spark import synth
+
+    bk = _udq_bk_spark(spark)
+    mg = bk.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+    mrr = (
+        mg.groupBy()
+        .agg(F.expr("sort_array(collect_list(struct(idx, cnt)))").alias("a"))
+        .selectExpr(
+            "transform(a, s -> s.idx) AS idxs",
+            "transform(a, s -> s.cnt) AS cnts",
+            "md5(array_join(transform(a, s -> concat(CAST(s.idx AS"
+            " STRING), ':', CAST(s.cnt AS STRING))), ',')) AS merged_md5",
+        )
+        .selectExpr(
+            "*",
+            "transform(sequence(1, size(cnts)), k -> aggregate(slice("
+            "cnts, 1, k), CAST(0 AS BIGINT), (s, x) -> s + x)) AS cums",
+        )
+        .selectExpr("*", "element_at(cums, size(cums)) AS n_total")
+        .selectExpr(
+            "*",
+            *[
+                f"element_at(idxs, element_at(filter(sequence(1,"
+                f" size(cums)), k -> element_at(cums, k) >="
+                f" ({q} * n_total + 99) div 100), 1)) AS i{q}"
+                for q in _UDQ_QS
+            ],
+        )
+    )
+    tok = synth.sequences_df(spark, _UDQ_N).select(
+        "source", F.explode("tokens").alias("t")
+    )
+    dk = (
+        tok.selectExpr(f"{_UDQ_IDX_SPARK} AS idx")
+        .groupBy("idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dmd = (
+        dk.groupBy()
+        .agg(F.expr("sort_array(collect_list(struct(idx, cnt)))").alias("a"))
+        .selectExpr(
+            "md5(array_join(transform(a, s -> concat(CAST(s.idx AS"
+            " STRING), ':', CAST(s.cnt AS STRING))), ',')) AS direct_md5"
+        )
+    )
+    nsrc = (
+        synth.sequences_df(spark, _UDQ_N)
+        .agg(F.countDistinct("source").alias("n_sources"))
+    )
+    return (
+        nsrc.crossJoin(mrr)
+        .crossJoin(dmd)
+        .selectExpr(
+            "n_sources",
+            "n_total",
+            "merged_md5",
+            "direct_md5",
+            "merged_md5 = direct_md5 AS merge_equals_direct",
+            *[
+                f"{_udq_edges(f'i{q}', 'spark')[2]} AS p{q}_est"
+                for q in _UDQ_QS
+            ],
+        )
+    )

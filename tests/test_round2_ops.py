@@ -404,3 +404,83 @@ def test_hll_small_range_linear_counting():
     assert abs(est - 10) < 2.5  # ln-based small-range estimate is tight
     # and the branch actually fired (v_zero > 0, raw <= 640)
     assert regs.count(0) > 0
+
+
+# ---------------------------------------------------------------------------
+# UddSketch-analog quantile sketch (T32): python-reference sketch parity,
+# bucket-edge invariants, estimate error bound, merge == direct.
+# ---------------------------------------------------------------------------
+
+
+def _udq_idx_py(v: int) -> int:
+    if v < 8:
+        return v
+    e = v.bit_length() - 1
+    return e * 8 + ((v >> (e - 3)) & 7)
+
+
+def _udq_edges_py(i: int):
+    if i < 8:
+        return i, i
+    w = 1 << (i // 8 - 3)
+    lo = (8 + i % 8) * w
+    return lo, lo + w - 1
+
+
+def test_udq_bucket_edges_invariants():
+    """Every value lands inside its bucket; relative width <= 1/8 for
+    v >= 8; values 0..7 are exact."""
+    import random
+
+    rng = random.Random(7)
+    vals = list(range(64)) + [rng.randrange(0, 50257) for _ in range(2000)]
+    for v in vals:
+        i = _udq_idx_py(v)
+        lo, hi = _udq_edges_py(i)
+        assert lo <= v <= hi, (v, i, lo, hi)
+        if v >= 8:
+            assert (hi - lo + 1) / lo <= 1 / 8 + 1e-12, (v, i, lo, hi)
+        else:
+            assert lo == hi == v
+
+
+def test_udq_sketch_matches_python_reference(spark):
+    import hashlib
+    from collections import Counter
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.sketch_q import _UDQ_N, _UDQ_QS
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["uddq_sketch"](spark, "unused").collect()
+    }
+    pdf = synth.sequences_local(_UDQ_N)
+    for src in ("web", "code", "books"):
+        vals = sorted(
+            t for toks, s in zip(pdf["tokens"], pdf["source"])
+            if s == src for t in toks
+        )
+        c = Counter(_udq_idx_py(int(v)) for v in vals)
+        canon = ",".join(f"{i}:{c[i]}" for i in sorted(c))
+        r = rows[src]
+        assert r["sketch_md5"] == hashlib.md5(canon.encode()).hexdigest()
+        assert r["n_total"] == len(vals) and r["n_buckets"] == len(c)
+        for q in _UDQ_QS:
+            rank = (q * len(vals) + 99) // 100
+            exact = vals[rank - 1]
+            assert r[f"p{q}_exact"] == exact
+            assert r[f"p{q}_ok"] is True
+            if exact >= 8:
+                rel = abs(r[f"p{q}_est"] - exact) / exact
+                assert rel <= 1 / 8, (src, q, r[f"p{q}_est"], exact)
+            else:
+                assert r[f"p{q}_est"] == exact
+
+
+def test_udq_merge_equals_direct(spark):
+    row = REGISTRY["uddq_merge_check"](spark, "unused").collect()[0]
+    assert row["merge_equals_direct"] is True
+    assert row["n_sources"] == 3
+    assert row["merged_md5"] == row["direct_md5"]
+    assert row["p50_est"] <= row["p90_est"] <= row["p99_est"]
