@@ -1784,3 +1784,120 @@ def seasonal_decompose_scaled(spark, sf_dir):
             "(CAST(d128 AS DOUBLE) - (seas128 - c)) / CAST(128 AS DOUBLE)"
         ).alias("remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS20 — ASAP-style auto-window smoothing (Rong & Bailis, VLDB'17 shape):
+# per series, pick the moving-average window w = the ACF-argmax lag
+# (>= 2, ties to the smallest — the ASAP candidate rule), then report the
+# smoothing diagnostics WITHOUT materializing the smoothed array. The
+# key identity: consecutive MA diffs telescope, ma[i+1] - ma[i] =
+# (x[i+w] - x[i]) / w, so MA roughness needs only the offset-w integer
+# squared-diff sum; the MA mean needs only the coverage-weighted token
+# sum (weight_j = min(j, w, m, n-j+1)). Everything is an exact int64
+# scan-side HOF plus a short shared float tail — bit-exact cross-engine,
+# and O(n) per series where the naive smoothed-array route is O(n·w).
+# Zero shuffles on the series side; the per-doc best-lag join is a
+# 256-row broadcast.
+# ---------------------------------------------------------------------------
+
+_ASAP_ROUGH_RAW = "sqrt(CAST(ssd_raw AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE))"
+_ASAP_ROUGH_MA = (
+    "(sqrt(CAST(ssd_w AS DOUBLE) / CAST(n_tok - w AS DOUBLE))"
+    " / CAST(w AS DOUBLE))"
+)
+_ASAP_FLOATS = [
+    f"{_ASAP_ROUGH_RAW} AS rough_raw",
+    f"{_ASAP_ROUGH_MA} AS rough_ma",
+    f"CASE WHEN ssd_w = 0 THEN NULL"
+    f" ELSE ({_ASAP_ROUGH_RAW} / {_ASAP_ROUGH_MA}) END AS gain",
+    "(CAST(sfirst AS DOUBLE) / CAST(w AS DOUBLE)) AS ma_first",
+    "(CAST(slast AS DOUBLE) / CAST(w AS DOUBLE)) AS ma_last",
+    "(CAST(wsum AS DOUBLE) / CAST(m * w AS DOUBLE)) AS ma_mean",
+]
+
+
+@register(
+    "asap_smooth",
+    oracle=synth_sql(_N)
+    + _ACF_ORACLE_BODY
+    + f"""
+    , best AS (
+      SELECT doc_id, k AS w FROM (
+        SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY acf DESC, k) AS rn
+        FROM acfr WHERE k >= 2) q
+      WHERE rn = 1),
+    abase AS (
+      SELECT s.doc_id, s.n_tok, s.tokens, b.w, s.n_tok - b.w + 1 AS m
+      FROM synth s JOIN best b USING (doc_id)),
+    ints AS (
+      SELECT doc_id, n_tok, w, m,
+        list_sum(list_transform(range(1, n_tok), i ->
+          (tokens[i + 1]::BIGINT - tokens[i]::BIGINT)
+          * (tokens[i + 1]::BIGINT - tokens[i]::BIGINT)))::BIGINT AS ssd_raw,
+        list_sum(list_transform(range(1, n_tok - w + 1), i ->
+          (tokens[i + w]::BIGINT - tokens[i]::BIGINT)
+          * (tokens[i + w]::BIGINT - tokens[i]::BIGINT)))::BIGINT AS ssd_w,
+        list_sum(list_transform(range(1, n_tok + 1), j ->
+          least(j, w, n_tok - w + 1, n_tok - j + 1)::BIGINT
+          * tokens[j]::BIGINT))::BIGINT AS wsum,
+        list_sum(tokens[1 : w])::BIGINT AS sfirst,
+        list_sum(tokens[n_tok - w + 1 : n_tok])::BIGINT AS slast
+      FROM abase)
+    SELECT doc_id, n_tok, w, m, ssd_raw, ssd_w, wsum,
+           {", ".join(_ASAP_FLOATS)}
+    FROM ints
+    """,
+)
+def asap_smooth(spark, sf_dir):
+    """TS20: ASAP-style auto-window smoothing diagnostics per series —
+    the chosen window w (ACF argmax over lags >= 2, ties smallest),
+    MA point count m, the raw vs smoothed roughness (std of consecutive
+    diffs; the MA diff telescopes to (x[i+w]-x[i])/w so no smoothed
+    array is ever built), the roughness-reduction gain, and the MA
+    first/last/mean from exact integer window sums. All floats are
+    short shared trees over int64 HOF aggregates — bit-exact oracle,
+    no tolerance. O(n) per series, zero shuffles on the token side."""
+    acf = _acf_df(spark).where(F.col("k") >= 2)
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("acf").desc(), F.col("k")
+    )
+    best = (
+        acf.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("k").alias("w"))
+    )
+    base = (
+        synth.sequences_df(spark, _N)
+        .select("doc_id", "n_tok", "tokens")
+        .join(F.broadcast(best), "doc_id")
+        .withColumn("m", F.col("n_tok") - F.col("w") + F.lit(1))
+    )
+    ints = base.selectExpr(
+        "doc_id",
+        "n_tok",
+        "w",
+        "m",
+        "aggregate(zip_with(slice(tokens, 1, n_tok - 1),"
+        " slice(tokens, 2, n_tok - 1), (a, b) ->"
+        " (CAST(b AS BIGINT) - CAST(a AS BIGINT))"
+        " * (CAST(b AS BIGINT) - CAST(a AS BIGINT))), 0L,"
+        " (s, v) -> s + v) AS ssd_raw",
+        "aggregate(zip_with(slice(tokens, 1, n_tok - w),"
+        " slice(tokens, w + 1, n_tok - w), (a, b) ->"
+        " (CAST(b AS BIGINT) - CAST(a AS BIGINT))"
+        " * (CAST(b AS BIGINT) - CAST(a AS BIGINT))), 0L,"
+        " (s, v) -> s + v) AS ssd_w",
+        "aggregate(zip_with(sequence(1, n_tok), tokens, (j, x) ->"
+        " CAST(least(j, w, n_tok - w + 1, n_tok - j + 1) AS BIGINT)"
+        " * CAST(x AS BIGINT)), 0L, (s, v) -> s + v) AS wsum",
+        "aggregate(slice(tokens, 1, w), 0L,"
+        " (s, x) -> s + CAST(x AS BIGINT)) AS sfirst",
+        "aggregate(slice(tokens, n_tok - w + 1, w), 0L,"
+        " (s, x) -> s + CAST(x AS BIGINT)) AS slast",
+    )
+    return ints.selectExpr(
+        "doc_id", "n_tok", "w", "m", "ssd_raw", "ssd_w", "wsum",
+        *_ASAP_FLOATS,
+    )

@@ -791,3 +791,40 @@ def test_seasonal_decompose_scaled_bit_equals_twin(spark):
     assert set(twin) == set(scaled) and len(twin) > 10_000
     for k, tv in twin.items():
         assert scaled[k] == tv, k  # bit-exact, no tolerance
+
+
+def test_asap_smooth_matches_numpy(spark):
+    """TS20: full numpy recompute for two docs — window = ACF argmax
+    over lags >= 2 (ties smallest), MA built explicitly with
+    np.convolve, roughness = sqrt(mean squared consecutive diff) on
+    the materialized smoothed array. The query never builds that
+    array (telescoped diffs), so agreement here proves the identity."""
+    from dtaidistance_spark.operators import tsanalytics_q  # noqa: F401
+
+    out = REGISTRY["asap_smooth"](spark, SF)
+    rows = {
+        r["doc_id"]: r
+        for r in out.where(
+            out.doc_id.isin("doc000000000003", "doc000000000017")
+        ).collect()
+    }
+    for i in (3, 17):
+        x = _tokens(i).astype(np.float64)
+        n = len(x)
+        cand = [k for k in (2, 4, 8, 16, 32, 64) if k < n]
+        acfs = [(-_acf_ref(_tokens(i), k), k) for k in cand]
+        w = min(acfs)[1]
+        r = rows[f"doc{i:012d}"]
+        assert r["w"] == w and r["m"] == n - w + 1
+        ma = np.convolve(x, np.ones(w) / w, mode="valid")
+        assert len(ma) == r["m"]
+        rough_raw = float(np.sqrt(np.mean(np.diff(x) ** 2)))
+        rough_ma = float(np.sqrt(np.mean(np.diff(ma) ** 2)))
+        assert r["rough_raw"] == pytest.approx(rough_raw, rel=1e-12)
+        assert r["rough_ma"] == pytest.approx(rough_ma, rel=1e-9)
+        assert r["gain"] == pytest.approx(rough_raw / rough_ma, rel=1e-9)
+        assert r["ma_first"] == pytest.approx(ma[0], rel=1e-12)
+        assert r["ma_last"] == pytest.approx(ma[-1], rel=1e-12)
+        assert r["ma_mean"] == pytest.approx(float(ma.mean()), rel=1e-12)
+        # smoothing at the dominant period must actually smooth
+        assert r["gain"] is None or r["gain"] > 1.0
