@@ -563,3 +563,184 @@ def stream_gapfill_linear_q(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# R26 — streaming sketch maintenance: the HLL distinct sketch (T31) kept
+# incrementally by Structured Streaming. Per 2-minute event-time window
+# and source, the register aggregate max(rho) runs under a watermark in
+# append mode — the canonical "continuous aggregate stores 256 bytes per
+# window" plan. The cross-window register-wise max of the EMITTED
+# windows must then equal the batch sketch built over all tokens
+# (merged_equals_batch), proving the streaming tier can answer
+# distinct-count queries for any window union without rescanning raw
+# data. Same portable md5/bin() hash contract as T31, so DuckDB
+# re-derives every per-window register array, md5, and dyadic-fold
+# estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _stream_hll_oracle():
+    from dtaidistance_spark.operators.sketch_q import (
+        _HLL_EST_DUCK,
+        _HLL_N,
+    )
+    from dtaidistance_spark.operators.synth_q import synth_sql
+
+    return synth_sql(_HLL_N) + f"""
+    , tok AS (SELECT source, ts, unnest(tokens) AS t FROM synth),
+    hh AS (SELECT source,
+             to_timestamp((epoch_us(ts) // 120000000) * 120)::TIMESTAMP
+               AS window_start,
+             ('0x' || substr(md5(t::VARCHAR), 1, 15))::BIGINT AS hv
+           FROM tok),
+    ir AS (SELECT source, window_start, hv % 256 AS idx,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(hv // 256)) END AS rho FROM hh),
+    regrows AS (SELECT source, window_start, idx, max(rho) AS r
+                FROM ir GROUP BY 1, 2, 3),
+    packed AS (SELECT source, window_start, count(*)::BIGINT AS n_regs,
+                 list(idx ORDER BY idx) AS idxs,
+                 list(r ORDER BY idx) AS rs
+               FROM regrows GROUP BY 1, 2),
+    arr AS (SELECT source, window_start, n_regs,
+              list_transform(range(256), j ->
+                coalesce(rs[list_position(idxs, j)], 0)) AS regs
+            FROM packed),
+    wnd AS (SELECT source, window_start, n_regs,
+              md5(array_to_string(regs, ',')) AS reg_md5,
+              {_HLL_EST_DUCK} AS est
+            FROM arr),
+    mrows AS (SELECT source, idx, max(r) AS r FROM regrows GROUP BY 1, 2),
+    mpacked AS (SELECT source, list(idx ORDER BY idx) AS idxs,
+                  list(r ORDER BY idx) AS rs FROM mrows GROUP BY source),
+    marr AS (SELECT source, md5(array_to_string(list_transform(range(256),
+               j -> coalesce(rs[list_position(idxs, j)], 0)), ','))
+               AS merged_md5 FROM mpacked)
+    SELECT wnd.source, window_start, n_regs, reg_md5, est,
+           merged_md5, merged_md5 AS batch_md5,
+           TRUE AS merged_equals_batch
+    FROM wnd JOIN marr ON wnd.source = marr.source
+    """
+
+
+@register("stream_hll_sketch", oracle=_stream_hll_oracle())
+def stream_hll_sketch(spark, sf_dir):
+    """R26: streaming continuous aggregate maintaining the T31 HLL
+    sketch — watermarked per-(2-min window, source) max(rho) register
+    aggregate over the replayed token stream, drained with availableNow
+    and flushed by a closing row. Emits each window's packed-register
+    md5 and dyadic-fold estimate, plus the contract columns: the
+    register-wise max across the EMITTED windows (merged_md5) equals
+    the batch sketch over all tokens (batch_md5, from the batch T31
+    path) — the streaming rollup answers any-window distinct queries
+    from 256 bytes per window. Oracle: DuckDB re-derives every window's
+    registers from the synth CTE (no tolerance)."""
+    from dtaidistance_spark.operators.sketch_q import (
+        _HLL_EST_SPARK,
+        _HLL_HV_SPARK,
+        _HLL_N,
+        _hll_regs_spark,
+    )
+    from dtaidistance_spark import synth
+
+    tok = synth.sequences_df(spark, _HLL_N).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "source",
+        F.explode("tokens").alias("t"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_hll_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, source string, t int"
+        ).parquet(src)
+        ir = stream.selectExpr(
+            "ts",
+            "source",
+            f"pmod({_HLL_HV_SPARK}, 256) AS idx",
+            f"CASE WHEN ({_HLL_HV_SPARK} div 256) = 0 THEN 53 "
+            f"ELSE 53 - length(bin({_HLL_HV_SPARK} div 256)) END AS rho",
+        )
+        agg = (
+            ir.withWatermark("ts", "1 minute")
+            .groupBy(
+                F.window("ts", "2 minutes").alias("w"), "source", "idx"
+            )
+            .agg(F.max("rho").alias("r"))
+            .select(
+                F.col("w")["start"].alias("window_start"),
+                "source",
+                "idx",
+                "r",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        tok.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "'__closer__' AS source, 0 AS t"
+        ).write.mode("append").parquet(src)
+        drain()
+        rows = spark.read.parquet(sink).where(
+            F.col("source") != "__closer__"
+        )
+        packed = rows.groupBy("source", "window_start").agg(
+            F.count("*").alias("n_regs"),
+            F.expr(
+                "map_from_entries(sort_array(collect_list(struct(idx, r))))"
+            ).alias("m"),
+        )
+        wnd = packed.selectExpr(
+            "source",
+            "window_start",
+            "n_regs",
+            "transform(sequence(0, 255), j -> "
+            "coalesce(element_at(m, cast(j AS BIGINT)), 0)) AS regs",
+        ).selectExpr(
+            "source",
+            "window_start",
+            "n_regs",
+            "md5(array_join(regs, ',')) AS reg_md5",
+            f"{_HLL_EST_SPARK} AS est",
+        )
+        merged = (
+            rows.groupBy("source", "idx")
+            .agg(F.max("r").alias("r"))
+            .groupBy("source")
+            .agg(
+                F.expr(
+                    "map_from_entries(sort_array(collect_list("
+                    "struct(idx, r))))"
+                ).alias("m")
+            )
+            .selectExpr(
+                "source",
+                "md5(array_join(transform(sequence(0, 255), j -> "
+                "coalesce(element_at(m, cast(j AS BIGINT)), 0)), ','))"
+                " AS merged_md5",
+            )
+        )
+        batch = _hll_regs_spark(spark).selectExpr(
+            "source", "md5(array_join(regs, ',')) AS batch_md5"
+        )
+        out = (
+            wnd.join(merged, "source")
+            .join(batch, "source")
+            .withColumn(
+                "merged_equals_batch",
+                F.col("merged_md5") == F.col("batch_md5"),
+            )
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+

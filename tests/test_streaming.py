@@ -329,3 +329,26 @@ def test_stream_gapfill_linear_hand_case(spark, tmp_path):
     assert got == [
         (0, 4.0), (1, 20.0), (2, 14.1667), (3, 8.3333), (4, 2.5)
     ]
+
+
+def test_stream_hll_sketch_merge_contract(spark):
+    """R26: the streaming per-window HLL registers, merged register-wise
+    across the emitted windows, must equal the batch T31 sketch — and
+    each window's estimate must be positive and below the merged-window
+    tier's capacity."""
+    from dtaidistance_spark.operators.queries import REGISTRY
+    from dtaidistance_spark.operators import streaming_q  # noqa: F401
+
+    rows = REGISTRY["stream_hll_sketch"](spark, "unused").collect()
+    assert len(rows) == 15  # 5 two-minute windows x 3 sources
+    srcs = {r["source"] for r in rows}
+    assert srcs == {"web", "code", "books"}
+    for r in rows:
+        assert r["merged_equals_batch"] is True
+        assert r["merged_md5"] == r["batch_md5"]
+        assert r["est"] > 0 and 0 < r["n_regs"] <= 256
+    # every source emits every window (the synth ts ramp covers all 5)
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows)
+    assert set(per_src.values()) == {5}
