@@ -1382,3 +1382,77 @@ def maintenance_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# R27 — real-time continuous aggregation (TimescaleDB's signature view):
+# the query plane unions the MATERIALIZED tier (days at or below the
+# refresh high-water mark) with an on-the-fly aggregation of ONLY the
+# raw rows past it. At scale this is the whole point of the tier
+# system: a dashboard query touches pre-aggregated rows for history and
+# scans raw data only for the unmaterialized tail (here half the days;
+# in production, minutes of data), yet the result is indistinguishable
+# from aggregating raw from scratch — which is exactly what the DuckDB
+# oracle does, per-day counts AND the materialized/realtime provenance
+# column re-derived from nothing but the events table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "realtime_agg_view",
+    oracle="""
+    SELECT 'all' AS key, date_trunc('day', ts)::TIMESTAMP AS window_start,
+           count(DISTINCT user_id) AS n_series,
+           count(*)                AS n_points,
+           CASE WHEN date_part('day', ts) <= 15 THEN 'materialized'
+                ELSE 'realtime' END AS tier_source
+    FROM events GROUP BY 2, 5
+    """,
+)
+def realtime_agg_view(spark, sf_dir):
+    """Ingest all days but refresh the daily tier only through day 15,
+    then serve the real-time view: materialized tier rows UNION an
+    aggregate over raw rows strictly past the tier's high-water mark
+    (read once from the tier metadata — a scalar, not a data scan).
+    Counts must equal from-scratch SQL on every day, and the
+    tier_source column proves each day was served from the right side
+    of the union."""
+    series = _event_series(spark, sf_dir).withColumn(
+        "p_half", (F.dayofmonth("ts") <= 15).cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="rt_q_")
+    try:
+        src = TableIO(root, "series", partition_by=["p_day"])
+        ca = ContinuousAggregate(
+            root, tiers=("1 day",),
+            rollup_kw=dict(barycenter_len=48, dba_window=8),
+        )
+        ingest(series.where("p_half = 1").drop("p_half"), src,
+               mode="overwrite")
+        ca.refresh(spark, src)
+        # late raw data arrives AFTER the refresh: the tier is now stale
+        ingest(series.where("p_half = 0").drop("p_half"), src,
+               mode="append")
+        tier = ca.read_tier(spark, "1 day").select(
+            "key", "window_start", "n_series", "n_points"
+        ).withColumn("tier_source", F.lit("materialized"))
+        hwm = tier.agg(F.max("window_start")).collect()[0][0]
+        tail = (
+            src.read(spark)
+            .where(F.col("ts") > F.lit(hwm))
+            .groupBy(F.col("ts").alias("window_start"))
+            .agg(
+                F.count("*").alias("n_series"),
+                F.sum(F.size("tokens")).alias("n_points"),
+            )
+            .select(
+                F.lit("all").alias("key"),
+                "window_start",
+                "n_series",
+                "n_points",
+                F.lit("realtime").alias("tier_source"),
+            )
+        )
+        return detach(spark, tier.unionByName(tail))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -971,3 +971,22 @@ def test_row_delete_propagates_to_tiers_via_apply(spark, tmp_path, batches):
     ca2 = ContinuousAggregate(str(tmp_path / "fresh"), tiers=("1 day",))
     ca2.refresh(spark, src)
     assert after == _tier_rows(spark, ca2, "1 day")
+
+
+def test_realtime_agg_view_provenance(spark):
+    """R27: the real-time view serves days <= 15 from the materialized
+    tier and the rest from the on-the-fly raw tail, with no overlap and
+    no gap at the high-water mark."""
+    from dtaidistance_spark.operators.queries import REGISTRY
+    from dtaidistance_spark.operators import continuous_q  # noqa: F401
+
+    rows = REGISTRY["realtime_agg_view"](spark, "/root/testdata/sf0.001").collect()
+    mat = sorted(r["window_start"] for r in rows
+                 if r["tier_source"] == "materialized")
+    rt = sorted(r["window_start"] for r in rows
+                if r["tier_source"] == "realtime")
+    assert mat and rt
+    assert max(mat) < min(rt)  # no overlap: tail starts past the hwm
+    assert all(d.day <= 15 for d in mat) and all(d.day > 15 for d in rt)
+    days = {r["window_start"] for r in rows}
+    assert len(days) == len(rows)  # each day served exactly once
