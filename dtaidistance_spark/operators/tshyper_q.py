@@ -695,3 +695,172 @@ def state_durations(spark, sf_dir):
             )
         ).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS21 — stats_agg: the mergeable moment-vector aggregate (TimescaleDB
+# `stats_agg` + `rollup()`). The sketch is (n, Σx, Σx², Σx³, Σx⁴) in
+# EXACT arithmetic — int64 where it fits (x ≤ 50256 keeps x², and even
+# per-element x⁴ ≈ 6.4e18, inside int64), DECIMAL(38,0) for the Σx³/Σx⁴
+# cross-row sums that don't. Addition is associative/commutative, so
+# per-partition partial vectors roll up exactly (the merge-check
+# contract); mean/variance/skewness/kurtosis come from ONE shared float
+# tree over the exact moments (skew uses sqrt(m2)*m2, never pow(x,1.5),
+# because sqrt and * are correctly-rounded IEEE ops while pow is not
+# guaranteed identical across libms). Scale shape: per-row moments are
+# scan-side HOF folds; ONE map-side-combined sum aggregate onto source —
+# five numbers per group cross the shuffle regardless of input size.
+# ---------------------------------------------------------------------------
+
+# shared float tail (valid in BOTH dialects): population moments from
+# the exact sums, every op parenthesized so the IEEE tree is identical.
+_ST_ND = "CAST(n AS DOUBLE)"
+_ST_MEAN = f"(CAST(s1 AS DOUBLE) / {_ST_ND})"
+_ST_R2 = f"(CAST(s2 AS DOUBLE) / {_ST_ND})"
+_ST_R3 = f"(CAST(s3 AS DOUBLE) / {_ST_ND})"
+_ST_R4 = f"(CAST(s4 AS DOUBLE) / {_ST_ND})"
+_ST_M2 = f"({_ST_R2} - ({_ST_MEAN} * {_ST_MEAN}))"
+_ST_M3 = (
+    f"(({_ST_R3} - ((3.0 * {_ST_MEAN}) * {_ST_R2}))"
+    f" + ((2.0 * {_ST_MEAN}) * ({_ST_MEAN} * {_ST_MEAN})))"
+)
+_ST_M4 = (
+    f"((({_ST_R4} - ((4.0 * {_ST_MEAN}) * {_ST_R3}))"
+    f" + ((6.0 * ({_ST_MEAN} * {_ST_MEAN})) * {_ST_R2}))"
+    f" - (3.0 * (({_ST_MEAN} * {_ST_MEAN}) * ({_ST_MEAN} * {_ST_MEAN}))))"
+)
+_ST_TAIL = [
+    f"{_ST_MEAN} AS mean",
+    f"{_ST_M2} AS var_pop",
+    f"({_ST_M3} / (sqrt({_ST_M2}) * {_ST_M2})) AS skew",
+    f"({_ST_M4} / ({_ST_M2} * {_ST_M2})) AS kurt",
+]
+
+_ST_SPARK_ROW = [
+    "CAST(n_tok AS BIGINT) AS rn",
+    "aggregate(tokens, 0L, (s, x) -> s + CAST(x AS BIGINT)) AS r1",
+    "aggregate(tokens, 0L, (s, x) -> s + CAST(x AS BIGINT) * x) AS r2",
+    "aggregate(tokens, CAST(0 AS DECIMAL(38,0)), (s, x) ->"
+    " s + CAST(CAST(x AS BIGINT) * x * x AS DECIMAL(38,0))) AS r3",
+    "aggregate(tokens, CAST(0 AS DECIMAL(38,0)), (s, x) ->"
+    " s + CAST(CAST(x AS BIGINT) * x * x * x AS DECIMAL(38,0))) AS r4",
+]
+
+_ST_DUCK_ROW = """
+SELECT source, doc_id, n_tok::BIGINT AS rn,
+  list_sum(tokens)::BIGINT AS r1,
+  list_sum(list_transform(tokens, x -> x::BIGINT * x))::BIGINT AS r2,
+  list_sum(list_transform(tokens, x -> x::HUGEINT * x * x)) AS r3,
+  list_sum(list_transform(tokens, x -> x::HUGEINT * x * x * x)) AS r4
+FROM synth
+"""
+
+_ST_DUCK_AGG = """
+SELECT source, sum(rn)::BIGINT AS n, sum(r1)::BIGINT AS s1,
+       sum(r2)::BIGINT AS s2, sum(r3)::DECIMAL(38,0) AS s3,
+       sum(r4)::DECIMAL(38,0) AS s4
+"""
+
+
+@register(
+    "stats_moments_agg",
+    oracle=synth_sql(_N)
+    + f"""
+    , mrow AS ({_ST_DUCK_ROW}),
+    magg AS ({_ST_DUCK_AGG} FROM mrow GROUP BY source)
+    SELECT source, n, s1, s2, s3, s4, {", ".join(_ST_TAIL)}
+    FROM magg
+    """,
+)
+def stats_moments_agg(spark, sf_dir):
+    """TS21: per-source mergeable moment vector (n, Σx, Σx², Σx³, Σx⁴ —
+    exact int64/DECIMAL(38,0)) plus population mean / variance /
+    skewness / raw kurtosis (m4/m2², not excess) from the shared float
+    tree. All columns hash-match DuckDB with no tolerance: the sums are
+    exact, the tails are identical IEEE trees (see the section comment
+    for the sqrt(m2)*m2 spelling). One map-side-combined shuffle; five
+    numbers per source cross it."""
+    df = synth.sequences_df(spark, _N).select("source", "tokens", "n_tok")
+    rows = df.selectExpr("source", *_ST_SPARK_ROW)
+    agg = rows.groupBy("source").agg(
+        F.sum("rn").alias("n"),
+        F.sum("r1").alias("s1"),
+        F.sum("r2").alias("s2"),
+        F.sum("r3").cast("decimal(38,0)").alias("s3"),
+        F.sum("r4").cast("decimal(38,0)").alias("s4"),
+    )
+    return agg.selectExpr("source", "n", "s1", "s2", "s3", "s4",
+                          *_ST_TAIL)
+
+
+@register(
+    "stats_moments_merge_check",
+    oracle=synth_sql(_N)
+    + f"""
+    , mrow AS ({_ST_DUCK_ROW}),
+    parts AS ({_ST_DUCK_AGG},
+                substr(doc_id, 4)::BIGINT % 2 AS half
+              FROM mrow GROUP BY source, half),
+    merged AS (SELECT source, sum(n)::BIGINT AS n, sum(s1)::BIGINT AS s1,
+                 sum(s2)::BIGINT AS s2, sum(s3)::DECIMAL(38,0) AS s3,
+                 sum(s4)::DECIMAL(38,0) AS s4
+               FROM parts GROUP BY source),
+    direct AS ({_ST_DUCK_AGG} FROM mrow GROUP BY source)
+    SELECT m.source,
+           count(*) OVER () = 3 AS three_sources,
+           m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2
+             AND m.s3 = d.s3 AND m.s4 = d.s4 AS merge_equals_direct,
+           m.n, m.s1, m.s2, m.s3, m.s4
+    FROM merged m JOIN direct d ON m.source = d.source
+    """,
+)
+def stats_moments_merge_check(spark, sf_dir):
+    """TS21b: the stats_agg rollup contract — per-(source, doc-parity)
+    partial moment vectors summed component-wise equal the vector
+    computed directly over all rows, because the sketch is pure
+    addition. This is exactly TimescaleDB's rollup(stats_agg(...))
+    across continuous-aggregate windows: five numbers per window give
+    mean/var/skew/kurt for ANY window union with no raw rescan."""
+    df = synth.sequences_df(spark, _N).select(
+        "source", "doc_id", "tokens", "n_tok"
+    )
+    rows = df.selectExpr(
+        "source",
+        "CAST(substr(doc_id, 4) AS BIGINT) % 2 AS half",
+        *_ST_SPARK_ROW,
+    )
+
+    def _agg(g):
+        return g.agg(
+            F.sum("rn").alias("n"),
+            F.sum("r1").alias("s1"),
+            F.sum("r2").alias("s2"),
+            F.sum("r3").cast("decimal(38,0)").alias("s3"),
+            F.sum("r4").cast("decimal(38,0)").alias("s4"),
+        )
+
+    parts = _agg(rows.groupBy("source", "half"))
+    merged = parts.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").cast("decimal(38,0)").alias("s3"),
+        F.sum("s4").cast("decimal(38,0)").alias("s4"),
+    )
+    direct = _agg(rows.groupBy("source")).select(
+        F.col("source").alias("d_source"),
+        F.col("n").alias("d_n"),
+        F.col("s1").alias("d_s1"),
+        F.col("s2").alias("d_s2"),
+        F.col("s3").alias("d_s3"),
+        F.col("s4").alias("d_s4"),
+    )
+    j = merged.join(direct, merged.source == direct.d_source)
+    nsrc = j.count()
+    return j.selectExpr(
+        "source",
+        f"{nsrc} = 3 AS three_sources",
+        "n = d_n AND s1 = d_s1 AND s2 = d_s2 AND s3 = d_s3"
+        " AND s4 = d_s4 AS merge_equals_direct",
+        "n", "s1", "s2", "s3", "s4",
+    )

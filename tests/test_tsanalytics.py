@@ -828,3 +828,45 @@ def test_asap_smooth_matches_numpy(spark):
         assert r["ma_mean"] == pytest.approx(float(ma.mean()), rel=1e-12)
         # smoothing at the dominant period must actually smooth
         assert r["gain"] is None or r["gain"] > 1.0
+
+
+def test_stats_moments_match_numpy(spark):
+    """TS21: the exact moment sums and the population mean/var/skew/
+    raw-kurtosis must match a from-scratch numpy recompute per source."""
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["stats_moments_agg"](spark, SF).collect()
+    }
+    pdf = synth.sequences_local(256)
+    for src in ("web", "code", "books"):
+        x = np.concatenate(
+            [np.asarray(t, dtype=np.int64)
+             for t, s in zip(pdf["tokens"], pdf["source"]) if s == src]
+        )
+        r = rows[src]
+        assert r["n"] == len(x)
+        assert r["s1"] == int(x.sum())
+        assert r["s2"] == int((x.astype(object) ** 2).sum())
+        assert int(r["s3"]) == int((x.astype(object) ** 3).sum())
+        assert int(r["s4"]) == int((x.astype(object) ** 4).sum())
+        xf = x.astype(np.float64)
+        mu = xf.mean()
+        m2 = ((xf - mu) ** 2).mean()
+        m3 = ((xf - mu) ** 3).mean()
+        m4 = ((xf - mu) ** 4).mean()
+        assert r["mean"] == pytest.approx(mu, rel=1e-12)
+        assert r["var_pop"] == pytest.approx(m2, rel=1e-9)
+        assert r["skew"] == pytest.approx(m3 / m2 ** 1.5, rel=1e-6)
+        assert r["kurt"] == pytest.approx(m4 / m2 ** 2, rel=1e-6)
+
+
+def test_stats_moments_merge_contract(spark):
+    from dtaidistance_spark.operators import tshyper_q  # noqa: F401
+
+    rows = REGISTRY["stats_moments_merge_check"](spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["merge_equals_direct"] is True
+        assert r["three_sources"] is True
