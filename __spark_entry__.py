@@ -42,6 +42,7 @@ def _registry():
         tsanalytics_q,
         tshyper_q,
         tsrobust_q,
+        tswin_q,
         tsops_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY

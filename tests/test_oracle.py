@@ -26,6 +26,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     tshyper_q,
     tsops_q,
     tsrobust_q,
+    tswin_q,
 )
 from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 from tests.oracle_utils import compare, duck_con

@@ -1,0 +1,84 @@
+"""Gates for tswin_q: Hampel rolling median/MAD and the Kalman fold —
+each verified against an independent pure-Python/numpy recompute (the
+DuckDB hash-match lives in test_oracle.py; these prove the *semantics*,
+not just cross-engine agreement)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.tswin_q import (
+    _HALF,
+    _N,
+    hampel_filter,
+    kalman_filter,
+)
+
+
+def _lower_median(sorted_vals):
+    c = len(sorted_vals)
+    return sorted_vals[(c + 1) // 2 - 1]
+
+
+def test_hampel_matches_pandas_recompute(spark, sf_dir):
+    out = hampel_filter(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    s = ev[ev.event_type == "click"].copy()
+    s["tu"] = s.ts.astype("datetime64[us]").astype("int64")
+    s = s.sort_values(["user_id", "tu", "value", "event_id"])
+
+    rows = {}
+    for uid, g in s.groupby("user_id"):
+        v = g.value.to_numpy()
+        eid = g.event_id.to_numpy()
+        n = len(v)
+        med = np.empty(n)
+        for i in range(n):
+            lo, hi = max(0, i - _HALF), min(n, i + _HALF + 1)
+            med[i] = _lower_median(np.sort(v[lo:hi]))
+        for i in range(n):
+            lo, hi = max(0, i - _HALF), min(n, i + _HALF + 1)
+            devs = np.sort(np.abs(v[lo:hi] - med[lo:hi]))
+            mad = _lower_median(devs)
+            rows[int(eid[i])] = (med[i], mad, abs(v[i] - med[i]) > 3 * 1.4826 * mad)
+
+    assert len(out) == len(rows)
+    for r in out.itertuples():
+        m, mad, spike = rows[int(r.event_id)]
+        assert r.med == m and r.mad == mad, r.event_id
+        assert bool(r.is_spike) == bool(spike), r.event_id
+
+
+def test_hampel_spikes_are_minority(spark, sf_dir):
+    out = hampel_filter(spark, sf_dir).toPandas()
+    assert 0 < out.is_spike.sum() < 0.2 * len(out)
+
+
+def test_kalman_matches_numpy_fold(spark, sf_dir):
+    out = kalman_filter(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(_N)
+    q, r = 1.0, 4.0
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.float64)
+        xhat, p = x[0], 1.0
+        for z in x[1:]:
+            pp = p + q
+            k = pp / (pp + r)
+            xhat = xhat + k * (z - xhat)
+            p = (1.0 - k) * pp
+        got = out.loc[row.doc_id]
+        assert got.level == xhat, row.doc_id
+        assert got.variance == p, row.doc_id
+        assert got.gain_next == (p + 1.0) / ((p + 1.0) + 4.0)
+
+
+def test_kalman_variance_converges_to_fixed_point(spark, sf_dir):
+    # p* solves p = (1 - K)(p + q) with K = (p+q)/(p+q+r):
+    # p^2 + q p - q r = 0 -> p* = (sqrt(q^2 + 4 q r) - q)/2 = (sqrt(17)-1)/2
+    out = kalman_filter(spark, sf_dir).toPandas()
+    p_star = (np.sqrt(17.0) - 1.0) / 2.0
+    long = out[out.n_tok >= 64]
+    assert len(long) == len(out)  # synth min length is 64
+    assert np.allclose(long.variance, p_star, atol=1e-9)
+    assert np.allclose(long.gain_next, (p_star + 1) / (p_star + 5), atol=1e-9)
