@@ -39,6 +39,11 @@ from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N = 256
 
+# Theil-Sen: exact tier caps the pair set at the series prefix m<=64
+# (2016 slopes/row); the scale tier samples pairs at dyadic gaps.
+_TS_M = 64
+_TS_GAPS = (1, 2, 4, 8, 16, 32, 64)
+
 # ---------------------------------------------------------------------------
 # TS22 — Hampel filter (rolling median / MAD despike)
 # ---------------------------------------------------------------------------
@@ -212,4 +217,276 @@ def kalman_filter(spark, sf_dir):
             "(element_at(st, 2) + CAST(1 AS DOUBLE))"
             " / ((element_at(st, 2) + CAST(1 AS DOUBLE)) + CAST(4 AS DOUBLE))"
         ).alias("gain_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS24 — Theil-Sen robust slope (exact prefix tier + dyadic-gap scale tier)
+# ---------------------------------------------------------------------------
+
+# Every slope is ONE subtraction + ONE division on exact token ints, the
+# median a positional pick over sorted identical doubles — bit-exact.
+
+_TSEN_SLOPES_SPARK = f"""
+flatten(transform(sequence(0, m - 2), i ->
+  transform(sequence(i + 1, m - 1), j ->
+    (CAST(element_at(tokens, j + 1) AS DOUBLE)
+     - CAST(element_at(tokens, i + 1) AS DOUBLE))
+    / CAST(j - i AS DOUBLE))))
+"""
+
+_TSEN_SLOPES_DUCK = """
+flatten(list_transform(range(m - 1), i ->
+  list_transform(range(i + 1, m), j ->
+    (tokens[j + 1]::DOUBLE - tokens[i + 1]::DOUBLE)
+    / (j - i)::DOUBLE)))
+"""
+
+
+@register(
+    "theil_sen_slope",
+    oracle=synth_sql(_N)
+    + f"""
+    , tm AS (
+      SELECT doc_id, n_tok, least(n_tok, {_TS_M}) AS m, tokens FROM synth
+    ),
+    sl AS (
+      SELECT doc_id, n_tok, m,
+             list_sort({_TSEN_SLOPES_DUCK}) AS slopes,
+             tokens
+      FROM tm
+    ),
+    md AS (
+      SELECT doc_id, n_tok, m,
+             len(slopes) AS n_pairs,
+             slopes[(len(slopes) + 1) // 2] AS slope,
+             tokens
+      FROM sl
+    ),
+    ic AS (
+      SELECT doc_id, n_tok, m, n_pairs, slope,
+             list_sort(list_transform(range(m), i ->
+               tokens[i + 1]::DOUBLE - slope * i::DOUBLE)) AS resid
+      FROM md
+    )
+    SELECT doc_id, n_tok, m, n_pairs, slope,
+           resid[(m + 1) // 2] AS intercept
+    FROM ic
+    """,
+)
+def theil_sen_slope(spark, sf_dir):
+    """TS24 (exact tier): Theil-Sen robust trend per series — the lower
+    median of all pairwise slopes (x_j − x_i)/(j − i) over the first
+    m = min(n_tok, 64) tokens, intercept the lower median of
+    x_i − slope·i (the Siegel/Theil-Sen intercept convention).  The
+    m ≤ 64 prefix bounds the exact tier at m(m−1)/2 = 2016 slopes per
+    row; ``theil_sen_scaled`` is the full-length estimator.  Each slope
+    is one subtraction + one division on exact ints, both medians are
+    positional picks over sorted bit-identical doubles — no rounding
+    anywhere.  Zero shuffles (scan-side HOFs, whole-stage codegen)."""
+    df = synth.sequences_df(spark, _N).withColumn(
+        "m", F.expr(f"least(n_tok, {_TS_M})")
+    )
+    sl = df.select(
+        "doc_id",
+        "n_tok",
+        "m",
+        "tokens",
+        F.expr(f"array_sort({_TSEN_SLOPES_SPARK})").alias("slopes"),
+    )
+    md = sl.select(
+        "doc_id",
+        "n_tok",
+        "m",
+        "tokens",
+        F.size("slopes").alias("n_pairs"),
+        F.expr(
+            "element_at(slopes, CAST((size(slopes) + 1) DIV 2 AS INT))"
+        ).alias("slope"),
+    )
+    return md.select(
+        "doc_id",
+        "n_tok",
+        "m",
+        "n_pairs",
+        "slope",
+        F.expr(
+            "element_at(array_sort(transform(sequence(0, m - 1), i -> "
+            "CAST(element_at(tokens, i + 1) AS DOUBLE)"
+            " - slope * CAST(i AS DOUBLE))), CAST((m + 1) DIV 2 AS INT))"
+        ).alias("intercept"),
+    )
+
+
+_TSEN_GAP_SPARK = f"""
+flatten(transform(
+  filter(array{_TS_GAPS}, d -> d < n_tok),
+  d -> transform(sequence(0, n_tok - 1 - d), i ->
+    (CAST(element_at(tokens, i + d + 1) AS DOUBLE)
+     - CAST(element_at(tokens, i + 1) AS DOUBLE))
+    / CAST(d AS DOUBLE))))
+"""
+
+_TSEN_GAP_DUCK = f"""
+flatten(list_transform(
+  list_filter({list(_TS_GAPS)}, d -> d < n_tok),
+  d -> list_transform(range(n_tok - d), i ->
+    (tokens[i + d + 1]::DOUBLE - tokens[i + 1]::DOUBLE)
+    / d::DOUBLE)))
+"""
+
+
+@register(
+    "theil_sen_scaled",
+    oracle=synth_sql(_N)
+    + f"""
+    , sl AS (
+      SELECT doc_id, n_tok, list_sort({_TSEN_GAP_DUCK}) AS slopes
+      FROM synth
+    )
+    SELECT doc_id, n_tok, len(slopes) AS n_pairs,
+           slopes[(len(slopes) + 1) // 2] AS slope
+    FROM sl
+    """,
+)
+def theil_sen_scaled(spark, sf_dir):
+    """TS24 (scale tier): Theil-Sen over the FULL series with the pair
+    set sampled at dyadic gaps d ∈ {1,2,4,8,16,32,64} — O(n·7) slopes
+    instead of O(n²), the standard sparse-pair Theil-Sen estimator
+    (cf. Siegel's repeated-median lineage), keeping multi-scale gap
+    coverage so seasonal structure can't bias the median the way a
+    single-gap difference would.  Worst-case scratch per row is
+    7·8192 ≈ 57k doubles — bounded regardless of corpus size, which is
+    what makes this the 100 TB tier while ``theil_sen_slope`` stays
+    the verification tier.  Same bit-exact positional-median contract;
+    zero shuffles."""
+    df = synth.sequences_df(spark, _N)
+    sl = df.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"array_sort({_TSEN_GAP_SPARK})").alias("slopes"),
+    )
+    return sl.select(
+        "doc_id",
+        "n_tok",
+        F.size("slopes").alias("n_pairs"),
+        F.expr(
+            "element_at(slopes, CAST((size(slopes) + 1) DIV 2 AS INT))"
+        ).alias("slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS25 — single best-split changepoint (exact SSE argmin via prefix sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "best_split_changepoint",
+    oracle=synth_sql(_N)
+    + """
+    , ex AS (
+      SELECT doc_id, n_tok, j AS pos, tokens[j + 1]::BIGINT AS x
+      FROM synth, unnest(range(n_tok)) AS t(j)
+    ),
+    cum AS (
+      SELECT doc_id, n_tok, pos, x,
+        sum(x) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS s1l,
+        sum(x * x) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS s2l,
+        sum(x) OVER (PARTITION BY doc_id)::BIGINT AS s1,
+        sum(x * x) OVER (PARTITION BY doc_id)::BIGINT AS s2
+      FROM ex
+    ),
+    cost AS (
+      SELECT doc_id, n_tok, pos, s1l, s1, s2,
+        (CAST(s2l AS DOUBLE)
+         - (CAST(s1l AS DOUBLE) * CAST(s1l AS DOUBLE))
+           / CAST(pos + 1 AS DOUBLE))
+        + (CAST(s2 - s2l AS DOUBLE)
+           - (CAST(s1 - s1l AS DOUBLE) * CAST(s1 - s1l AS DOUBLE))
+             / CAST(n_tok - pos - 1 AS DOUBLE)) AS sse
+      FROM cum WHERE pos <= n_tok - 2
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY sse, pos) AS rn
+      FROM cost
+    )
+    SELECT doc_id, n_tok, pos AS split_last_left, sse,
+           CAST(s1l AS DOUBLE) / CAST(pos + 1 AS DOUBLE) AS mean_left,
+           CAST(s1 - s1l AS DOUBLE) / CAST(n_tok - pos - 1 AS DOUBLE)
+             AS mean_right,
+           (CAST(s2 AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / CAST(n_tok AS DOUBLE)) - sse AS gain
+    FROM best WHERE rn = 1
+    """,
+)
+def best_split_changepoint(spark, sf_dir):
+    """TS25: single best-split changepoint per series — the split k
+    minimizing SSE_left + SSE_right for a piecewise-constant fit (the
+    first recursion step of binary segmentation, cf. Scott & Knott;
+    PELT's cost primitive).  Prefix sums Σx, Σx² are EXACT int64 over
+    posexploded tokens (x < 50 257 ⇒ Σx² < 2¹⁴⁵? no — < 2.1·10¹³ at
+    n = 8192, well inside int64), so every candidate SSE is the same
+    short float tree on identical ints in both engines and the argmin
+    (ties → smallest k) is deterministic with NO tolerance.  Plan: one
+    hash shuffle on doc_id; the cumulative window, the full-partition
+    totals, and the argmin row_number all share that single exchange.
+    At 100 TB this is the scalable changepoint shape: O(n) per series,
+    no per-row quadratic scan, no driver participation."""
+    df = synth.sequences_df(spark, _N)
+    ex = df.select(
+        "doc_id", "n_tok", F.posexplode("tokens").alias("pos", "xi")
+    ).select(
+        "doc_id", "n_tok", "pos", F.col("xi").cast("bigint").alias("x")
+    )
+    wc = Window.partitionBy("doc_id").orderBy("pos")
+    wf = Window.partitionBy("doc_id")
+    cum = ex.select(
+        "doc_id",
+        "n_tok",
+        "pos",
+        F.sum("x").over(wc).alias("s1l"),
+        F.sum(F.col("x") * F.col("x")).over(wc).alias("s2l"),
+        F.sum("x").over(wf).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("s2"),
+    ).where(F.col("pos") <= F.col("n_tok") - 2)
+    sse = (
+        F.col("s2l").cast("double")
+        - (F.col("s1l").cast("double") * F.col("s1l").cast("double"))
+        / (F.col("pos") + 1).cast("double")
+    ) + (
+        (F.col("s2") - F.col("s2l")).cast("double")
+        - (
+            (F.col("s1") - F.col("s1l")).cast("double")
+            * (F.col("s1") - F.col("s1l")).cast("double")
+        )
+        / (F.col("n_tok") - F.col("pos") - 1).cast("double")
+    )
+    cost = cum.withColumn("sse", sse)
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("sse", "pos")
+    )
+    best = cost.withColumn("rn", rn).where(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        "n_tok",
+        F.col("pos").alias("split_last_left"),
+        "sse",
+        (F.col("s1l").cast("double") / (F.col("pos") + 1).cast("double")).alias(
+            "mean_left"
+        ),
+        (
+            (F.col("s1") - F.col("s1l")).cast("double")
+            / (F.col("n_tok") - F.col("pos") - 1).cast("double")
+        ).alias("mean_right"),
+        (
+            (
+                F.col("s2").cast("double")
+                - (F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / F.col("n_tok").cast("double")
+            )
+            - F.col("sse")
+        ).alias("gain"),
     )

@@ -82,3 +82,68 @@ def test_kalman_variance_converges_to_fixed_point(spark, sf_dir):
     assert len(long) == len(out)  # synth min length is 64
     assert np.allclose(long.variance, p_star, atol=1e-9)
     assert np.allclose(long.gain_next, (p_star + 1) / (p_star + 5), atol=1e-9)
+
+
+def _lower_med_np(a):
+    s = np.sort(a)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def test_theil_sen_exact_matches_numpy(spark, sf_dir):
+    from dtaidistance_spark.operators.tswin_q import _TS_M, theil_sen_slope
+
+    out = theil_sen_slope(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(32)
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.float64)
+        m = min(len(x), _TS_M)
+        slopes = [
+            (x[j] - x[i]) / (j - i) for i in range(m - 1) for j in range(i + 1, m)
+        ]
+        slope = _lower_med_np(np.array(slopes))
+        icept = _lower_med_np(x[:m] - slope * np.arange(m, dtype=np.float64))
+        got = out.loc[row.doc_id]
+        assert got.n_pairs == m * (m - 1) // 2
+        assert got.slope == slope, row.doc_id
+        assert got.intercept == icept, row.doc_id
+
+
+def test_theil_sen_scaled_matches_numpy(spark, sf_dir):
+    from dtaidistance_spark.operators.tswin_q import _TS_GAPS, theil_sen_scaled
+
+    out = theil_sen_scaled(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(32)
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.float64)
+        n = len(x)
+        slopes = np.concatenate(
+            [(x[d:] - x[:-d]) / d for d in _TS_GAPS if d < n]
+        )
+        got = out.loc[row.doc_id]
+        assert got.n_pairs == len(slopes)
+        assert got.slope == _lower_med_np(slopes), row.doc_id
+
+
+def test_best_split_matches_numpy_bruteforce(spark, sf_dir):
+    from dtaidistance_spark.operators.tswin_q import best_split_changepoint
+
+    out = best_split_changepoint(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(32)
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.float64)
+        n = len(x)
+
+        def sse(seg):
+            return float(np.sum(seg * seg) - seg.sum() ** 2 / len(seg))
+
+        costs = np.array([sse(x[: k + 1]) + sse(x[k + 1 :]) for k in range(n - 1)])
+        k_best = int(np.argmin(costs))  # np.argmin ties -> first, same rule
+        got = out.loc[row.doc_id]
+        assert got.split_last_left == k_best, row.doc_id
+        assert abs(got.sse - costs[k_best]) < 1e-6 * max(1.0, abs(costs[k_best]))
+        assert abs(got.gain - (sse(x) - costs[k_best])) < 1e-6 * max(
+            1.0, abs(got.gain)
+        )
+        assert got.mean_left == x[: k_best + 1].mean() or abs(
+            got.mean_left - x[: k_best + 1].mean()
+        ) < 1e-9
