@@ -39,6 +39,7 @@ def _registry():
         streaming_q,
         synth_q,
         text_q,
+        tokenstats_q,
         tsanalytics_q,
         tshyper_q,
         tsrobust_q,

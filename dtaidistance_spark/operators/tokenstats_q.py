@@ -1,0 +1,267 @@
+"""Corpus-level token statistics, round-3 batch: Heaps'-law vocabulary
+growth, weighted systematic (PPS) sampling with a DISTRIBUTED prefix
+sum, and per-source unigram Shannon entropy — the three curves/knobs a
+training-data pipeline reads before fixing a domain mix.
+
+T32 — vocab growth: "first occurrence" turns running-count-distinct
+(not expressible as a window aggregate in either engine) into plain
+relational algebra: a token contributes exactly once, at min(doc
+index) within its source, so the curve is a groupBy + one PARTITIONED
+window cumsum.  All int64 — bit-exact.
+
+T33 — PPS sample: systematic sampling by cumulative weight needs a
+GLOBAL running sum, which naively is the banned partition-less window
+(single-partition sort of the corpus).  Instead the doc axis is cut
+into buckets, each bucket cumsums independently (partitioned window),
+and bucket OFFSETS come from a tiny bucket-totals aggregate joined
+back — the classic two-level scan that turns prefix-sum into two
+bounded shuffles at any scale.  Selection arithmetic is pure int64
+(a doc is picked iff a multiple of step = total div k lands inside
+its weight span), so the sample is deterministic, exact, and
+retry-idempotent — no RNG, no floats.
+
+T34 — entropy: unigram count table (one map-side-combined shuffle),
+then H = −Σ p·log2 p per source.  Follows the unigram_logprob
+precedent: the cross-row float sum's accumulation noise (~1e-12
+relative here) sits far below the round(6) grain, and log2 on
+identical doubles differs by ≤1 ulp across libms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.synth_q import synth_sql
+
+_N = 512
+
+# ---------------------------------------------------------------------------
+# T32 — Heaps'-law vocabulary-growth curve (per source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth",
+    oracle=synth_sql(_N)
+    + """
+    , docs AS (
+      SELECT doc_id, source, n_tok,
+             CAST(substr(doc_id, 4) AS BIGINT) AS i, tokens
+      FROM synth
+    ),
+    ex AS (SELECT source, i, unnest(tokens) AS tok FROM docs),
+    fo AS (SELECT source, tok, min(i) AS first_i FROM ex GROUP BY 1, 2),
+    nt AS (
+      SELECT source, first_i AS i, count(*)::BIGINT AS new_types
+      FROM fo GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT d.doc_id, d.source, d.i, d.n_tok,
+             coalesce(nt.new_types, 0) AS new_types
+      FROM docs d LEFT JOIN nt ON nt.source = d.source AND nt.i = d.i
+    )
+    SELECT doc_id, source, new_types,
+           sum(n_tok::BIGINT) OVER (
+             PARTITION BY source ORDER BY i)::BIGINT AS cum_tokens,
+           sum(new_types) OVER (
+             PARTITION BY source ORDER BY i)::BIGINT AS cum_types
+    FROM j
+    """,
+)
+def vocab_growth(spark, sf_dir):
+    """T32: Heaps'-law vocabulary growth per source — after each doc
+    (in deterministic doc-index order), how many tokens have streamed
+    past and how many DISTINCT token types have appeared.  Running
+    count-distinct is not a window aggregate, so it is rewritten as
+    first-occurrence algebra: groupBy (source, token) → min(doc index)
+    (one shuffle, map-side combined), count first-occurrences per doc,
+    left-join back onto docs (AQE broadcasts the small side), then ONE
+    partitioned window cumsum.  Everything int64 — bit-exact.  At
+    100 TB the per-source running sum becomes the same two-level
+    bucket scan as ``pps_systematic_sample``; the algebraic core
+    (first-occurrence extraction) is already the scalable shape."""
+    docs = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("CAST(substr(doc_id, 4) AS BIGINT)").alias("i"),
+        "tokens",
+    )
+    ex = docs.select("source", "i", F.explode("tokens").alias("tok"))
+    fo = ex.groupBy("source", "tok").agg(F.min("i").alias("first_i"))
+    nt = fo.groupBy("source", F.col("first_i").alias("i")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    j = (
+        docs.join(nt, ["source", "i"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("i")
+    return j.select(
+        "doc_id",
+        "source",
+        "new_types",
+        F.sum(F.col("n_tok").cast("bigint")).over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T33 — weighted systematic (PPS) sample via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_BUCKET = 64  # docs per prefix-sum bucket
+_K = 32  # target sample size
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=synth_sql(_N)
+    + f"""
+    , docs AS (
+      SELECT doc_id, source, n_tok::BIGINT AS w,
+             CAST(substr(doc_id, 4) AS BIGINT) AS i
+      FROM synth
+    ),
+    b AS (SELECT *, i // {_BUCKET} AS bkt FROM docs),
+    cw AS (
+      SELECT *, sum(w) OVER (PARTITION BY bkt ORDER BY i)::BIGINT AS cw_in
+      FROM b
+    ),
+    bt AS (SELECT bkt, sum(w)::BIGINT AS bw FROM b GROUP BY bkt),
+    off AS (
+      SELECT b1.bkt,
+             coalesce(sum(b2.bw), 0)::BIGINT AS off
+      FROM bt b1 LEFT JOIN bt b2 ON b2.bkt < b1.bkt
+      GROUP BY b1.bkt
+    ),
+    tot AS (SELECT sum(w)::BIGINT AS total FROM docs),
+    g AS (
+      SELECT cw.doc_id, cw.source, cw.w,
+             off.off + cw.cw_in AS cum_w,
+             tot.total // {_K} AS step
+      FROM cw JOIN off USING (bkt), tot
+    )
+    SELECT doc_id, source, w, cum_w,
+           (cum_w // step - (cum_w - w) // step)::BIGINT AS n_ticks
+    FROM g
+    WHERE cum_w // step > (cum_w - w) // step
+    """,
+)
+def pps_systematic_sample(spark, sf_dir):
+    """T33: probability-proportional-to-size systematic sample — lay
+    every doc's weight (token count) end to end on an integer line,
+    drop a tick every step = total div 32, keep docs whose span
+    contains a tick (long docs can earn several ticks → n_ticks).
+    The global cumulative weight is a DISTRIBUTED prefix sum: docs
+    bucket by index (64/bucket), each bucket cumsums under a
+    partitioned window, and bucket offsets come from a bucket-totals
+    self-join (B² on the tiny totals table — at 100 TB you'd tier the
+    buckets, same algebra).  Pure int64 throughout: deterministic,
+    retry-idempotent, bit-exact, and expected pick count per doc is
+    exactly k·w/total — the textbook PPS estimator with zero RNG."""
+    docs = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("bigint").alias("w"),
+        F.expr("CAST(substr(doc_id, 4) AS BIGINT)").alias("i"),
+    )
+    b = docs.withColumn("bkt", F.expr(f"i DIV {_BUCKET}"))
+    cw = b.withColumn(
+        "cw_in", F.sum("w").over(Window.partitionBy("bkt").orderBy("i"))
+    )
+    bt = b.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    off = (
+        bt.alias("b1")
+        .join(bt.alias("b2"), F.col("b2.bkt") < F.col("b1.bkt"), "left")
+        .groupBy(F.col("b1.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b2.bw"), F.lit(0)).alias("off"))
+    )
+    tot = docs.agg(F.sum("w").alias("total"))
+    g = (
+        cw.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            (F.col("off") + F.col("cw_in")).alias("cum_w"),
+            F.expr(f"total DIV {_K}").alias("step"),
+        )
+    )
+    return g.where(
+        F.expr("cum_w DIV step > (cum_w - w) DIV step")
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        "cum_w",
+        F.expr("CAST(cum_w DIV step - (cum_w - w) DIV step AS BIGINT)").alias(
+            "n_ticks"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T34 — per-source unigram Shannon entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_entropy",
+    oracle=synth_sql(_N)
+    + """
+    , ex AS (SELECT source, unnest(tokens) AS tok FROM synth),
+    c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+    t AS (
+      SELECT source, sum(cnt)::BIGINT AS total,
+             count(*)::BIGINT AS vocab_size
+      FROM c GROUP BY source
+    )
+    SELECT c.source, t.total AS n_tokens, t.vocab_size,
+           round(sum(-(cnt::DOUBLE / t.total)
+                     * log2(cnt::DOUBLE / t.total)), 6) AS entropy_bits,
+           round(sum(-(cnt::DOUBLE / t.total)
+                     * log2(cnt::DOUBLE / t.total))
+                 / log2(t.vocab_size::DOUBLE), 6) AS entropy_norm
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.total, t.vocab_size
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """T34: Shannon entropy of each source's unigram token distribution
+    (bits/token) plus the vocabulary-normalized efficiency H/log2|V| —
+    the diversity dial for domain mixing (a low-entropy source is
+    repetitive; near-1 efficiency means a flat distribution).  One
+    map-side-combined shuffle for counts, one per-source aggregate for
+    the sum; the cross-row float sum follows the unigram_logprob
+    precedent (accumulation noise ~1e-12 relative, far under the
+    round(6) grain).  Scales as a plain two-aggregate pipeline."""
+    ex = synth.sequences_df(spark, _N).select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    c = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    h = F.sum(-p * F.log2(p))
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source", F.col("total").alias("n_tokens"), "vocab_size")
+        .agg(
+            F.round(h, 6).alias("entropy_bits"),
+            F.round(
+                h / F.log2(F.col("vocab_size").cast("double")), 6
+            ).alias("entropy_norm"),
+        )
+    )

@@ -22,6 +22,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     streaming_q,
     synth_q,
     text_q,
+    tokenstats_q,
     tsanalytics_q,
     tshyper_q,
     tsops_q,

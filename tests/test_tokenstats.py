@@ -1,0 +1,82 @@
+"""Semantic gates for tokenstats_q (cross-engine hashes live in
+test_oracle.py): vocabulary growth vs a set-based recompute, the PPS
+sample vs an integer-line recompute, entropy vs numpy."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark import synth
+from dtaidistance_spark.operators.tokenstats_q import (
+    _K,
+    _N,
+    pps_systematic_sample,
+    token_entropy,
+    vocab_growth,
+)
+
+
+@pytest.fixture(scope="module")
+def loc():
+    return synth.sequences_local(_N)
+
+
+def test_vocab_growth_matches_set_recompute(spark, sf_dir, loc):
+    out = vocab_growth(spark, sf_dir).toPandas().set_index("doc_id")
+    assert len(out) == _N
+    seen, cum_tok, cum_typ = {}, {}, {}
+    for row in loc.itertuples():  # already in doc-index order
+        s = row.source
+        vocab = seen.setdefault(s, set())
+        new = len(set(row.tokens.tolist()) - vocab)
+        vocab.update(row.tokens.tolist())
+        cum_tok[s] = cum_tok.get(s, 0) + row.n_tok
+        cum_typ[s] = cum_typ.get(s, 0) + new
+        got = out.loc[row.doc_id]
+        assert got.new_types == new, row.doc_id
+        assert got.cum_tokens == cum_tok[s], row.doc_id
+        assert got.cum_types == cum_typ[s], row.doc_id
+    # Heaps: sublinear growth — once a source has streamed well past the
+    # vocab size, types grow much slower than tokens (small sources are
+    # still on the steep early part of the curve)
+    for s in seen:
+        assert cum_typ[s] < cum_tok[s]
+        if cum_tok[s] > 4 * 50257:
+            assert cum_typ[s] < 0.5 * cum_tok[s]
+
+
+def test_pps_sample_matches_integer_line(spark, sf_dir, loc):
+    out = pps_systematic_sample(spark, sf_dir).toPandas()
+    w = loc.n_tok.astype("int64").to_numpy()
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    step = total // _K
+    picks = {}
+    for i in range(len(w)):
+        lo = int(cum[i]) - int(w[i])
+        ticks = int(cum[i]) // step - lo // step
+        if ticks > 0:
+            picks[loc.doc_id.iloc[i]] = (ticks, int(cum[i]))
+    assert set(out.doc_id) == set(picks)
+    for r in out.itertuples():
+        ticks, cw = picks[r.doc_id]
+        assert r.n_ticks == ticks and r.cum_w == cw
+    # systematic PPS: tick count is total//step, within one of target k
+    assert abs(int(out.n_ticks.sum()) - total // step) == 0
+    assert _K <= int(out.n_ticks.sum()) <= _K + 2
+
+
+def test_token_entropy_matches_numpy(spark, sf_dir, loc):
+    out = token_entropy(spark, sf_dir).toPandas().set_index("source")
+    for s in out.index:
+        toks = np.concatenate(
+            [r.tokens for r in loc.itertuples() if r.source == s]
+        )
+        _, cnt = np.unique(toks, return_counts=True)
+        p = cnt / cnt.sum()
+        h = float(-(p * np.log2(p)).sum())
+        got = out.loc[s]
+        assert got.n_tokens == len(toks)
+        assert got.vocab_size == len(cnt)
+        assert abs(got.entropy_bits - h) < 1e-5
+        assert abs(got.entropy_norm - h / np.log2(len(cnt))) < 1e-5
+        assert 0 < got.entropy_norm <= 1.0
