@@ -744,3 +744,106 @@ def stream_hll_sketch(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+
+
+@register(
+    "stream_ohlc",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS window_start,
+             epoch_us(ts) AS tu, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, window_start
+                           ORDER BY tu, event_id) AS rn1,
+        row_number() OVER (PARTITION BY event_type, window_start
+                           ORDER BY tu DESC, event_id DESC) AS rn2
+      FROM s
+    )
+    SELECT event_type, window_start,
+           count(*) AS n_events,
+           max(CASE WHEN rn1 = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn2 = 1 THEN value END) AS close,
+           round(sum(value), 6) AS volume
+    FROM r GROUP BY event_type, window_start
+    """,
+)
+def stream_ohlc(spark, sf_dir):
+    """R28: streaming OHLC candlesticks — the batch ``ohlc_candlestick``
+    continuous-aggregate maintained by Structured Streaming: watermarked
+    1-day windows per event_type in append mode, open/close via
+    ``min_by``/``max_by`` on the total (tu, event_id) order (streaming
+    cannot run row_number, but arg-extrema aggregates ARE incremental —
+    that's the point: the candlestick is mergeable state, 6 numbers per
+    window).  Double availableNow drain + far-future closing row per
+    the module pattern; the emitted windows then equal the batch
+    row_number SQL exactly (DuckDB oracle, volume round(6)).  At scale
+    this is the real-time tier of the OHLC continuous aggregate:
+    bounded state per open window, exactly-once emission on watermark
+    close."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="stream_ohlc_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, event_id bigint, value double"
+        ).parquet(src)
+        key = F.struct(
+            F.unix_micros(F.col("ts")).alias("tu"), F.col("event_id")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.round(F.sum("value"), 6).alias("volume"),
+            )
+            .select(
+                "event_type",
+                F.col("w")["start"].alias("window_start"),
+                "n_events",
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "'__closer__' AS event_type, CAST(-1 AS BIGINT) AS event_id, "
+            "0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(
+            F.col("event_type") != "__closer__"
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

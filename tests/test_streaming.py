@@ -352,3 +352,23 @@ def test_stream_hll_sketch_merge_contract(spark):
 
     per_src = Counter(r["source"] for r in rows)
     assert set(per_src.values()) == {5}
+
+
+def test_stream_ohlc_equals_batch(spark, sf_dir):
+    """R28: the streaming candlestick drain equals the batch OHLC
+    query row-for-row (same day buckets, same total-order open/close),
+    and every emitted candle is internally consistent."""
+    from dtaidistance_spark.operators.streaming_q import stream_ohlc
+    from dtaidistance_spark.operators.tshyper_q import ohlc_candlestick
+
+    out = stream_ohlc(spark, sf_dir).toPandas()
+    batch = ohlc_candlestick(spark, sf_dir).toPandas()
+    assert len(out) == len(batch) > 0
+    key = ["event_type"]
+    out = out.sort_values(key + ["window_start"]).reset_index(drop=True)
+    batch = batch.sort_values(key + ["bucket"]).reset_index(drop=True)
+    assert (out.window_start.values == batch.bucket.values).all()
+    for c in ["n_events", "open", "high", "low", "close", "volume"]:
+        assert (out[c].values == batch[c].values).all(), c
+    assert (out.low <= out.open).all() and (out.open <= out.high).all()
+    assert (out.low <= out.close).all() and (out.close <= out.high).all()
