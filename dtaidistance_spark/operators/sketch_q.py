@@ -301,15 +301,35 @@ def token_pmi(spark, sf_dir):
 
 _HLL_M = 256
 _HLL_HV_SPARK = "cast(conv(substr(md5(cast(t AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-_HLL_ALPHA = "0.7213 / (1 + 1.079/256.0) * 256.0 * 256.0"
+# every literal CAST to DOUBLE: bare decimal literals parse as DECIMAL in
+# both engines but with DIFFERENT scale/rounding rules, so an uncast alpha
+# is not the same double on both sides (the 1e-8 discrepancy that moved
+# the books estimate across a rounding boundary — caught by the strict
+# %.6f local gate, invisible at the driver's %.6g grain)
+_HLL_ALPHA = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) "
+    "+ CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)) "
+    "* CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)"
+)
 
-_HLL_EST_SPARK = f"""round({_HLL_ALPHA} /
+# round-to-4dp is spelled MANUALLY (floor(x*1e4 + 0.5)/1e4) because the
+# engines' built-in round() algorithms differ: Spark rounds the exact
+# decimal expansion of the double (BigDecimal HALF_UP) while DuckDB
+# rounds after a float multiply — a value landing on the x.xxxx5
+# boundary (the 'books' estimate does) flips by one grain between them.
+# floor over the identical multiply/add op tree is bit-deterministic.
+_HLL_EST_SPARK = f"""(CAST(floor(({_HLL_ALPHA} /
   aggregate(regs, cast(0 AS DOUBLE),
-    (s, x) -> s + 1.0 / cast(shiftleft(cast(1 AS BIGINT), x) AS DOUBLE)), 4)"""
+    (s, x) -> s + CAST(1 AS DOUBLE)
+      / cast(shiftleft(cast(1 AS BIGINT), x) AS DOUBLE)))
+  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+  / CAST(10000 AS DOUBLE))"""
 
-_HLL_EST_DUCK = f"""round({_HLL_ALPHA} /
-  list_reduce(list_prepend(0.0, list_transform(regs, r ->
-    1.0 / ((1::BIGINT << r)::DOUBLE))), (s, x) -> s + x), 4)"""
+_HLL_EST_DUCK = f"""(CAST(floor(({_HLL_ALPHA} /
+  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(regs, r ->
+    CAST(1 AS DOUBLE) / ((1::BIGINT << r)::DOUBLE))), (s, x) -> s + x))
+  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)
+  / CAST(10000 AS DOUBLE))"""
 
 _HLL_REGS_DUCK = """
 tok AS (SELECT source, unnest(tokens) AS t FROM synth),
@@ -375,8 +395,10 @@ def _synth_sql_hll():
            {_HLL_EST_DUCK} AS est_raw,
            CASE WHEN {_HLL_EST_DUCK} <= 640.0
                  AND len(list_filter(regs, r -> r = 0)) > 0
-                THEN round(256.0 * ln(256.0
-                       / len(list_filter(regs, r -> r = 0))), 4)
+                THEN CAST(floor((CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)
+                       / len(list_filter(regs, r -> r = 0))))
+                       * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       AS DOUBLE) / CAST(10000 AS DOUBLE)
                 ELSE {_HLL_EST_DUCK} END AS est,
            true_distinct
     FROM arr JOIN tru ON arr.source = tru.source
@@ -410,8 +432,10 @@ def hll_distinct(spark, sf_dir):
             f"{_HLL_EST_SPARK} AS est_raw",
             f"""CASE WHEN {_HLL_EST_SPARK} <= 640.0
                  AND size(filter(regs, r -> r = 0)) > 0
-                THEN round(256.0 * ln(256.0
-                       / size(filter(regs, r -> r = 0))), 4)
+                THEN CAST(floor((CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)
+                       / size(filter(regs, r -> r = 0))))
+                       * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       AS DOUBLE) / CAST(10000 AS DOUBLE)
                 ELSE {_HLL_EST_SPARK} END AS est""",
             "true_distinct",
         )
