@@ -861,3 +861,130 @@ def uddq_merge_check(spark, sf_dir):
             ],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T35 — Misra-Gries / SpaceSaving mergeable heavy-hitter summary
+# ---------------------------------------------------------------------------
+#
+# The k-counter Misra-Gries summary of a COUNTED batch has a closed form:
+# decrement every count by d = the (k+1)-th largest count value (0 when
+# the batch has <= k distinct tokens) and keep the survivors (> d) — at
+# most k remain, and every kept estimate undercounts its true batch count
+# by exactly d. Summaries MERGE by summing surviving estimates per token
+# and applying the same (k+1)-th-largest decrement to the combined table
+# (Agarwal et al., "Mergeable Summaries", PODS'12). Total undercount of
+# any token is then bounded by sum(d_b over buckets) + d_merge — the
+# bound is emitted per row and PROVEN in-data against the exact counts
+# (pure int64 end to end, so the whole thing hashes with no tolerance).
+#
+# Scale shape: explode -> groupBy(bucket, token) is ONE map-side-combined
+# shuffle; each bucket's decrement d_b is a positional pick from a
+# per-bucket sorted count array (counts only — ties don't matter when
+# picking a VALUE), survivors join d_b back broadcast-small; the merged
+# table holds <= buckets*k rows, so the final decrement + the exact-count
+# verification join are bounded regardless of corpus size. No windows at
+# all, partition-less or otherwise.
+
+_MG_K = 16
+_MG_BUCKET = 64
+
+
+@register(
+    "misra_gries_topk",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id // {_MG_BUCKET} AS bkt,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT bkt, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+    dct AS (
+      SELECT bkt,
+             coalesce((list_sort(list(cnt), 'DESC'))[{_MG_K} + 1], 0)
+               AS d_b
+      FROM c GROUP BY bkt
+    ),
+    part AS (
+      SELECT c.bkt, c.tok, c.cnt - dct.d_b AS est_b
+      FROM c JOIN dct USING (bkt) WHERE c.cnt > dct.d_b
+    ),
+    merged AS (
+      SELECT tok, sum(est_b)::BIGINT AS s FROM part GROUP BY tok
+    ),
+    dmrg AS (
+      SELECT coalesce((list_sort(list(s), 'DESC'))[{_MG_K} + 1], 0)
+               AS d_m
+      FROM merged
+    ),
+    dsum AS (SELECT sum(d_b)::BIGINT AS d_total FROM dct),
+    fin AS (
+      SELECT tok, s - d_m AS est, d_m FROM merged, dmrg WHERE s > d_m
+    ),
+    tru AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM ex GROUP BY tok)
+    SELECT fin.tok, fin.est, tru.true_cnt,
+           (tru.true_cnt - fin.est)::BIGINT AS err,
+           (dsum.d_total + fin.d_m)::BIGINT AS bound,
+           (tru.true_cnt - fin.est) <= (dsum.d_total + fin.d_m)
+             AS bound_ok,
+           tru.true_cnt >= fin.est AS underestimate_ok
+    FROM fin JOIN tru USING (tok), dsum
+    """,
+)
+def misra_gries_topk(spark, sf_dir):
+    """T35: mergeable Misra-Gries heavy-hitter summary over the
+    documents word stream (Zipf-skewed, so real heavy hitters exist) — per-bucket k = 16 counter summaries in closed form
+    (decrement by the (k+1)-th largest count, keep survivors), merged
+    by summing and re-decrementing, exactly the Agarwal et al.
+    mergeable-summaries recipe that lets 1000 executors each ship k
+    counters instead of a vocabulary-sized table.  Every kept token's
+    estimate provably undercounts by at most Σd_bucket + d_merge; both
+    sides of that inequality are emitted and the oracle re-derives the
+    whole pipeline (pure int64 → bit-exact hash, no tolerance).  See
+    the section comment for the plan shape."""
+    ex = T(spark, sf_dir, "documents").select(
+        F.expr(f"doc_id DIV {_MG_BUCKET}").alias("bkt"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    c = ex.groupBy("bkt", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dct = c.groupBy("bkt").agg(
+        F.expr(
+            f"coalesce(element_at(reverse(sort_array(collect_list(cnt))),"
+            f" {_MG_K} + 1), CAST(0 AS BIGINT))"
+        ).alias("d_b")
+    )
+    part = (
+        c.join(F.broadcast(dct), "bkt")
+        .where(F.col("cnt") > F.col("d_b"))
+        .select("bkt", "tok", (F.col("cnt") - F.col("d_b")).alias("est_b"))
+    )
+    merged = part.groupBy("tok").agg(F.sum("est_b").alias("s"))
+    dmrg = merged.groupBy().agg(
+        F.expr(
+            f"coalesce(element_at(reverse(sort_array(collect_list(s))),"
+            f" {_MG_K} + 1), CAST(0 AS BIGINT))"
+        ).alias("d_m")
+    )
+    dsum = dct.groupBy().agg(F.sum("d_b").alias("d_total"))
+    fin = (
+        merged.crossJoin(F.broadcast(dmrg))
+        .where(F.col("s") > F.col("d_m"))
+        .select("tok", (F.col("s") - F.col("d_m")).alias("est"), "d_m")
+    )
+    tru = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        fin.join(tru, "tok")
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "tok",
+            "est",
+            "true_cnt",
+            (F.col("true_cnt") - F.col("est")).alias("err"),
+            (F.col("d_total") + F.col("d_m")).alias("bound"),
+            (
+                (F.col("true_cnt") - F.col("est"))
+                <= (F.col("d_total") + F.col("d_m"))
+            ).alias("bound_ok"),
+            (F.col("true_cnt") >= F.col("est")).alias("underestimate_ok"),
+        )
+    )

@@ -80,3 +80,43 @@ def test_token_entropy_matches_numpy(spark, sf_dir, loc):
         assert abs(got.entropy_bits - h) < 1e-5
         assert abs(got.entropy_norm - h / np.log2(len(cnt))) < 1e-5
         assert 0 < got.entropy_norm <= 1.0
+
+
+def test_misra_gries_bounds_and_semantics(spark, sf_dir):
+    """T35: every kept estimate is a true undercount within the proven
+    MG bound, at most k survive, and the summary recomputes exactly
+    from a pure-Python Misra-Gries closed form."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.sketch_q import (
+        _MG_BUCKET,
+        _MG_K,
+        misra_gries_topk,
+    )
+
+    out = misra_gries_topk(spark, sf_dir).toPandas()
+    assert 0 < len(out) <= _MG_K
+    assert out.bound_ok.all() and out.underestimate_ok.all()
+    assert (out.err >= 0).all()
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    parts = {}
+    d_total = 0
+    for bkt, g in docs.groupby(docs.doc_id // _MG_BUCKET):
+        cnt = Counter(
+            w for t in g.text for w in t.lower().split(" ")
+        )
+        vals = sorted(cnt.values(), reverse=True)
+        d_b = vals[_MG_K] if len(vals) > _MG_K else 0
+        d_total += d_b
+        for tok, c in cnt.items():
+            if c > d_b:
+                parts[tok] = parts.get(tok, 0) + (c - d_b)
+    svals = sorted(parts.values(), reverse=True)
+    d_m = svals[_MG_K] if len(svals) > _MG_K else 0
+    want = {t: s - d_m for t, s in parts.items() if s > d_m}
+    got = dict(zip(out.tok, out.est))
+    assert got == want
+    assert (out.bound == d_total + d_m).all()
