@@ -490,3 +490,169 @@ def best_split_changepoint(spark, sf_dir):
             - F.col("sse")
         ).alias("gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS26 — binary segmentation, depth 2 (two changepoints, three segments)
+# ---------------------------------------------------------------------------
+
+
+def _sse(q, s, n):
+    """Shared SSE-from-prefix-sums spelling: identical float op tree in
+    Spark and DuckDB (q, s are exact int64 expressions)."""
+    return (
+        f"(CAST({q} AS DOUBLE) - (CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+        f" / CAST({n} AS DOUBLE))"
+    )
+
+
+# level-1 cost at split pos (left [0..pos], right [pos+1..n-1])
+_BS_COST1 = (
+    _sse("s2l", "s1l", "(pos + 1)")
+    + " + "
+    + _sse("(s2 - s2l)", "(s1 - s1l)", "(n_tok - pos - 1)")
+)
+
+# level-2: splitting the LEFT segment [0..k1] at pos < k1 keeps the right
+# segment's SSE; splitting the RIGHT segment [k1+1..n-1] at pos > k1 keeps
+# the left's. s1k/s2k are the level-1 winner's prefix sums at k1.
+_BS_SSEL1 = _sse("s2k", "s1k", "(k1 + 1)")
+_BS_SSER1 = _sse("(s2 - s2k)", "(s1 - s1k)", "(n_tok - k1 - 1)")
+_BS_COST2 = f"""CASE WHEN pos < k1 THEN
+  {_sse("s2l", "s1l", "(pos + 1)")}
+  + {_sse("(s2k - s2l)", "(s1k - s1l)", "(k1 - pos)")}
+  + {_BS_SSER1}
+ELSE
+  {_BS_SSEL1}
+  + {_sse("(s2l - s2k)", "(s1l - s1k)", "(pos - k1)")}
+  + {_sse("(s2 - s2l)", "(s1 - s1l)", "(n_tok - pos - 1)")}
+END"""
+
+_BS_MEANS = """
+CAST(CASE WHEN pos < k1 THEN s1l ELSE s1k END AS DOUBLE)
+  / CAST(least(pos, k1) + 1 AS DOUBLE) AS mean1,
+CAST(CASE WHEN pos < k1 THEN s1k - s1l ELSE s1l - s1k END AS DOUBLE)
+  / CAST(greatest(pos, k1) - least(pos, k1) AS DOUBLE) AS mean2,
+CAST(s1 - (CASE WHEN pos < k1 THEN s1k ELSE s1l END) AS DOUBLE)
+  / CAST(n_tok - 1 - greatest(pos, k1) AS DOUBLE) AS mean3
+"""
+
+
+@register(
+    "binseg_changepoints",
+    oracle=synth_sql(_N)
+    + f"""
+    , ex AS (
+      SELECT doc_id, n_tok, j AS pos, tokens[j + 1]::BIGINT AS x
+      FROM synth, unnest(range(n_tok)) AS t(j)
+    ),
+    cum AS (
+      SELECT doc_id, n_tok, pos,
+        sum(x) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS s1l,
+        sum(x * x) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS s2l,
+        sum(x) OVER (PARTITION BY doc_id)::BIGINT AS s1,
+        sum(x * x) OVER (PARTITION BY doc_id)::BIGINT AS s2
+      FROM ex
+    ),
+    c1 AS (
+      SELECT *, {_BS_COST1} AS sse1,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY {_BS_COST1}, pos) AS rn
+      FROM cum WHERE pos <= n_tok - 2
+    ),
+    b1 AS (
+      SELECT doc_id, pos AS k1, s1l AS s1k, s2l AS s2k, sse1
+      FROM c1 WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT cum.doc_id, cum.n_tok, cum.pos, cum.s1l, cum.s2l,
+             cum.s1, cum.s2, b1.k1, b1.s1k, b1.s2k, b1.sse1,
+             {_BS_COST2} AS sse2,
+        row_number() OVER (PARTITION BY cum.doc_id
+                           ORDER BY {_BS_COST2}, cum.pos) AS rn
+      FROM cum JOIN b1 USING (doc_id)
+      WHERE cum.pos <= cum.n_tok - 2 AND cum.pos <> b1.k1
+    )
+    SELECT doc_id, n_tok,
+           least(pos, k1) AS cp1, greatest(pos, k1) AS cp2,
+           sse1, sse2, sse1 - sse2 AS gain2,
+           {_BS_MEANS}
+    FROM c2 WHERE rn = 1
+    """,
+)
+def binseg_changepoints(spark, sf_dir):
+    """TS26: binary segmentation at depth 2 — re-split the better side
+    of the TS25 split, yielding two changepoints / three constant
+    segments per series.  Level 2 reuses the SAME cumulative table:
+    any segment's SSE is a 3-term expression over the global prefix
+    sums at its endpoints, so the recursion costs one broadcast-sized
+    join (the per-doc level-1 winner) and a second partitioned argmin
+    — NO second pass over the raw tokens.  All candidate costs are one
+    shared float tree over exact int64 prefix sums (helper `_sse`
+    guarantees the identical spelling in both engines), ties break
+    (cost, pos) — bit-exact, no tolerance, including the three segment
+    means.  Plan: one hash exchange on doc_id for the explode/cumsum,
+    the winner join is AQE-broadcast, the second argmin reuses the
+    partitioning — the multi-changepoint shape that survives 100 TB."""
+    df = synth.sequences_df(spark, _N)
+    ex = df.select(
+        "doc_id", "n_tok", F.posexplode("tokens").alias("pos", "xi")
+    ).select(
+        "doc_id", "n_tok", "pos", F.col("xi").cast("bigint").alias("x")
+    )
+    wc = Window.partitionBy("doc_id").orderBy("pos")
+    wf = Window.partitionBy("doc_id")
+    cum = ex.select(
+        "doc_id",
+        "n_tok",
+        "pos",
+        F.sum("x").over(wc).alias("s1l"),
+        F.sum(F.col("x") * F.col("x")).over(wc).alias("s2l"),
+        F.sum("x").over(wf).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("s2"),
+    )
+    c1 = (
+        cum.where(F.col("pos") <= F.col("n_tok") - 2)
+        .withColumn("sse1", F.expr(_BS_COST1))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.expr(_BS_COST1), "pos"
+                )
+            ),
+        )
+    )
+    b1 = c1.where(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("pos").alias("k1"),
+        F.col("s1l").alias("s1k"),
+        F.col("s2l").alias("s2k"),
+        "sse1",
+    )
+    c2 = (
+        cum.join(b1, "doc_id")
+        .where(
+            (F.col("pos") <= F.col("n_tok") - 2)
+            & (F.col("pos") != F.col("k1"))
+        )
+        .withColumn("sse2", F.expr(_BS_COST2))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.expr(_BS_COST2), "pos"
+                )
+            ),
+        )
+    )
+    return c2.where(F.col("rn") == 1).selectExpr(
+        "doc_id",
+        "n_tok",
+        "least(pos, k1) AS cp1",
+        "greatest(pos, k1) AS cp2",
+        "sse1",
+        "sse2",
+        "sse1 - sse2 AS gain2",
+        *[x.strip() for x in _BS_MEANS.strip().split(",\n")],
+    )

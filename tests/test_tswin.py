@@ -147,3 +147,49 @@ def test_best_split_matches_numpy_bruteforce(spark, sf_dir):
         assert got.mean_left == x[: k_best + 1].mean() or abs(
             got.mean_left - x[: k_best + 1].mean()
         ) < 1e-9
+
+
+def test_binseg_matches_numpy_two_level(spark, sf_dir):
+    from dtaidistance_spark.operators.tswin_q import binseg_changepoints
+
+    out = binseg_changepoints(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(24)
+
+    def seg_sse(c1, c2, a, b):  # segment [a..b] via prefix sums
+        s = c1[b + 1] - c1[a]
+        q = c2[b + 1] - c2[a]
+        return q - s * s / (b - a + 1)
+
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.int64)
+        n = len(x)
+        c1p = np.concatenate([[0], np.cumsum(x)]).astype(float)
+        c2p = np.concatenate([[0], np.cumsum(x * x)]).astype(float)
+        cost1 = np.array(
+            [seg_sse(c1p, c2p, 0, k) + seg_sse(c1p, c2p, k + 1, n - 1)
+             for k in range(n - 1)]
+        )
+        k1 = int(np.argmin(cost1))
+        best = (np.inf, None)
+        for p in range(n - 1):
+            if p == k1:
+                continue
+            if p < k1:
+                c = (seg_sse(c1p, c2p, 0, p) + seg_sse(c1p, c2p, p + 1, k1)
+                     + seg_sse(c1p, c2p, k1 + 1, n - 1))
+            else:
+                c = (seg_sse(c1p, c2p, 0, k1) + seg_sse(c1p, c2p, k1 + 1, p)
+                     + seg_sse(c1p, c2p, p + 1, n - 1))
+            if c < best[0] - 1e-9:
+                best = (c, p)
+        got = out.loc[row.doc_id]
+        lo, hi = sorted((k1, best[1]))
+        assert got.cp1 == lo and got.cp2 == hi, row.doc_id
+        assert abs(got.sse2 - best[0]) < 1e-6 * max(1.0, abs(best[0]))
+        assert got.gain2 >= -1e-9
+        # three segment means recompute
+        m1 = x[: lo + 1].mean()
+        m2 = x[lo + 1 : hi + 1].mean()
+        m3 = x[hi + 1 :].mean()
+        assert abs(got.mean1 - m1) < 1e-9 and abs(got.mean2 - m2) < 1e-9
+        assert abs(got.mean3 - m3) < 1e-9
