@@ -864,7 +864,7 @@ def uddq_merge_check(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T35 — Misra-Gries / SpaceSaving mergeable heavy-hitter summary
+# T39 — Misra-Gries / SpaceSaving mergeable heavy-hitter summary
 # ---------------------------------------------------------------------------
 #
 # The k-counter Misra-Gries summary of a COUNTED batch has a closed form:
@@ -932,7 +932,7 @@ _MG_BUCKET = 64
     """,
 )
 def misra_gries_topk(spark, sf_dir):
-    """T35: mergeable Misra-Gries heavy-hitter summary over the
+    """T39: mergeable Misra-Gries heavy-hitter summary over the
     documents word stream (Zipf-skewed, so real heavy hitters exist) — per-bucket k = 16 counter summaries in closed form
     (decrement by the (k+1)-th largest count, keep survivors), merged
     by summing and re-decrementing, exactly the Agarwal et al.

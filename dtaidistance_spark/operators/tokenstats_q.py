@@ -3,13 +3,13 @@ growth, weighted systematic (PPS) sampling with a DISTRIBUTED prefix
 sum, and per-source unigram Shannon entropy — the three curves/knobs a
 training-data pipeline reads before fixing a domain mix.
 
-T32 — vocab growth: "first occurrence" turns running-count-distinct
+T36 — vocab growth: "first occurrence" turns running-count-distinct
 (not expressible as a window aggregate in either engine) into plain
 relational algebra: a token contributes exactly once, at min(doc
 index) within its source, so the curve is a groupBy + one PARTITIONED
 window cumsum.  All int64 — bit-exact.
 
-T33 — PPS sample: systematic sampling by cumulative weight needs a
+T37 — PPS sample: systematic sampling by cumulative weight needs a
 GLOBAL running sum, which naively is the banned partition-less window
 (single-partition sort of the corpus).  Instead the doc axis is cut
 into buckets, each bucket cumsums independently (partitioned window),
@@ -20,7 +20,7 @@ bounded shuffles at any scale.  Selection arithmetic is pure int64
 its weight span), so the sample is deterministic, exact, and
 retry-idempotent — no RNG, no floats.
 
-T34 — entropy: unigram count table (one map-side-combined shuffle),
+T38 — entropy: unigram count table (one map-side-combined shuffle),
 then H = −Σ p·log2 p per source.  Follows the unigram_logprob
 precedent: the cross-row float sum's accumulation noise (~1e-12
 relative here) sits far below the round(6) grain, and log2 on
@@ -39,7 +39,7 @@ from dtaidistance_spark.operators.synth_q import synth_sql
 _N = 512
 
 # ---------------------------------------------------------------------------
-# T32 — Heaps'-law vocabulary-growth curve (per source)
+# T36 — Heaps'-law vocabulary-growth curve (per source)
 # ---------------------------------------------------------------------------
 
 
@@ -72,7 +72,7 @@ _N = 512
     """,
 )
 def vocab_growth(spark, sf_dir):
-    """T32: Heaps'-law vocabulary growth per source — after each doc
+    """T36: Heaps'-law vocabulary growth per source — after each doc
     (in deterministic doc-index order), how many tokens have streamed
     past and how many DISTINCT token types have appeared.  Running
     count-distinct is not a window aggregate, so it is rewritten as
@@ -116,7 +116,7 @@ def vocab_growth(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T33 — weighted systematic (PPS) sample via distributed prefix sum
+# T37 — weighted systematic (PPS) sample via distributed prefix sum
 # ---------------------------------------------------------------------------
 
 _BUCKET = 64  # docs per prefix-sum bucket
@@ -158,7 +158,7 @@ _K = 32  # target sample size
     """,
 )
 def pps_systematic_sample(spark, sf_dir):
-    """T33: probability-proportional-to-size systematic sample — lay
+    """T37: probability-proportional-to-size systematic sample — lay
     every doc's weight (token count) end to end on an integer line,
     drop a tick every step = total div 32, keep docs whose span
     contains a tick (long docs can earn several ticks → n_ticks).
@@ -212,7 +212,7 @@ def pps_systematic_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T34 — per-source unigram Shannon entropy
+# T38 — per-source unigram Shannon entropy
 # ---------------------------------------------------------------------------
 
 
@@ -238,7 +238,7 @@ def pps_systematic_sample(spark, sf_dir):
     """,
 )
 def token_entropy(spark, sf_dir):
-    """T34: Shannon entropy of each source's unigram token distribution
+    """T38: Shannon entropy of each source's unigram token distribution
     (bits/token) plus the vocabulary-normalized efficiency H/log2|V| —
     the diversity dial for domain mixing (a low-entropy source is
     repetitive; near-1 efficiency means a flat distribution).  One

@@ -83,7 +83,7 @@ def test_token_entropy_matches_numpy(spark, sf_dir, loc):
 
 
 def test_misra_gries_bounds_and_semantics(spark, sf_dir):
-    """T35: every kept estimate is a true undercount within the proven
+    """T39: every kept estimate is a true undercount within the proven
     MG bound, at most k survive, and the summary recomputes exactly
     from a pure-Python Misra-Gries closed form."""
     from collections import Counter
