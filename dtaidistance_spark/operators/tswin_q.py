@@ -591,9 +591,12 @@ def binseg_changepoints(spark, sf_dir):
     shared float tree over exact int64 prefix sums (helper `_sse`
     guarantees the identical spelling in both engines), ties break
     (cost, pos) — bit-exact, no tolerance, including the three segment
-    means.  Plan: one hash exchange on doc_id for the explode/cumsum,
-    the winner join is AQE-broadcast, the second argmin reuses the
-    partitioning — the multi-changepoint shape that survives 100 TB."""
+    means.  Plan: the Spark side has NO join at all — the level-1
+    winner's (k1, s1k, s2k, sse1) are rebroadcast to every row of its
+    own series by full-partition `max(when(rn = 1, ...))` windows, so
+    the cumulative sums, both argmins, and the winner spread all ride
+    ONE hash exchange on doc_id (plan-gated: 1 exchange, 0 joins) —
+    the multi-changepoint shape that survives 100 TB."""
     df = synth.sequences_df(spark, _N)
     ex = df.select(
         "doc_id", "n_tok", F.posexplode("tokens").alias("pos", "xi")
@@ -613,36 +616,38 @@ def binseg_changepoints(spark, sf_dir):
     )
     c1 = (
         cum.where(F.col("pos") <= F.col("n_tok") - 2)
-        .withColumn("sse1", F.expr(_BS_COST1))
+        .withColumn("sse1c", F.expr(_BS_COST1))
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.expr(_BS_COST1), "pos"
-                )
+                Window.partitionBy("doc_id").orderBy("sse1c", "pos")
             ),
         )
     )
-    b1 = c1.where(F.col("rn") == 1).select(
+    # spread the level-1 winner across its whole series WITHOUT a join:
+    # full-partition max(when(rn = 1, ...)) windows stay on the same
+    # doc_id exchange, so level 2 never rescans or reshuffles
+    win1 = F.col("rn") == 1
+    b = c1.select(
         "doc_id",
-        F.col("pos").alias("k1"),
-        F.col("s1l").alias("s1k"),
-        F.col("s2l").alias("s2k"),
-        "sse1",
+        "n_tok",
+        "pos",
+        "s1l",
+        "s2l",
+        "s1",
+        "s2",
+        F.max(F.when(win1, F.col("pos"))).over(wf).alias("k1"),
+        F.max(F.when(win1, F.col("s1l"))).over(wf).alias("s1k"),
+        F.max(F.when(win1, F.col("s2l"))).over(wf).alias("s2k"),
+        F.max(F.when(win1, F.col("sse1c"))).over(wf).alias("sse1"),
     )
     c2 = (
-        cum.join(b1, "doc_id")
-        .where(
-            (F.col("pos") <= F.col("n_tok") - 2)
-            & (F.col("pos") != F.col("k1"))
-        )
+        b.where(F.col("pos") != F.col("k1"))
         .withColumn("sse2", F.expr(_BS_COST2))
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.expr(_BS_COST2), "pos"
-                )
+                Window.partitionBy("doc_id").orderBy("sse2", "pos")
             ),
         )
     )

@@ -239,3 +239,35 @@ def test_no_global_window_in_source():
         if re.search(r"Window\s*\.\s*orderBy", p.read_text())
     ]
     assert hits == [], hits
+
+
+def test_round3b_plan_shapes(spark, sf_dir):
+    """Round-3b plan gates: the new TS family keeps its documented
+    exchange budget — Kalman/Theil-Sen are pure scan-side projections,
+    Hampel's two frame windows share one user_id exchange, and both
+    changepoint queries ride a single doc_id exchange (binseg with NO
+    join: the winner spread is a full-partition window)."""
+    from __spark_entry__ import queries
+
+    reg = queries()
+    budget = {
+        "kalman_filter": 0,
+        "theil_sen_slope": 0,
+        "theil_sen_scaled": 0,
+        "hampel_filter": 1,
+        "best_split_changepoint": 1,
+        "binseg_changepoints": 1,
+    }
+    for name, n_ex in budget.items():
+        plan = (
+            reg[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == n_ex, (
+            name,
+            plan.count("Exchange hashpartitioning"),
+        )
+        if name == "binseg_changepoints":
+            assert "Join" not in plan, name
