@@ -265,3 +265,113 @@ def token_entropy(spark, sf_dir):
             ).alias("entropy_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T40 — pairwise Jensen-Shannon divergence between source distributions
+# ---------------------------------------------------------------------------
+
+
+def _js_term(p, q):
+    """Per-token JS contribution, spelled once so Spark and DuckDB walk
+    the identical float tree: 0.5*p*log2(2p/(p+q)) + symmetric, with
+    zero-probability sides contributing 0 exactly."""
+    return (
+        f"(CASE WHEN {p} > 0 THEN CAST(0.5 AS DOUBLE) * {p} * "
+        f"log2((CAST(2 AS DOUBLE) * {p}) / ({p} + {q})) ELSE 0 END"
+        f" + CASE WHEN {q} > 0 THEN CAST(0.5 AS DOUBLE) * {q} * "
+        f"log2((CAST(2 AS DOUBLE) * {q}) / ({p} + {q})) ELSE 0 END)"
+    )
+
+
+_JS_PAIRS = (("web", "code"), ("web", "books"), ("code", "books"))
+
+
+def _js_cols(engine_round):
+    cols = []
+    for a, b in _JS_PAIRS:
+        p = f"(CAST(c_{a} AS DOUBLE) / t_{a})"
+        q = f"(CAST(c_{b} AS DOUBLE) / t_{b})"
+        cols.append(
+            engine_round(f"sum({_js_term(p, q)})") + f" AS js_{a}_{b}"
+        )
+        cols.append(
+            f"sum(CASE WHEN c_{a} > 0 AND c_{b} > 0 THEN 1 ELSE 0 END)"
+            f"::BIGINT AS overlap_{a}_{b}"
+            if engine_round is _duck_round
+            else f"CAST(sum(CASE WHEN c_{a} > 0 AND c_{b} > 0 THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS overlap_{a}_{b}"
+        )
+    return cols
+
+
+def _duck_round(x):
+    return f"round({x}, 6)"
+
+
+def _spark_round(x):
+    return f"round({x}, 6)"
+
+
+@register(
+    "js_divergence",
+    oracle=synth_sql(_N)
+    + f"""
+    , ex AS (SELECT source, unnest(tokens) AS tok FROM synth),
+    c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+    piv AS (
+      SELECT tok,
+        sum(CASE WHEN source = 'web' THEN cnt ELSE 0 END)::BIGINT AS c_web,
+        sum(CASE WHEN source = 'code' THEN cnt ELSE 0 END)::BIGINT AS c_code,
+        sum(CASE WHEN source = 'books' THEN cnt ELSE 0 END)::BIGINT
+          AS c_books
+      FROM c GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(c_web) AS DOUBLE) AS t_web,
+             CAST(sum(c_code) AS DOUBLE) AS t_code,
+             CAST(sum(c_books) AS DOUBLE) AS t_books
+      FROM piv
+    )
+    SELECT {", ".join(_js_cols(_duck_round))}
+    FROM piv, tot
+    """,
+)
+def js_divergence(spark, sf_dir):
+    """T40: pairwise Jensen-Shannon divergence (bits, in [0,1]) between
+    the three sources' unigram token distributions, plus vocabulary
+    overlap counts — the symmetric, bounded domain-shift measure a
+    mixing pipeline reads next to ``token_entropy``.  The count table
+    pivots to one row per token with a column per source (so all three
+    pairs price in ONE pass over the vocab-sized table), zero sides
+    contribute exactly 0, and the shared `_js_term` spelling keeps both
+    engines' float trees identical (round(6) under the established
+    float-sum precedent).  Plan: one map-side-combined (source, token)
+    shuffle, one token-keyed pivot aggregate, one single-row reduce —
+    only vocab-sized data ever crosses an exchange."""
+    ex = synth.sequences_df(spark, _N).select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    c = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    piv = c.groupBy("tok").agg(
+        *[
+            F.sum(
+                F.when(F.col("source") == s, F.col("cnt")).otherwise(0)
+            ).alias(f"c_{s}")
+            for s in ("web", "code", "books")
+        ]
+    )
+    tot = piv.agg(
+        *[
+            F.sum(f"c_{s}").cast("double").alias(f"t_{s}")
+            for s in ("web", "code", "books")
+        ]
+    )
+    return piv.crossJoin(F.broadcast(tot)).selectExpr(
+        "*"
+    ).groupBy().agg(
+        *[
+            F.expr(col.rsplit(" AS ", 1)[0]).alias(col.rsplit(" AS ", 1)[1])
+            for col in _js_cols(_spark_round)
+        ]
+    )

@@ -120,3 +120,30 @@ def test_misra_gries_bounds_and_semantics(spark, sf_dir):
     got = dict(zip(out.tok, out.est))
     assert got == want
     assert (out.bound == d_total + d_m).all()
+
+
+def test_js_divergence_matches_numpy(spark, sf_dir, loc):
+    from dtaidistance_spark.operators.tokenstats_q import js_divergence
+
+    out = js_divergence(spark, sf_dir).toPandas().iloc[0]
+
+    def dist(src):
+        toks = np.concatenate(
+            [r.tokens for r in loc.itertuples() if r.source == src]
+        )
+        c = np.bincount(toks, minlength=50257).astype(float)
+        return c / c.sum(), c
+
+    P = {s: dist(s) for s in ("web", "code", "books")}
+    for a, b in (("web", "code"), ("web", "books"), ("code", "books")):
+        p, cp = P[a]
+        q, cq = P[b]
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = np.where(p > 0, 0.5 * p * np.log2(np.where(p > 0, p / m, 1)), 0)
+            t2 = np.where(q > 0, 0.5 * q * np.log2(np.where(q > 0, q / m, 1)), 0)
+        js = float(t1.sum() + t2.sum())
+        got = out[f"js_{a}_{b}"]
+        assert abs(got - js) < 1e-5, (a, b, got, js)
+        assert 0.0 <= got <= 1.0
+        assert out[f"overlap_{a}_{b}"] == int(((cp > 0) & (cq > 0)).sum())
