@@ -661,3 +661,74 @@ def binseg_changepoints(spark, sf_dir):
         "sse1 - sse2 AS gain2",
         *[x.strip() for x in _BS_MEANS.strip().split(",\n")],
     )
+
+
+# ---------------------------------------------------------------------------
+# R29 — as-of join, scale tier: union-merge + LOCF (no join, one exchange)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_scaled",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           round(o_totalprice, 2) AS last_order_total
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_join_scaled(spark, sf_dir):
+    """R29 (R4's 100 TB tier): the as-of join as a union-merge — tag
+    orders kind=0 and events kind=1, interleave them per user in
+    (time, kind, orderkey) order, and LOCF the last non-null order
+    fields onto each event with ``last(..., ignorenulls)`` over the
+    running frame.  Sorting orders ascending by (date, orderkey) makes
+    the carried row exactly the backward winner (max date, then max
+    orderkey — the same tie rule as R4's row_number DESC), so the
+    output equals ``asof_join`` row-for-row and shares its oracle.
+    Why this shape: the R4 formulation joins every event to ALL its
+    customer's earlier orders and ranks them (fan-out × orders), which
+    needs the dim side broadcastable; the union-merge moves each input
+    row across the wire ONCE and plans as a single user_id exchange +
+    one sort, no join operator at all — the canonical streaming-merge
+    as-of that survives both sides being 100 TB facts (plan-gated: 1
+    exchange, 0 joins)."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tu"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("tu", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(o).select(
+        "kind",
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.round(
+            F.last("o_totalprice", ignorenulls=True).over(w), 2
+        ).alias("last_order_total"),
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "event_id", "user_id", "last_orderkey", "last_order_total"
+    )

@@ -271,3 +271,23 @@ def test_round3b_plan_shapes(spark, sf_dir):
         )
         if name == "binseg_changepoints":
             assert "Join" not in plan, name
+
+
+def test_asof_scaled_is_joinless_single_exchange(spark, sf_dir):
+    """R29: the union-merge as-of plans as ONE user-keyed exchange with
+    no join operator, and returns exactly asof_join's rows."""
+    from __spark_entry__ import queries
+
+    reg = queries()
+    df = reg["asof_join_scaled"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    a = df.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = (
+        reg["asof_join"](spark, sf_dir)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns])
