@@ -26,6 +26,7 @@ def _registry():
         continuous_q,
         corpusops_q,
         dedup_q,
+        embedlinalg_q,
         diag_q,
         encoding_q,
         flagship,

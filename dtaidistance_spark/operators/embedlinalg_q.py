@@ -1,0 +1,203 @@
+"""Distributed linear algebra over the embeddings table, round-3
+batch: the second-moment (gram) matrix as a relational aggregate
+(DuckDB-oracled), and PCA's top principal component by power iteration
+over a single-pass BLAS sufficient-statistics reduce — the two halves
+of "covariance → eigenvector → projection" that an embedding-curation
+pipeline (whitening, SemDeDup-style axis removal, outlier energy)
+needs from the engine.
+
+E5a — gram: S_ij = Σ_rows e_i·e_j for the upper triangle plus the
+first-moment rows (j = −1 ⇒ Σ e_i), via per-row HOF pair expansion →
+ONE map-side-combined (i, j) aggregate.  2 080 pair terms per row at
+d = 64; the shuffle carries 2 081·P combiner rows, never the corpus.
+round(6) on sums of ~N terms (noise ~1e-13 relative — the established
+float-sum precedent).
+
+E5b — PCA: sufficient statistics [n | Σe (64) | Σee^T (4096)] computed
+per Arrow batch in numpy (real BLAS syrk under the hood — the scale
+path), element-wise summed into ONE 4161-double row, eigenvector by 300
+deterministic power iterations on the driver's 64×64 copy (fixed start
+e_1, sign pinned by the largest-|coordinate| rule), then every
+embedding projected onto the broadcast component with a pinned-order
+fold.  Rows-only in the driver artifact (an eigensolve is not ANSI
+SQL); its sufficient statistics are exactly the ORACLED E5a values
+(gated bit-for-bit against the same round(6) grid in pytest), and the
+component/scores are gated against numpy's full eigh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators.queries import T, register
+
+_D = 64
+
+# ---------------------------------------------------------------------------
+# E5a — second-moment / gram matrix as a relational aggregate (oracled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_gram_check",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT t.i AS i, u.j AS j,
+             embedding[t.i + 1]::DOUBLE * embedding[u.j + 1]::DOUBLE AS v
+      FROM embeddings,
+           unnest(range({_D})) AS t(i),
+           unnest(range({_D})) AS u(j)
+      WHERE u.j >= t.i
+    ),
+    moments AS (
+      SELECT i, -1 AS j, sum(v) AS s, count(*) AS n FROM (
+        SELECT t.i AS i, embedding[t.i + 1]::DOUBLE AS v
+        FROM embeddings, unnest(range({_D})) AS t(i)
+      ) GROUP BY i
+    )
+    SELECT i, j, round(s, 6) AS s, n FROM (
+      SELECT i, j, sum(v) AS s, count(*) AS n FROM pairs GROUP BY i, j
+      UNION ALL
+      SELECT * FROM moments
+    )
+    """,
+)
+def embed_gram_check(spark, sf_dir):
+    """E5a: the embeddings' second-moment matrix Σ e_i·e_j (upper
+    triangle, 2 080 entries at d = 64) plus first moments Σ e_i as
+    j = −1 rows — the sufficient statistics for covariance/PCA — as a
+    pure relational aggregate: per-row HOF pair expansion, explode,
+    ONE map-side-combined (i, j) groupBy.  The combiners reduce
+    everything to 2 144 rows per task regardless of corpus size;
+    round(6) under the float-sum precedent.  This is the DuckDB-checked
+    twin of ``pca_power_topcomp``'s BLAS reduce."""
+    emb = T(spark, sf_dir, "embeddings").select("embedding")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {_D} - 1), i ->
+                  transform(sequence(i, {_D} - 1), j -> struct(
+                    i AS i, j AS j,
+                    CAST(element_at(embedding, i + 1) AS DOUBLE)
+                      * CAST(element_at(embedding, j + 1) AS DOUBLE) AS v))))"""
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.v")
+    gram = pairs.groupBy("i", "j").agg(
+        F.round(F.sum("v"), 6).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    firsts = (
+        emb.select(
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.round(F.sum("v"), 6).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("i", F.lit(-1).alias("j"), "s", "n")
+    )
+    return gram.unionByName(firsts)
+
+
+# ---------------------------------------------------------------------------
+# E5b — top principal component by power iteration (BLAS reduce)
+# ---------------------------------------------------------------------------
+
+
+def _suffstats_df(spark, sf_dir):
+    """One row: [n, Σe (64), flat Σee^T (4096)] — per-batch numpy/BLAS
+    partials, element-wise array-summed in a single reduce."""
+    emb = T(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        for b in batches:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "stats": [
+                        np.concatenate([X.sum(0), (X.T @ X).ravel()])
+                    ],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gram_batches, schema="n double, stats array<double>"
+    )
+    return parts.agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.collect_list("stats"),
+            F.expr(f"array_repeat(CAST(0 AS DOUBLE), {_D} + {_D * _D})"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("stats"),
+    )
+
+
+def _power_component(n, stats):
+    """Deterministic power iteration on the 64x64 covariance."""
+    s1 = np.array(stats[:_D])
+    s2 = np.array(stats[_D:]).reshape(_D, _D)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    v = np.zeros(_D)
+    v[0] = 1.0
+    for _ in range(300):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:  # pin the sign
+        v = -v
+    lam = float(v @ cov @ v)
+    return mean, cov, v, lam
+
+
+@register("pca_power_topcomp")
+def pca_power_topcomp(spark, sf_dir):
+    """E5b: top principal component of the embedding cloud by power
+    iteration, end to end in one pass + one 64×64 driver solve: the
+    [n | Σe | Σee^T] sufficient statistics reduce via Arrow-batched
+    numpy (X.T @ X is a BLAS syrk per batch — the 100 TB shape: each
+    task ships 4 161 doubles, the driver never sees a row), 300 fixed
+    iterations from e_1 (the synthetic cloud is near-isotropic —
+    eigengap ratio ≈ 0.93 — so convergence needs the extra rounds;
+    still microseconds on a 64×64) with the sign pinned positive at the
+    largest-|coordinate|, then every embedding scored by a pinned-order
+    fold against the broadcast component.  Emits per-vector projection
+    score, residual energy, and the component's explained-variance
+    share.  Rows-only (eigensolve ≠ ANSI SQL); the statistics feeding
+    it are the ORACLED ``embed_gram_check`` values and the component
+    is gated against numpy eigh in pytest."""
+    row = _suffstats_df(spark, sf_dir).first()
+    mean, cov, v, lam = _power_component(row["n"], row["stats"])
+    tot_var = float(np.trace(cov))
+    v_lit = "array({})".format(
+        ",".join(f"CAST({x!r} AS DOUBLE)" for x in v)
+    )
+    m_lit = "array({})".format(
+        ",".join(f"CAST({x!r} AS DOUBLE)" for x in mean)
+    )
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centered = F.expr(
+        f"zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), {m_lit},"
+        " (x, m) -> x - m)"
+    )
+    score = F.expr(
+        f"aggregate(zip_with(cen, {v_lit}, (x, w) -> x * w),"
+        " CAST(0 AS DOUBLE), (s, t) -> s + t)"
+    )
+    norm2 = F.expr(
+        "aggregate(transform(cen, x -> x * x), CAST(0 AS DOUBLE),"
+        " (s, t) -> s + t)"
+    )
+    return (
+        emb.withColumn("cen", centered)
+        .select(
+            "vec_id",
+            "label",
+            F.round(score, 6).alias("pc1_score"),
+            F.round(norm2 - score * score, 6).alias("residual_energy"),
+            F.round(F.lit(lam / tot_var), 6).alias("explained_ratio"),
+        )
+    )

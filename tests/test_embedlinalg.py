@@ -1,0 +1,69 @@
+"""Gates for embedlinalg_q: the BLAS sufficient-statistics reduce must
+equal the ORACLED relational gram on the same round(6) grid, and the
+power-iteration component must match numpy's full eigensolve."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark.operators.embedlinalg_q import (
+    _D,
+    _power_component,
+    _suffstats_df,
+    embed_gram_check,
+    pca_power_topcomp,
+)
+
+
+@pytest.fixture(scope="module")
+def X(sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return np.stack(emb.embedding.to_numpy()).astype(np.float64), emb
+
+
+def test_suffstats_equal_oracled_gram(spark, sf_dir):
+    row = _suffstats_df(spark, sf_dir).first()
+    stats = np.array(row["stats"])
+    gram = embed_gram_check(spark, sf_dir).toPandas()
+    n = int(row["n"])
+    assert (gram.n == n).all()
+    s2 = stats[_D:].reshape(_D, _D)
+    for r in gram.itertuples():
+        want = stats[r.i] if r.j == -1 else s2[r.i, r.j]
+        assert round(want, 6) == pytest.approx(r.s, abs=2e-6), (r.i, r.j)
+
+
+def test_power_component_matches_eigh(spark, sf_dir, X):
+    M, _ = X
+    row = _suffstats_df(spark, sf_dir).first()
+    mean, cov, v, lam = _power_component(row["n"], row["stats"])
+    assert np.allclose(mean, M.mean(0), atol=1e-9)
+    assert np.allclose(cov, np.cov(M.T, bias=True), atol=1e-9)
+    w, V = np.linalg.eigh(cov)
+    top = V[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.9999
+    assert lam == pytest.approx(w[-1], rel=1e-6)
+
+
+def test_pca_scores_and_energy(spark, sf_dir, X):
+    M, emb = X
+    out = pca_power_topcomp(spark, sf_dir).toPandas().set_index("vec_id")
+    row = _suffstats_df(spark, sf_dir).first()
+    mean, cov, v, lam = _power_component(row["n"], row["stats"])
+    C = M - mean
+    scores = C @ v
+    res = (C * C).sum(1) - scores**2
+    for k, vid in enumerate(emb.vec_id):
+        got = out.loc[vid]
+        assert got.pc1_score == pytest.approx(scores[k], abs=1e-5)
+        assert got.residual_energy == pytest.approx(res[k], abs=1e-5)
+        assert got.residual_energy >= -1e-6
+    # the top component explains a plausible share, and exactly lam/trace
+    assert out.explained_ratio.nunique() == 1
+    assert out.explained_ratio.iloc[0] == pytest.approx(
+        lam / np.trace(cov), abs=1e-6
+    )
+    # variance decomposition: mean residual + var(scores) == total var
+    assert (res.mean() + scores.var()) == pytest.approx(
+        np.trace(cov) * 1.0, rel=1e-6
+    )

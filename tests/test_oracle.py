@@ -10,6 +10,7 @@ from dtaidistance_spark.operators import (  # noqa: F401 — registers
     continuous_q,
     corpusops_q,
     dedup_q,
+    embedlinalg_q,
     diag_q,
     encoding_q,
     flagship,
