@@ -39,6 +39,7 @@ REGISTRY_QUERIES = [
     "gapfill_locf",
     "gapfill_linear",
     "asof_join",
+    "asof_join_scaled",
     "euclidean_knn",
     "events_daily_profile",
     "exact_dedup",
@@ -196,6 +197,22 @@ def main() -> None:
         an_sec = dt if an_sec is None else min(an_sec, dt)
     timings["analytics_fold_bench"] = round(an_sec, 3)
 
+    # --- changepoint throughput (TS25/TS26 shape) ------------------------
+    # depth-2 binary segmentation over every bench series: posexplode +
+    # prefix sums + two argmins + winner-spread windows, all on ONE
+    # doc_id exchange (plan-gated in tests) — measures points/sec through
+    # the exchange, the changepoint family's production cost
+    from dtaidistance_spark.operators.tswin_q import binseg_changepoints_df
+
+    binseg_changepoints_df(seq.limit(64)).count()  # warm plan shape
+    bs_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        binseg_changepoints_df(seq).count()
+        dt = time.perf_counter() - t0
+        bs_sec = dt if bs_sec is None else min(bs_sec, dt)
+    timings["binseg_bench"] = round(bs_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -271,6 +288,7 @@ def main() -> None:
         "mp_windows_per_sec": round(mp_windows / mp_sec, 1),
         "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
         "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
+        "binseg_points_per_sec": round(stats["n_points"] / bs_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 

@@ -597,7 +597,14 @@ def binseg_changepoints(spark, sf_dir):
     the cumulative sums, both argmins, and the winner spread all ride
     ONE hash exchange on doc_id (plan-gated: 1 exchange, 0 joins) —
     the multi-changepoint shape that survives 100 TB."""
-    df = synth.sequences_df(spark, _N)
+    return binseg_changepoints_df(synth.sequences_df(spark, _N))
+
+
+def binseg_changepoints_df(df):
+    """Depth-2 binary segmentation over any (doc_id, n_tok, tokens)
+    DataFrame — the registry query applies it to the oracled synth
+    table; bench.py applies it to the full bench token table to measure
+    changepoint throughput through the single-exchange plan."""
     ex = df.select(
         "doc_id", "n_tok", F.posexplode("tokens").alias("pos", "xi")
     ).select(
