@@ -33,7 +33,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dtaidistance_spark import synth
-from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.queries import T, register
 from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N = 512
@@ -374,4 +374,97 @@ def js_divergence(spark, sf_dir):
             F.expr(col.rsplit(" AS ", 1)[0]).alias(col.rsplit(" AS ", 1)[1])
             for col in _js_cols(_spark_round)
         ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# T41 — interpolated bigram LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+_LAM = "CAST(0.75 AS DOUBLE)"  # interpolation weight on the bigram term
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pos, tok AS w2,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM t
+    ),
+    uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM t GROUP BY tok),
+    tot AS (SELECT sum(c1)::BIGINT AS n FROM uni),
+    bi AS (
+      SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg
+      WHERE w1 IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln({_LAM} * (CAST(bi.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                 + (CAST(1 AS DOUBLE) - {_LAM})
+                   * (CAST(u2.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+               AS nll
+      FROM bg
+      JOIN uni u1 ON u1.tok = bg.w1
+      JOIN uni u2 ON u2.tok = bg.w2
+      JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2, tot
+      WHERE bg.w1 IS NOT NULL
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(nll), 4) AS avg_neg_logprob,
+           avg(nll) <= 3.0 AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob(spark, sf_dir):
+    """T41: interpolated bigram language-model scoring (the step past
+    ``unigram_logprob`` toward the CCNet/KenLM recipe): train bigram +
+    unigram counts over the corpus in two aggregations, score every
+    bigram with P(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N (Jelinek-
+    Mercer interpolation — the unigram backoff term keeps unseen-pair
+    probability mass positive, though over the training corpus itself
+    every scored pair was seen), and keep low-perplexity docs.  Plan:
+    bigram formation is a lag window per doc (one doc exchange),
+    counts are map-side-combined, and the three scoring joins are
+    token-keyed — Zipf-skewed keys are exactly what AQE skew-join
+    splitting is on for, and at corpus scale the count tables AQE-
+    broadcast just like the unigram LM's.  avg(-ln p) per doc at
+    round(4) under the float-sum precedent."""
+    doc = T(spark, sf_dir, "documents")
+    t = doc.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    bg = t.select(
+        "doc_id",
+        "pos",
+        F.col("tok").alias("w2"),
+        F.lag("tok").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ).alias("w1"),
+    ).where(F.col("w1").isNotNull())
+    uni = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
+    tot = uni.agg(F.sum("c1").alias("n"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p_bi = F.col("c2").cast("double") / F.col("c1_w1").cast("double")
+    p_uni = F.col("c1_w2").cast("double") / F.col("n").cast("double")
+    nll = -F.log(
+        F.expr(_LAM) * p_bi + (F.lit(1.0) - F.expr(_LAM)) * p_uni
+    )
+    scored = (
+        bg.join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2")), "w2")
+        .join(bi, ["w1", "w2"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_neg_logprob"),
+        (F.avg("nll") <= 3.0).alias("keep"),
     )

@@ -147,3 +147,39 @@ def test_js_divergence_matches_numpy(spark, sf_dir, loc):
         assert abs(got - js) < 1e-5, (a, b, got, js)
         assert 0.0 <= got <= 1.0
         assert out[f"overlap_{a}_{b}"] == int(((cp > 0) & (cq > 0)).sum())
+
+
+def test_bigram_logprob_matches_python_lm(spark, sf_dir):
+    """T41: interpolated bigram scores recompute exactly from a
+    pure-Python LM (same counts, same interpolation)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tokenstats_q import bigram_logprob
+
+    out = bigram_logprob(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {r.doc_id: r.text.lower().split(" ") for r in docs.itertuples()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    n = sum(uni.values())
+    bi = Counter(
+        (ws[i - 1], ws[i])
+        for ws in toks.values()
+        for i in range(1, len(ws))
+    )
+    lam = 0.75
+    for doc_id, ws in toks.items():
+        nll = [
+            -math.log(
+                lam * bi[(ws[i - 1], ws[i])] / uni[ws[i - 1]]
+                + (1 - lam) * uni[ws[i]] / n
+            )
+            for i in range(1, len(ws))
+        ]
+        got = out.loc[doc_id]
+        assert got.n_bigrams == len(nll)
+        want = sum(nll) / len(nll)
+        assert abs(got.avg_neg_logprob - want) < 1e-3
+        assert bool(got.keep) == (want <= 3.0 or abs(want - 3.0) < 1e-9)
