@@ -768,7 +768,8 @@ SELECT source, sum(rn)::BIGINT AS n, sum(r1)::BIGINT AS s1,
     + f"""
     , mrow AS ({_ST_DUCK_ROW}),
     magg AS ({_ST_DUCK_AGG} FROM mrow GROUP BY source)
-    SELECT source, n, s1, s2, s3, s4, {", ".join(_ST_TAIL)}
+    SELECT source, n, s1, s2,
+           s3::VARCHAR AS s3, s4::VARCHAR AS s4, {", ".join(_ST_TAIL)}
     FROM magg
     """,
 )
@@ -789,8 +790,15 @@ def stats_moments_agg(spark, sf_dir):
         F.sum("r3").cast("decimal(38,0)").alias("s3"),
         F.sum("r4").cast("decimal(38,0)").alias("s4"),
     )
-    return agg.selectExpr("source", "n", "s1", "s2", "s3", "s4",
-                          *_ST_TAIL)
+    # s3/s4 cross the compare as exact digit STRINGS: Spark keeps
+    # DECIMAL(38,0) end to end, but DuckDB's DECIMAL(38) collapses to
+    # float64 on the pandas hop (no int128 dtype), silently shaving the
+    # low digits — caught by the strict %.6f local gate
+    return agg.selectExpr(
+        "source", "n", "s1", "s2",
+        "CAST(s3 AS STRING) AS s3", "CAST(s4 AS STRING) AS s4",
+        *_ST_TAIL,
+    )
 
 
 @register(
@@ -810,7 +818,8 @@ def stats_moments_agg(spark, sf_dir):
            count(*) OVER () = 3 AS three_sources,
            m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2
              AND m.s3 = d.s3 AND m.s4 = d.s4 AS merge_equals_direct,
-           m.n, m.s1, m.s2, m.s3, m.s4
+           m.n, m.s1, m.s2,
+           m.s3::VARCHAR AS s3, m.s4::VARCHAR AS s4
     FROM merged m JOIN direct d ON m.source = d.source
     """,
 )
@@ -862,5 +871,6 @@ def stats_moments_merge_check(spark, sf_dir):
         f"{nsrc} = 3 AS three_sources",
         "n = d_n AND s1 = d_s1 AND s2 = d_s2 AND s3 = d_s3"
         " AND s4 = d_s4 AS merge_equals_direct",
-        "n", "s1", "s2", "s3", "s4",
+        "n", "s1", "s2",
+        "CAST(s3 AS STRING) AS s3", "CAST(s4 AS STRING) AS s4",
     )
