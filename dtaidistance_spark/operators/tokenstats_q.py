@@ -468,3 +468,102 @@ def bigram_logprob(spark, sf_dir):
         F.round(F.avg("nll"), 4).alias("avg_neg_logprob"),
         (F.avg("nll") <= 3.0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T42 — Zipf rank-frequency fit per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_fit",
+    oracle=synth_sql(_N)
+    + """
+    , ex AS (SELECT source, unnest(tokens) AS tok FROM synth),
+    c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+    r AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, tok) AS rank
+      FROM c
+    ),
+    xy AS (
+      SELECT source, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r
+    ),
+    s AS (
+      SELECT source, count(*)::BIGINT AS v,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy GROUP BY source
+    )
+    SELECT source, v AS vocab_size,
+      round((v * sxy - sx * sy) / (v * sxx - sx * sx), 4) AS zipf_slope,
+      round((sy - ((v * sxy - sx * sy) / (v * sxx - sx * sx)) * sx)
+            / v, 4) AS log_intercept,
+      round(pow(v * sxy - sx * sy, 2)
+            / ((v * sxx - sx * sx) * (v * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def zipf_fit(spark, sf_dir):
+    """T42: Zipf's-law fit per source — OLS of ln(count) on ln(rank)
+    over the full rank-frequency curve, emitting the power-law slope
+    (Zipf predicts ≈ −1 for natural text; the synthetic near-uniform
+    token table sits much flatter — the value is the DIAGNOSTIC, it
+    tells you how head-heavy a source is before you pick dedup and
+    sampling knobs), log-intercept, and R².  Ranks come from a
+    PARTITIONED window over the vocab-sized count table with a total
+    (cnt DESC, tok) order; the five OLS sums ride one per-source
+    aggregate under the round(4) float-sum precedent (pow(x,2) of an
+    identical difference is one multiply — spelled pow in both
+    engines).  Plan: one map-side-combined count shuffle, one
+    vocab-sized window sort per source, one tiny reduce."""
+    ex = synth.sequences_df(spark, _N).select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    c = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.select(
+        "source",
+        "cnt",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("cnt").desc(), F.col("tok")
+            )
+        )
+        .alias("rank"),
+    )
+    xy = r.select(
+        "source",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        F.col("v").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("v"), 4).alias(
+            "log_intercept"
+        ),
+        F.round(
+            F.pow(
+                F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy"), 2
+            )
+            / (
+                (F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("v") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("r2"),
+    )

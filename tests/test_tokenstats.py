@@ -183,3 +183,25 @@ def test_bigram_logprob_matches_python_lm(spark, sf_dir):
         want = sum(nll) / len(nll)
         assert abs(got.avg_neg_logprob - want) < 1e-3
         assert bool(got.keep) == (want <= 3.0 or abs(want - 3.0) < 1e-9)
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir, loc):
+    from dtaidistance_spark.operators.tokenstats_q import zipf_fit
+
+    out = zipf_fit(spark, sf_dir).toPandas().set_index("source")
+    for s in out.index:
+        toks = np.concatenate(
+            [r.tokens for r in loc.itertuples() if r.source == s]
+        )
+        _, cnt = np.unique(toks, return_counts=True)
+        cnt = np.sort(cnt)[::-1].astype(float)
+        x = np.log(np.arange(1, len(cnt) + 1, dtype=float))
+        y = np.log(cnt)
+        slope, icept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        got = out.loc[s]
+        assert got.vocab_size == len(cnt)
+        assert abs(got.zipf_slope - slope) < 1e-3, s
+        assert abs(got.log_intercept - icept) < 1e-3, s
+        assert abs(got.r2 - r2) < 1e-3, s
+        assert got.zipf_slope < 0  # frequency decreases with rank
