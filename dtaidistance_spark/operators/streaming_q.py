@@ -847,3 +847,97 @@ def stream_ohlc(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_rate_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    o AS (
+      SELECT user_id, tu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS rn
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, rn - 1 AS gi,
+             tu - lag(tu) OVER (PARTITION BY user_id ORDER BY rn) AS gap
+      FROM o
+    ),
+    gg AS (SELECT user_id, gi, gap FROM g WHERE gap IS NOT NULL),
+    m AS (
+      SELECT user_id, count(*)::BIGINT AS m, sum(gap)::BIGINT AS total
+      FROM gg GROUP BY 1
+    ),
+    c AS (
+      SELECT gg.user_id, gg.gi,
+             sum(gap) OVER (PARTITION BY gg.user_id ORDER BY gi)::BIGINT
+               AS cum,
+             m.m, m.total
+      FROM gg JOIN m USING (user_id)
+    ),
+    t AS (
+      SELECT user_id, gi, m, total,
+             abs(m * cum - gi * total)::BIGINT AS t_abs,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY abs(m * cum - gi * total) DESC, gi) AS rk
+      FROM c WHERE gi < m AND m >= 2
+    )
+    SELECT user_id, (m + 1)::BIGINT AS n_events, gi AS cp_gap_index,
+           t_abs AS t_max, total AS total_span_us,
+           CASE WHEN total > 0 THEN
+             floor((CAST(t_abs AS DOUBLE)
+                    / CAST(m * total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+           ELSE 0.0 END AS dev_ratio
+    FROM t WHERE rk = 1
+    """,
+)
+def stream_rate_cusum_q(spark, sf_dir):
+    """R30: streaming CUSUM rate-change detection
+    (``streaming/continuous.stream_rate_cusum`` — the 4th
+    applyInPandasWithState operator): per-user inter-arrival-gap CUSUM
+    kept in pure int64 (T_i = m·C_i − i·G), emitted exactly once per
+    user on event-time timeout.  Replayed over the purchase stream and
+    drained with availableNow + the far-future closer, the emitted
+    verdicts equal the batch SQL re-derivation bit-for-bit — integer
+    CUSUM statistics, argmax split with (|T| DESC, gap-index) ties,
+    and the single HALF_UP-floored float ratio."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_id"
+    )
+    root = tempfile.mkdtemp(prefix="stream_cusum_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            S.stream_rate_cusum(stream, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, CAST(-1 AS LONG) AS event_id"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(
+            (F.col("user_id") >= 0) & (F.col("n_events") >= 3)
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

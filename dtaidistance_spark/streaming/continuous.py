@@ -413,3 +413,105 @@ def stream_gapfill_locf(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_rate_cusum(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user CUSUM change detection on INTER-ARRIVAL GAPS — "did this
+    user's event rate change, and when" — kept entirely in integer
+    microseconds so the Python state fold is BIT-EXACT against the
+    batch SQL oracle (no float accumulation anywhere).
+
+    For gaps g_1..g_m with prefix sums C_i and total G, the classic
+    CUSUM deviation S_i = C_i − i·Ḡ is scaled by m to stay integral:
+    T_i = m·C_i − i·G (int64; m ≤ a few hundred, C ≤ 1e12 ⇒ |T| ≤ 1e15,
+    safely inside int64).  The emitted changepoint is argmax |T_i| over
+    the interior splits i = 1..m−1, ties to the smallest i, plus the
+    scale-free deviation ratio |T_max|/(m·G) (ONE float division).
+
+    State per user is the observed (tu, event_id) list — bounded by the
+    per-user event count in the drained window (a production deployment
+    windows the key exactly like the DBA tier); the event-time timeout
+    fires once the watermark passes the user's last event, emitting one
+    verdict row per user exactly once (append mode)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            tus, eids = state.get
+            state.remove()
+            pairs = sorted(zip(tus, eids))
+            if len(pairs) >= 3:
+                t = np.asarray([p[0] for p in pairs], dtype=np.int64)
+                g = np.diff(t)  # m = len(pairs) - 1 gaps, int64
+                m = len(g)
+                c = np.cumsum(g)  # exact int64 prefix sums
+                total = int(c[-1])
+                i = np.arange(1, m, dtype=np.int64)  # interior splits
+                T = m * c[:-1] - i * total
+                k = int(np.argmin(-np.abs(T)))  # first max |T|
+                t_max = int(abs(T[k]))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)],
+                        "n_events": [m + 1],
+                        "cp_gap_index": [k + 1],
+                        "t_max": [t_max],
+                        "total_span_us": [total],
+                        # HALF_UP spelled manually (floor(x*1e4+0.5))
+                        # so Python and the SQL oracle round the
+                        # identical double identically (Python round()
+                        # is half-EVEN — a silent boundary mismatch)
+                        "dev_ratio": [
+                            math.floor(
+                                t_max / float(m * total) * 10000.0 + 0.5
+                            )
+                            / 10000.0
+                            if total > 0
+                            else 0.0
+                        ],
+                    }
+                )
+            return
+        tus, eids = (state.get if state.exists else ([], []))
+        tus, eids = list(tus), list(eids)
+        for pdf in pdfs:
+            tus.extend(int(x) for x in pdf["tu"])
+            eids.extend(int(x) for x in pdf["eid"])
+        state.update((tus, eids))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, cp_gap_index long, t_max long,"
+            " total_span_us long, dev_ratio double"
+        ),
+        stateStructType="tus array<long>, eids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

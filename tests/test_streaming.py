@@ -372,3 +372,36 @@ def test_stream_ohlc_equals_batch(spark, sf_dir):
         assert (out[c].values == batch[c].values).all(), c
     assert (out.low <= out.open).all() and (out.open <= out.high).all()
     assert (out.low <= out.close).all() and (out.close <= out.high).all()
+
+
+def test_stream_rate_cusum_matches_numpy(spark, sf_dir):
+    """R30: the drained integer CUSUM verdicts recompute exactly from
+    numpy over each user's sorted purchase timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.operators.streaming_q import stream_rate_cusum_q
+
+    out = stream_rate_cusum_q(spark, sf_dir).toPandas().set_index("user_id")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    p = ev[ev.event_type == "purchase"].copy()
+    p["tu"] = p.ts.astype("datetime64[us]").astype("int64")
+    n_checked = 0
+    for uid, grp in p.groupby("user_id"):
+        t = np.sort(grp.tu.to_numpy())
+        if len(t) < 3:
+            assert uid not in out.index
+            continue
+        g = np.diff(t)
+        m = len(g)
+        c = np.cumsum(g)
+        total = int(c[-1])
+        T = m * c[:-1] - np.arange(1, m) * total
+        k = int(np.argmax(np.abs(T)))
+        got = out.loc[uid]
+        assert got.n_events == m + 1
+        assert got.cp_gap_index == k + 1
+        assert got.t_max == abs(int(T[k]))
+        assert got.total_span_us == total
+        n_checked += 1
+    assert n_checked == len(out)
