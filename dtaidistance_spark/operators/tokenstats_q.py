@@ -567,3 +567,69 @@ def zipf_fit(spark, sf_dir):
             4,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T43 — exact token percentiles via count-cum positional selection
+# ---------------------------------------------------------------------------
+
+_PCTS = (50, 90, 99)
+
+
+@register(
+    "token_percentiles_exact",
+    oracle=synth_sql(_N)
+    + f"""
+    , ex AS (SELECT source, unnest(tokens) AS tok FROM synth),
+    c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2),
+    w AS (
+      SELECT source, tok, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY tok)::BIGINT AS cum,
+             sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+      FROM c
+    )
+    SELECT source, max(n) AS n,
+      {", ".join(
+        f"min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN tok END) AS p{p}"
+        for p in _PCTS)}
+    FROM w GROUP BY source
+    """,
+)
+def token_percentiles_exact(spark, sf_dir):
+    """T43: EXACT percentiles of the token-id distribution per source
+    by counting, not sorting raw data — the scale recipe for exact
+    quantiles over discrete domains: (source, token) counts (map-side
+    combined, ≤|V| rows per source cross the shuffle), a PARTITIONED
+    cumulative window over the vocab-sized table, and the p-th
+    percentile is the smallest token whose running count reaches
+    ceil(n·p/100) (the inverse-CDF / type-1 quantile, all int64 —
+    bit-exact, no interpolation to reconcile).  Contrast
+    ``events_percentiles`` (continuous domain ⇒ sort-based exact or
+    t-digest approx) and ``uddq_sketch`` (mergeable approx): on a
+    50k-value discrete domain the count table IS the full
+    distribution, so exactness costs one vocab-sized shuffle no matter
+    how many trillions of tokens stream by."""
+    ex = synth.sequences_df(spark, _N).select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    c = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = c.select(
+        "source",
+        "tok",
+        F.sum("cnt")
+        .over(Window.partitionBy("source").orderBy("tok"))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    return w.groupBy("source").agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {p} + 99) DIV 100"),
+                    F.col("tok"),
+                )
+            ).alias(f"p{p}")
+            for p in _PCTS
+        ],
+    )

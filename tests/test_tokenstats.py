@@ -205,3 +205,22 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir, loc):
         assert abs(got.log_intercept - icept) < 1e-3, s
         assert abs(got.r2 - r2) < 1e-3, s
         assert got.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_token_percentiles_exact_matches_numpy(spark, sf_dir, loc):
+    from dtaidistance_spark.operators.tokenstats_q import (
+        token_percentiles_exact,
+    )
+
+    out = token_percentiles_exact(spark, sf_dir).toPandas().set_index("source")
+    for s in out.index:
+        toks = np.sort(
+            np.concatenate([r.tokens for r in loc.itertuples() if r.source == s])
+        )
+        n = len(toks)
+        got = out.loc[s]
+        assert got.n == n
+        for p in (50, 90, 99):
+            # inverse-CDF (type-1): smallest x with rank >= ceil(n*p/100)
+            want = int(toks[-(-n * p // 100) - 1])
+            assert got[f"p{p}"] == want, (s, p)
