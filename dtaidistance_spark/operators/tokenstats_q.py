@@ -245,7 +245,9 @@ def token_entropy(spark, sf_dir):
     map-side-combined shuffle for counts, one per-source aggregate for
     the sum; the cross-row float sum follows the unigram_logprob
     precedent (accumulation noise ~1e-12 relative, far under the
-    round(6) grain).  Scales as a plain two-aggregate pipeline."""
+    round(6) grain).  Only the first (source, token) shuffle carries
+    corpus-derived volume; every later exchange moves vocab- or
+    source-sized tables."""
     ex = synth.sequences_df(spark, _N).select(
         "source", F.explode("tokens").alias("tok")
     )
