@@ -47,6 +47,7 @@ def _registry():
         tsrobust_q,
         tswin_q,
         tsops_q,
+        xcorr_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
 

@@ -1,0 +1,226 @@
+"""Cross-correlation lead-lag detection between event-type series
+(TS27) — "does `click` volume lead `purchase` volume, and by how many
+hours?", the standard ops/analytics question a funnel count can't
+answer.  Both queries are bit-exact oracled on the REAL events table.
+
+The statistic avoids every float trap: for each ordered type pair and
+lag k ∈ [−24, 24], the mean-adjusted cross-covariance over the
+overlap window is
+
+    c_k = m·Σ x[t]·y[t+k] − (Σ x over overlap)·(Σ y over overlap)
+
+with m = n − |k| — every term an exact int64 over hourly COUNT series
+(counts ≤ ~3k/hour even at sf10 keep m·Σxy ≤ 4e12, far inside int64).
+argmax_k c_k (ties → smallest k) is then a comparison over exact
+integers, so the detected lead/lag is deterministic cross-engine; the
+one float (the normalized Pearson r at the best lag) divides c by
+sqrt(vx·vy) of exact integer variances with the identical op tree and
+the floor(x·1e6+0.5)/1e6 rounding spelling.
+
+Scale shape: the raw 100 TB event stream is reduced by ONE map-side-
+combined (event_type, hour) count shuffle to a |types|×|hours| table;
+the dense per-type arrays, the tiny type-pair cross join (broadcast),
+and the 49-lag HOF sums all operate on that bounded table — corpus
+size never appears again after the first aggregate.  Hour indexing
+uses unix_micros (Spark) == epoch_us (DuckDB) DIV 3.6e9, exact int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.operators.queries import T, register
+
+_L = 24                      # max lead/lag in hours
+_HUS = 3_600_000_000         # microseconds per hour
+
+# shared per-lag exact sums (Spark spelling; 0-based indexing).
+_SUMS_SPARK = {
+    "sxy": "aggregate(sequence(0, m - 1), 0L,"
+           " (a, u) -> a + xa[a0 + u] * xb[b0 + u])",
+    "sx": "aggregate(slice(xa, a0 + 1, m), 0L, (a, v) -> a + v)",
+    "sy": "aggregate(slice(xb, b0 + 1, m), 0L, (a, v) -> a + v)",
+    "sxx": "aggregate(slice(xa, a0 + 1, m), 0L, (a, v) -> a + v * v)",
+    "syy": "aggregate(slice(xb, b0 + 1, m), 0L, (a, v) -> a + v * v)",
+}
+
+# DuckDB CTE chain shared by both oracles: hourly counts -> dense
+# per-type arrays on the global hour spine -> type pairs x lag grid ->
+# exact per-lag sums (1-based indexing, same arithmetic).
+_LAGS_DUCK = f"""
+WITH hb AS (
+  SELECT event_type, epoch_us(ts) // {_HUS} AS h, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+bd AS (SELECT min(h) AS hmin, max(h) AS hmax FROM hb),
+sp AS (
+  SELECT t.event_type, u.g
+  FROM (SELECT DISTINCT event_type FROM hb) t
+  CROSS JOIN (SELECT unnest(range(0,
+      (SELECT hmax - hmin + 1 FROM bd))) AS g) u
+),
+dn AS (
+  SELECT sp.event_type, sp.g, coalesce(hb2.cnt, 0)::BIGINT AS cnt
+  FROM sp LEFT JOIN (
+    SELECT event_type, h - (SELECT hmin FROM bd) AS g, cnt FROM hb
+  ) hb2 USING (event_type, g)
+),
+ar AS (
+  SELECT event_type, list(cnt ORDER BY g) AS x FROM dn GROUP BY 1
+),
+pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         a.x AS xa, b.x AS xb, len(a.x)::INT AS n
+  FROM ar a JOIN ar b ON a.event_type < b.event_type
+),
+lg AS (
+  SELECT ta, tb, xa, xb, n, t.k0::INT AS k,
+         (n - abs(t.k0))::INT AS m,
+         greatest(0, -t.k0)::INT AS a0, greatest(0, t.k0)::INT AS b0
+  FROM pr, unnest(range(-{_L}, {_L + 1})) AS t(k0)
+),
+sm AS (
+  SELECT ta, tb, k, m,
+    list_sum(list_transform(range(0, m),
+      u -> xa[a0 + u + 1] * xb[b0 + u + 1]))::BIGINT AS sxy,
+    list_sum(xa[a0 + 1 : a0 + m])::BIGINT AS sx,
+    list_sum(xb[b0 + 1 : b0 + m])::BIGINT AS sy,
+    list_sum(list_transform(xa[a0 + 1 : a0 + m], v -> v * v))::BIGINT
+      AS sxx,
+    list_sum(list_transform(xb[b0 + 1 : b0 + m], v -> v * v))::BIGINT
+      AS syy
+  FROM lg
+),
+cc AS (
+  SELECT ta, tb, k, m::BIGINT AS m, sxy, sx, sy, sxx, syy,
+         (m::BIGINT * sxy - sx * sy)::BIGINT AS c,
+         (m::BIGINT * sxx - sx * sx)::BIGINT AS vx,
+         (m::BIGINT * syy - sy * sy)::BIGINT AS vy
+  FROM sm
+)
+"""
+
+
+def _lags_df(spark, sf_dir):
+    """Spark side of the shared per-lag table (columns of cc above)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_HUS}").alias("h"),
+    )
+    hb = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    bd = hb.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    types = hb.select("event_type").distinct()
+    sp = types.crossJoin(F.broadcast(bd)).select(
+        "event_type",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), hmax - hmin)")).alias(
+            "g"
+        ),
+    )
+    hb2 = hb.crossJoin(F.broadcast(bd)).select(
+        "event_type", (F.col("h") - F.col("hmin")).alias("g"), "cnt"
+    )
+    dn = sp.join(hb2, ["event_type", "g"], "left").select(
+        "event_type", "g", F.coalesce("cnt", F.lit(0)).cast("long").alias(
+            "cnt"
+        )
+    )
+    ar = dn.groupBy("event_type").agg(
+        F.expr("transform(sort_array(collect_list(struct(g, cnt))),"
+               " e -> e.cnt)").alias("x")
+    )
+    a = ar.select(F.col("event_type").alias("ta"), F.col("x").alias("xa"))
+    b = ar.select(F.col("event_type").alias("tb"), F.col("x").alias("xb"))
+    pr = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).withColumn(
+        "n", F.size("xa")
+    )
+    lg = pr.select(
+        "ta", "tb", "xa", "xb", "n",
+        F.explode(F.expr(f"sequence({-_L}, {_L})")).alias("k"),
+    ).select(
+        "ta", "tb", "xa", "xb", "k",
+        (F.col("n") - F.abs("k")).alias("m"),
+        F.greatest(F.lit(0), -F.col("k")).alias("a0"),
+        F.greatest(F.lit(0), F.col("k")).alias("b0"),
+    )
+    sm = lg.select(
+        "ta", "tb", "k", "m",
+        *[F.expr(e).alias(name) for name, e in _SUMS_SPARK.items()],
+    )
+    mL = F.col("m").cast("long")
+    return sm.select(
+        "ta", "tb", "k", mL.alias("m"), "sxy", "sx", "sy", "sxx", "syy",
+        (mL * F.col("sxy") - F.col("sx") * F.col("sy")).alias("c"),
+        (mL * F.col("sxx") - F.col("sx") * F.col("sx")).alias("vx"),
+        (mL * F.col("syy") - F.col("sy") * F.col("sy")).alias("vy"),
+    )
+
+
+@register(
+    "xcorr_lags",
+    oracle=_LAGS_DUCK
+    + """
+    SELECT ta, tb, k, m, sxy, sx, sy, sxx, syy, c FROM cc
+    """,
+)
+def xcorr_lags(spark, sf_dir):
+    """TS27a: the full exact cross-covariance table — one row per
+    ordered event-type pair and lag k ∈ [−24, 24] hours, carrying the
+    overlap length and every integer sufficient statistic plus the
+    mean-adjusted cross-covariance c_k (see module docstring).  All
+    int64, bit-exact.  Plan: one map-side-combined (type, hour) count
+    shuffle reduces the corpus; the spine join, pair cross join
+    (broadcast), and 49-lag HOF sums run on the bounded count table."""
+    return _lags_df(spark, sf_dir).select(
+        "ta", "tb", "k", "m", "sxy", "sx", "sy", "sxx", "syy", "c"
+    )
+
+
+@register(
+    "xcorr_best_lag",
+    oracle=_LAGS_DUCK
+    + """
+    , rk AS (
+      SELECT ta, tb, k, m, c, vx, vy,
+             row_number() OVER (PARTITION BY ta, tb
+                                ORDER BY c DESC, k ASC) AS rn
+      FROM cc
+    )
+    SELECT ta, tb, k AS best_k, m, c,
+           CASE WHEN vx * vy = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(floor(CAST(c AS DOUBLE)
+                     / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     AS DOUBLE) / CAST(1000000.0 AS DOUBLE) END AS r
+    FROM rk WHERE rn = 1
+    """,
+)
+def xcorr_best_lag(spark, sf_dir):
+    """TS27b: the lead-lag verdict — per type pair, the lag maximizing
+    the exact cross-covariance (ties break to the smallest lag, a
+    comparison over exact integers, so the argmax is deterministic
+    cross-engine), with the normalized Pearson r at that lag as the
+    one float column (identical op tree + floor-rounding spelling;
+    vx·vy = 0 guard for degenerate constant series).  best_k > 0 means
+    ta leads tb by best_k hours.  Plan: adds only a partitioned window
+    over the 490-row lag table."""
+    cc = _lags_df(spark, sf_dir)
+    w = Window.partitionBy("ta", "tb").orderBy(
+        F.col("c").desc(), F.col("k").asc()
+    )
+    rk = cc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    r = (
+        F.floor(
+            F.col("c").cast("double")
+            / F.sqrt(F.col("vx").cast("double") * F.col("vy").cast("double"))
+            * 1000000.0
+            + 0.5
+        ).cast("double")
+        / 1000000.0
+    )
+    return rk.select(
+        "ta", "tb", F.col("k").alias("best_k"), "m", "c",
+        F.when(F.col("vx") * F.col("vy") == 0, F.lit(0.0))
+        .otherwise(r)
+        .alias("r"),
+    )

@@ -1,0 +1,78 @@
+"""Semantic gates for xcorr_q: a numpy reference recomputes the full
+exact cross-covariance table and the best-lag verdicts from the raw
+events parquet."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark.operators.xcorr_q import _L, xcorr_best_lag, xcorr_lags
+
+
+@pytest.fixture(scope="module")
+def dense(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    h = (ev.ts.astype("int64") // 1_000_000 // 3600).to_numpy()
+    lo, hi = h.min(), h.max()
+    n = int(hi - lo + 1)
+    out = {}
+    for t, grp in ev.groupby("event_type"):
+        hh = grp.ts.astype("int64").to_numpy() // 1_000_000 // 3600 - lo
+        out[t] = np.bincount(hh, minlength=n).astype(np.int64)
+    return out, n
+
+
+def _stats(xa, xb, k):
+    n = len(xa)
+    a0, b0, m = max(0, -k), max(0, k), n - abs(k)
+    x, y = xa[a0 : a0 + m], xb[b0 : b0 + m]
+    return (
+        m,
+        int(x @ y),
+        int(x.sum()),
+        int(y.sum()),
+        int(x @ x),
+        int(y @ y),
+    )
+
+
+def test_lag_table_matches_numpy(spark, sf_dir, dense):
+    arr, n = dense
+    out = xcorr_lags(spark, sf_dir).toPandas().set_index(["ta", "tb", "k"])
+    types = sorted(arr)
+    npairs = len(types) * (len(types) - 1) // 2
+    assert len(out) == npairs * (2 * _L + 1)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            for k in range(-_L, _L + 1):
+                m, sxy, sx, sy, sxx, syy = _stats(arr[ta], arr[tb], k)
+                got = out.loc[(ta, tb, k)]
+                assert got.m == m and got.sxy == sxy
+                assert got.sx == sx and got.sy == sy
+                assert got.sxx == sxx and got.syy == syy
+                assert got.c == m * sxy - sx * sy, (ta, tb, k)
+
+
+def test_best_lag_matches_numpy(spark, sf_dir, dense):
+    arr, n = dense
+    out = xcorr_best_lag(spark, sf_dir).toPandas().set_index(["ta", "tb"])
+    types = sorted(arr)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            best = None
+            for k in range(-_L, _L + 1):
+                m, sxy, sx, sy, sxx, syy = _stats(arr[ta], arr[tb], k)
+                c = m * sxy - sx * sy
+                vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+                # argmax c, ties to smallest k (scan order handles it)
+                if best is None or c > best[0]:
+                    best = (c, k, m, vx, vy)
+            c, k, m, vx, vy = best
+            got = out.loc[(ta, tb)]
+            assert got.best_k == k and got.c == c and got.m == m
+            r = 0.0 if vx * vy == 0 else math.floor(
+                c / math.sqrt(float(vx) * float(vy)) * 1e6 + 0.5
+            ) / 1e6
+            assert got.r == r, (ta, tb)
