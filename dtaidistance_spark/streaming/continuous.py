@@ -515,3 +515,108 @@ def stream_rate_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_counter_agg(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 5th): TimescaleDB-style reset-aware ``counter_agg`` maintained
+    in real time — per user, treat the value stream as a monotone
+    counter with resets (a drop below the previous sample means the
+    counter restarted; the previous sample's level is added to the
+    running reset base), and emit the corrected first/last levels,
+    delta, and reset count once the watermark closes the user.
+
+    EXACTNESS: the 2-decimal event values are integerized to cents on
+    the JVM side (``floor(value·100 + 0.5)`` — exact for 2-dp doubles),
+    so the entire fold — reset detection, cumulative base, corrected
+    levels, delta — is int64 arithmetic with NO float accumulation,
+    and the emitted rows equal the batch window-SQL re-derivation
+    bit-for-bit in any engine.
+
+    State per user is the observed (tu, eid, cents) list (bounded by
+    the per-user event count in the drained window; production windows
+    the key like the DBA tier); event-time timeout emits one row per
+    user exactly once (append mode).
+
+    ref:timescaledb-toolkit counter_agg (public semantics: delta =
+    corrected(last) − corrected(first), resets counted at drops).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.expr(f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            tus, eids, vals = state.get
+            state.remove()
+            rows = sorted(zip(tus, eids, vals))
+            if rows:
+                base = 0
+                resets = 0
+                prev = None
+                first = None
+                last = None
+                for _, _, v in rows:
+                    if prev is not None and v < prev:
+                        base += prev
+                        resets += 1
+                    corrected = v + base
+                    if first is None:
+                        first = corrected
+                    last = corrected
+                    prev = v
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)],
+                        "n_samples": [len(rows)],
+                        "n_resets": [resets],
+                        "first_cents": [first],
+                        "last_cents": [last],
+                        "delta_cents": [last - first],
+                    }
+                )
+            return
+        tus, eids, vals = (state.get if state.exists else ([], [], []))
+        tus, eids, vals = list(tus), list(eids), list(vals)
+        for pdf in pdfs:
+            tus.extend(int(x) for x in pdf["tu"])
+            eids.extend(int(x) for x in pdf["eid"])
+            vals.extend(int(x) for x in pdf["cents"])
+        state.update((tus, eids, vals))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_samples long, n_resets long,"
+            " first_cents long, last_cents long, delta_cents long"
+        ),
+        stateStructType=(
+            "tus array<long>, eids array<long>, vals array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
