@@ -635,3 +635,172 @@ def token_percentiles_exact(spark, sf_dir):
             for p in _PCTS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# T47 — cross-doc n-gram novelty (first-occurrence algebra over 5-grams)
+# ---------------------------------------------------------------------------
+
+_G = 5                        # gram order
+_NM1, _NB1 = 2147483647, 50333   # two independent 31-bit poly hashes:
+_NM2, _NB2 = 2147483629, 50341   # the pair key is ~62 bits — collisions
+_NP1 = [pow(_NB1, _G - 1 - i, _NM1) for i in range(_G)]
+_NP2 = [pow(_NB2, _G - 1 - i, _NM2) for i in range(_G)]
+
+
+def _gram_terms(pows, mod, tok_at):
+    s = " + ".join(
+        f"{tok_at(i)} * CAST({pows[i]} AS BIGINT)" for i in range(_G)
+    )
+    return f"(({s}) % {mod})"
+
+
+_GRAMS_SPARK = (
+    "transform(sequence(0, n_tok - %d), j -> struct(%s AS g1, %s AS g2))"
+    % (
+        _G,
+        _gram_terms(_NP1, _NM1, lambda i: f"CAST(tokens[j + {i}] AS BIGINT)"),
+        _gram_terms(_NP2, _NM2, lambda i: f"CAST(tokens[j + {i}] AS BIGINT)"),
+    )
+)
+_GRAMS_DUCK = (
+    "list_transform(range(0, n_tok - %d), j -> {'g1': %s, 'g2': %s})"
+    % (
+        _G - 1,
+        _gram_terms(_NP1, _NM1, lambda i: f"tokens[j + {i} + 1]::BIGINT"),
+        _gram_terms(_NP2, _NM2, lambda i: f"tokens[j + {i} + 1]::BIGINT"),
+    )
+)
+
+
+@register(
+    "ngram_novelty",
+    oracle=synth_sql(_N)
+    + f"""
+    , hh AS (
+      SELECT doc_id, source, n_tok,
+             CAST(substr(doc_id, 4) AS BIGINT) AS i, tokens,
+             ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h
+      FROM synth
+    ),
+    docs AS (
+      SELECT doc_id, source, n_tok, i, tokens FROM hh
+      UNION ALL
+      SELECT doc_id || '~s', source,
+             n_tok + (1 + h % 7)::INT, i + {_N},
+             list_concat(
+               list_transform(range(1, 1 + (1 + h % 7)::INT),
+                 s -> ((h % 50257 + s * 7919) % 50257)::INT),
+               tokens)
+      FROM hh
+    ),
+    ex AS (
+      SELECT i, q.g1 AS g1, q.g2 AS g2
+      FROM docs, unnest({_GRAMS_DUCK}) AS t(q)
+    ),
+    gc AS (
+      SELECT i, g1, g2, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2, 3
+    ),
+    fo AS (SELECT g1, g2, min(i) AS first_i FROM gc GROUP BY 1, 2),
+    pj AS (
+      SELECT gc.i, gc.cnt, (fo.first_i = gc.i) AS is_novel
+      FROM gc JOIN fo USING (g1, g2)
+    ),
+    per AS (
+      SELECT i,
+             sum(cnt)::BIGINT AS n_grams,
+             sum(CASE WHEN is_novel THEN cnt ELSE 0 END)::BIGINT
+               AS novel_pos,
+             sum(is_novel::INT)::BIGINT AS novel_types
+      FROM pj GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, p.n_grams, p.novel_pos, p.novel_types,
+           CAST(floor(CAST(p.novel_pos AS DOUBLE)
+                / CAST(p.n_grams AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS novel_frac
+    FROM docs d JOIN per p ON p.i = d.i
+    """,
+)
+def ngram_novelty(spark, sf_dir):
+    """T47: cross-doc 5-gram novelty — per doc (in deterministic doc-
+    index stream order), the fraction of its 5-gram positions whose
+    gram has never appeared in ANY earlier doc: the diversity /
+    memorization-risk score a pipeline reads before sampling, and the
+    n-gram generalization of T36's first-occurrence algebra (running
+    "seen before?" is not a window aggregate, but min(doc index) per
+    gram is plain relational algebra).  Gram identity is a pair of
+    independent 31-bit polynomial hashes (~62 bits; precomputed-power
+    weighted sums, exact int64, identical both engines — no modmul
+    overflow, no folds).  Everything is int64 except the one fraction,
+    floor-1e6-rounded with the shared spelling.  Plan: scan-side HOF
+    gram hashing, ONE map-side-combined (i, g1, g2) count shuffle, a
+    gram-keyed min-reduce + join (the Zipf-join story of the unigram
+    LM: AQE skew splitting; the gram count table is the corpus-sized
+    price of EXACT novelty — same bill as exact dedup), then a per-doc
+    reduce.
+
+    The measured universe appends a prefix-edited twin of every doc
+    (1..7 deterministic tokens prepended, stream index i + N, the CDC
+    twin construction) because the raw synth corpus has zero cross-doc
+    gram overlap: originals score ~1.0 novelty, twins ~0 — the
+    contaminated-crawl signature the metric exists to surface."""
+    base = synth.sequences_df(spark, _N).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("CAST(substr(doc_id, 4) AS BIGINT)").alias("i"),
+        "tokens",
+        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    pre = (
+        "transform(sequence(1, CAST(1 + h % 7 AS INT)),"
+        " s -> CAST((h % 50257 + s * 7919) % 50257 AS INT))"
+    )
+    docs = base.select(
+        "doc_id", "source", "n_tok", "i", "tokens"
+    ).unionAll(
+        base.select(
+            F.concat("doc_id", F.lit("~s")).alias("doc_id"),
+            "source",
+            (F.col("n_tok") + (F.lit(1) + F.col("h") % 7).cast("int")).alias(
+                "n_tok"
+            ),
+            (F.col("i") + _N).alias("i"),
+            F.expr(f"concat({pre}, tokens)").alias("tokens"),
+        )
+    )
+    ex = docs.select("i", F.explode(F.expr(_GRAMS_SPARK)).alias("q")).select(
+        "i", F.col("q.g1").alias("g1"), F.col("q.g2").alias("g2")
+    )
+    gc = ex.groupBy("i", "g1", "g2").agg(F.count(F.lit(1)).alias("cnt"))
+    fo = gc.groupBy("g1", "g2").agg(F.min("i").alias("first_i"))
+    pj = gc.join(fo, ["g1", "g2"]).select(
+        "i", "cnt", (F.col("first_i") == F.col("i")).alias("is_novel")
+    )
+    per = pj.groupBy("i").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("is_novel"), F.col("cnt")).otherwise(0)).alias(
+            "novel_pos"
+        ),
+        F.sum(F.col("is_novel").cast("int")).alias("novel_types"),
+    )
+    frac = (
+        F.floor(
+            F.col("novel_pos").cast("double")
+            / F.col("n_grams").cast("double")
+            * 1000000.0
+            + 0.5
+        ).cast("double")
+        / 1000000.0
+    )
+    return docs.join(per, "i").select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "novel_pos",
+        "novel_types",
+        frac.alias("novel_frac"),
+    )

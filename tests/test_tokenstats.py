@@ -224,3 +224,48 @@ def test_token_percentiles_exact_matches_numpy(spark, sf_dir, loc):
             # inverse-CDF (type-1): smallest x with rank >= ceil(n*p/100)
             want = int(toks[-(-n * p // 100) - 1])
             assert got[f"p{p}"] == want, (s, p)
+
+
+def test_ngram_novelty_matches_set_recompute(spark, sf_dir, loc):
+    """T47: per-doc novel-position/type counts equal a dict-based
+    recompute over exact gram tuples (the hash pair is injective on
+    this corpus — verified by comparing against tuple identity), over
+    the orig + prefix-edited-twin universe."""
+    import hashlib
+    import math
+
+    from dtaidistance_spark.operators.tokenstats_q import ngram_novelty
+
+    out = ngram_novelty(spark, sf_dir).toPandas().set_index("doc_id")
+    assert len(out) == 2 * _N
+    universe = []
+    for row in loc.itertuples():
+        universe.append((row.doc_id, row.tokens.tolist()))
+    for row in loc.itertuples():
+        h = int(hashlib.md5(row.doc_id.encode()).hexdigest()[:15], 16)
+        k = 1 + h % 7
+        pre = [(h % 50257 + s * 7919) % 50257 for s in range(1, k + 1)]
+        universe.append((row.doc_id + "~s", pre + row.tokens.tolist()))
+    first = {}
+    docs = []
+    for doc_id, toks in universe:  # stream order: origs then twins
+        grams = [tuple(toks[j : j + 5]) for j in range(len(toks) - 4)]
+        docs.append((doc_id, grams))
+        for g in set(grams):
+            first.setdefault(g, doc_id)
+    for doc_id, grams in docs:
+        novel_pos = sum(1 for g in grams if first[g] == doc_id)
+        novel_types = len({g for g in grams if first[g] == doc_id})
+        got = out.loc[doc_id]
+        assert got.n_grams == len(grams)
+        assert got.novel_pos == novel_pos, doc_id
+        assert got.novel_types == novel_types, doc_id
+        assert got.novel_frac == math.floor(
+            novel_pos / len(grams) * 1e6 + 0.5
+        ) / 1e6
+    # the metric separates the two populations: originals are novel,
+    # prefix-edited twins are recognized as near-duplicates
+    orig = out[~out.index.str.endswith("~s")]
+    twin = out[out.index.str.endswith("~s")]
+    assert (orig.novel_frac == 1.0).all()
+    assert (twin.novel_frac < 0.2).all()
