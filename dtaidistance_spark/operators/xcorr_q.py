@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dtaidistance_spark import synth
 from dtaidistance_spark.operators.queries import T, register
+from dtaidistance_spark.operators.synth_q import synth_sql
 
 _L = 24                      # max lead/lag in hours
 _HUS = 3_600_000_000         # microseconds per hour
@@ -223,4 +225,125 @@ def xcorr_best_lag(spark, sf_dir):
         F.when(F.col("vx") * F.col("vy") == 0, F.lit(0.0))
         .otherwise(r)
         .alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS28 — per-series autocorrelation diagnostics at dyadic lags
+# ---------------------------------------------------------------------------
+
+_ACF_N = 256
+_ACF_LAGS = [1, 2, 4, 8, 16, 32, 64]
+
+# per-lag exact sufficient statistics over the overlap window of a
+# single series x (0-based Spark / 1-based DuckDB indexing); the
+# overlap-mean formulation keeps every term inside int64 even at
+# vocab-scale values: m·Σxy ≤ 8192·2.1e13 ≈ 1.7e17, (Σx)² ≤ 1.7e17.
+_ACF_SPARK = {
+    "sxy": "aggregate(sequence(0, m - 1), 0L,"
+           " (a, u) -> a + CAST(x[u] AS BIGINT) * CAST(x[u + k] AS BIGINT))",
+    "sh": "aggregate(slice(x, 1, m), 0L, (a, v) -> a + CAST(v AS BIGINT))",
+    "st": "aggregate(slice(x, k + 1, m), 0L, (a, v) -> a + CAST(v AS BIGINT))",
+    "shh": "aggregate(slice(x, 1, m), 0L,"
+           " (a, v) -> a + CAST(v AS BIGINT) * CAST(v AS BIGINT))",
+    "stt": "aggregate(slice(x, k + 1, m), 0L,"
+           " (a, v) -> a + CAST(v AS BIGINT) * CAST(v AS BIGINT))",
+}
+_ACF_DUCK = {
+    "sxy": "list_sum(list_transform(range(0, m),"
+           " u -> x[u + 1]::BIGINT * x[u + k + 1]::BIGINT))::BIGINT",
+    "sh": "list_sum(list_transform(x[1 : m], v -> v::BIGINT))::BIGINT",
+    "st": "list_sum(list_transform(x[k + 1 : k + m], v -> v::BIGINT))"
+          "::BIGINT",
+    "shh": "list_sum(list_transform(x[1 : m], v -> v::BIGINT * v::BIGINT))"
+           "::BIGINT",
+    "stt": "list_sum(list_transform(x[k + 1 : k + m],"
+           " v -> v::BIGINT * v::BIGINT))::BIGINT",
+}
+
+_R_SHARED = (
+    "CASE WHEN vh = 0 OR vt = 0 THEN CAST(0 AS DOUBLE)"
+    " ELSE CAST(floor(CAST(c AS DOUBLE)"
+    " / sqrt(CAST(vh AS DOUBLE) * CAST(vt AS DOUBLE))"
+    " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(1000000.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "series_acf",
+    oracle=synth_sql(_ACF_N)
+    + f"""
+    , lg AS (
+      SELECT doc_id, source, tokens AS x, n_tok,
+             t.k0::INT AS k, (n_tok - t.k0)::INT AS m
+      FROM synth, unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS t(k0)
+    ),
+    sm AS (
+      SELECT doc_id, source, k, m,
+             {", ".join(f"{e} AS {n}" for n, e in _ACF_DUCK.items())}
+      FROM lg
+    ),
+    cc AS (
+      SELECT doc_id, source, k, m::BIGINT AS m,
+             (m::BIGINT * sxy - sh * st)::BIGINT AS c,
+             (m::BIGINT * shh - sh * sh)::BIGINT AS vh,
+             (m::BIGINT * stt - st * st)::BIGINT AS vt
+      FROM sm
+    ),
+    rr AS (
+      SELECT doc_id, source, k, m, c, vh, vt, {_R_SHARED} AS r FROM cc
+    )
+    SELECT doc_id, source, k, m, c, vh, vt, r,
+           (row_number() OVER (PARTITION BY doc_id
+                               ORDER BY r DESC, k ASC) = 1) AS is_dominant
+    FROM rr
+    """,
+)
+def series_acf(spark, sf_dir):
+    """TS28: per-series autocorrelation diagnostics at dyadic lags
+    k ∈ {{1,2,4,8,16,32,64}} — the periodicity fingerprint a rollup
+    planner reads before choosing a downsample window.  (On the raw
+    synth tokens the modular ramp decorrelates every lag — mean r stays
+    within ±0.04 — so the verdicts here exercise determinism, not a
+    planted period; the pytest proves exact parity per lag.)  Same
+    exact algebra as TS27 applied within one series:
+    the overlap-mean cross-covariance c_k = m·Σ x_t·x_{{t+k}} −
+    S_head·S_tail and both variance terms are exact int64 even at
+    vocab-scale values (≤ 1.7e17), so the dominant-lag verdict (max r,
+    ties smallest k — via a PARTITIONED window) is deterministic; the
+    normalized r is the one float, shared op tree + floor-1e6.  Plan:
+    zero shuffles for the statistics (scan-side HOFs per row), one
+    doc-keyed exchange for the dominant-lag window over the 7-row
+    groups."""
+    docs = synth.sequences_df(spark, _ACF_N).select(
+        "doc_id", "source", F.col("tokens").alias("x"), "n_tok"
+    )
+    lg = docs.select(
+        "doc_id", "source", "x",
+        F.explode(
+            F.array(*[F.lit(k) for k in _ACF_LAGS])
+        ).alias("k"),
+        "n_tok",
+    ).select(
+        "doc_id", "source", "x", "k",
+        (F.col("n_tok") - F.col("k")).alias("m"),
+    )
+    sm = lg.select(
+        "doc_id", "source", "k", "m",
+        *[F.expr(e).alias(n) for n, e in _ACF_SPARK.items()],
+    )
+    mL = F.col("m").cast("long")
+    cc = sm.select(
+        "doc_id", "source", "k", mL.alias("m"),
+        (mL * F.col("sxy") - F.col("sh") * F.col("st")).alias("c"),
+        (mL * F.col("shh") - F.col("sh") * F.col("sh")).alias("vh"),
+        (mL * F.col("stt") - F.col("st") * F.col("st")).alias("vt"),
+    )
+    rr = cc.withColumn("r", F.expr(_R_SHARED))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("r").desc(), F.col("k").asc()
+    )
+    return rr.withColumn(
+        "is_dominant", F.row_number().over(w) == 1
     )

@@ -76,3 +76,46 @@ def test_best_lag_matches_numpy(spark, sf_dir, dense):
                 c / math.sqrt(float(vx) * float(vy)) * 1e6 + 0.5
             ) / 1e6
             assert got.r == r, (ta, tb)
+
+
+def test_series_acf_matches_numpy(spark, sf_dir):
+    """TS28: exact per-lag statistics and the dominant-lag verdict
+    recompute from numpy (raw modular-ramp tokens decorrelate, so
+    the gate is exactness + verdict determinism, not a planted period)."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.xcorr_q import (
+        _ACF_LAGS,
+        _ACF_N,
+        series_acf,
+    )
+
+    out = series_acf(spark, sf_dir).toPandas().set_index(["doc_id", "k"])
+    loc = synth.sequences_local(_ACF_N)
+    assert len(out) == _ACF_N * len(_ACF_LAGS)
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.int64)
+        n = len(x)
+        best = None
+        for k in _ACF_LAGS:
+            m = n - k
+            hd, tl = x[:m], x[k : k + m]
+            sxy, sh, st = int(hd @ tl), int(hd.sum()), int(tl.sum())
+            shh, stt = int(hd @ hd), int(tl @ tl)
+            c = m * sxy - sh * st
+            vh, vt = m * shh - sh * sh, m * stt - st * st
+            r = (
+                0.0
+                if vh == 0 or vt == 0
+                else math.floor(
+                    c / math.sqrt(float(vh) * float(vt)) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            got = out.loc[(row.doc_id, k)]
+            assert got.m == m and got.c == c
+            assert got.vh == vh and got.vt == vt
+            assert got.r == r, (row.doc_id, k)
+            if best is None or r > best[0]:
+                best = (r, k)
+        dom = out.loc[row.doc_id]
+        assert dom[dom.is_dominant].index.tolist() == [best[1]], row.doc_id
