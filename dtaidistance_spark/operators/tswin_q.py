@@ -739,3 +739,122 @@ def asof_join_scaled(spark, sf_dir):
     return merged.where(F.col("kind") == 1).select(
         "event_id", "user_id", "last_orderkey", "last_order_total"
     )
+
+
+# ---------------------------------------------------------------------------
+# TS29 — PAA downsample fidelity audit (exact per-tier variance retention)
+# ---------------------------------------------------------------------------
+
+_PAA_WS = (4, 16, 64)
+
+# per (doc, w): residual sum of squares of the PAA reconstruction,
+# w²-scaled so it stays integral (block mean = S/w, residual x − S/w,
+# w·residual = w·x − S exact int64; Σ(w·x − S)² ≤ 8192·(64·50256)² ≈
+# 8.5e16, inside int64).  Block sums ride a first transform so the
+# per-position pass reads them O(1).
+_PAA_SSE_SPARK = """
+aggregate(
+  zip_with(
+    slice(x, 1, nb * w),
+    flatten(transform(bs, s -> array_repeat(s, w))),
+    (v, s) -> (CAST(w AS BIGINT) * CAST(v AS BIGINT) - s)
+              * (CAST(w AS BIGINT) * CAST(v AS BIGINT) - s)),
+  0L, (a, e) -> a + e)
+"""
+_PAA_SSE_DUCK = """
+list_sum(
+  list_transform(range(0, nb * w),
+    j -> (w::BIGINT * x[j + 1]::BIGINT - bs[j // w + 1])
+         * (w::BIGINT * x[j + 1]::BIGINT - bs[j // w + 1])))::BIGINT
+"""
+
+_BS_SPARK = (
+    "transform(sequence(0, nb - 1), b -> aggregate(slice(x, b * w + 1, w),"
+    " 0L, (a, v) -> a + CAST(v AS BIGINT)))"
+)
+_BS_DUCK = (
+    "list_transform(range(0, nb),"
+    " b -> list_sum(x[b * w + 1 : b * w + w])::BIGINT)"
+)
+
+_RATIO_SHARED = (
+    "CASE WHEN mm * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+    " ELSE CAST(floor((CAST(1 AS DOUBLE)"
+    " - (CAST(sse_num AS DOUBLE) / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))"
+    "   / ((CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "      / CAST(mm AS DOUBLE)))"
+    " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+    " / CAST(1000000.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "paa_fidelity",
+    oracle=synth_sql(_N)
+    + f"""
+    , lg AS (
+      SELECT doc_id, source, tokens AS x, n_tok,
+             t.w0::INT AS w, (n_tok // t.w0)::INT AS nb
+      FROM synth, unnest([{", ".join(str(w) for w in _PAA_WS)}]) AS t(w0)
+    ),
+    wb AS (SELECT *, {_BS_DUCK} AS bs FROM lg),
+    sm AS (
+      SELECT doc_id, source, w, nb, (nb * w)::BIGINT AS mm,
+             {_PAA_SSE_DUCK} AS sse_num,
+             list_sum(list_transform(x[1 : nb * w],
+               v -> v::BIGINT * v::BIGINT))::BIGINT AS sxx,
+             list_sum(x[1 : nb * w])::BIGINT AS sx
+      FROM wb
+    )
+    SELECT doc_id, source, w, nb::BIGINT AS n_blocks, mm AS m_covered,
+           sse_num, sxx, sx, {_RATIO_SHARED} AS var_retained
+    FROM sm
+    """,
+)
+def paa_fidelity(spark, sf_dir):
+    """TS29: downsample fidelity audit — for each series and each PAA
+    tier width w ∈ {4, 16, 64}, EXACTLY how much variance the rollup
+    tier retains (1 − SSE/TSS over the covered prefix).  This is the
+    number a retention policy should read before choosing tier widths,
+    and it is exact: the PAA block mean S/w is rational, so residuals
+    are w-scaled to integers (w·x − S) and the SSE numerator is a pure
+    int64 HOF sum (≤ 8.5e16 at w=64, vocab-scale values); TSS comes
+    from the same exact (m·Σx² − (Σx)²)/m algebra as TS28.  The one
+    float (variance-retained ratio) shares its op tree cross-engine
+    with floor-1e6 rounding.  Plan: zero shuffles — block sums ride
+    one transform so the per-position residual pass reads them O(1)
+    (flatten/array_repeat in Spark, j div w indexing in DuckDB; both
+    evaluate the block-sum array once per row)."""
+    docs = synth.sequences_df(spark, _N).select(
+        "doc_id", "source", F.col("tokens").alias("x"), "n_tok"
+    )
+    lg = docs.select(
+        "doc_id", "source", "x",
+        F.explode(F.array(*[F.lit(w) for w in _PAA_WS])).alias("w"),
+        "n_tok",
+    ).select(
+        "doc_id", "source", "x", "w",
+        F.expr("CAST(n_tok DIV w AS INT)").alias("nb"),
+    )
+    wb = lg.withColumn("bs", F.expr(_BS_SPARK))
+    sm = wb.select(
+        "doc_id", "source", "w", "nb",
+        (F.col("nb") * F.col("w")).cast("long").alias("mm"),
+        F.expr(_PAA_SSE_SPARK).alias("sse_num"),
+        F.expr(
+            "aggregate(slice(x, 1, nb * w), 0L,"
+            " (a, v) -> a + CAST(v AS BIGINT) * CAST(v AS BIGINT))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(slice(x, 1, nb * w), 0L,"
+            " (a, v) -> a + CAST(v AS BIGINT))"
+        ).alias("sx"),
+    )
+    return sm.select(
+        "doc_id", "source", "w",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("mm").alias("m_covered"),
+        "sse_num", "sxx", "sx",
+        F.expr(_RATIO_SHARED).alias("var_retained"),
+    )

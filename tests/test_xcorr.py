@@ -119,3 +119,46 @@ def test_series_acf_matches_numpy(spark, sf_dir):
                 best = (r, k)
         dom = out.loc[row.doc_id]
         assert dom[dom.is_dominant].index.tolist() == [best[1]], row.doc_id
+
+
+def test_paa_fidelity_matches_numpy(spark, sf_dir):
+    """TS29: exact w-scaled SSE + variance-retained ratio recompute."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.tswin_q import _PAA_WS, paa_fidelity
+    from dtaidistance_spark.operators.tswin_q import _N as _PN
+
+    out = paa_fidelity(spark, sf_dir).toPandas().set_index(["doc_id", "w"])
+    loc = synth.sequences_local(_PN)
+    assert len(out) == _PN * len(_PAA_WS)
+    for row in loc.itertuples():
+        x = row.tokens.astype(np.int64)
+        for w in _PAA_WS:
+            nb = len(x) // w
+            cov = x[: nb * w]
+            bs = cov.reshape(nb, w).sum(axis=1)
+            res = w * cov - np.repeat(bs, w)
+            sse = int((res * res).sum())
+            mm, sxx, sx = nb * w, int(cov @ cov), int(cov.sum())
+            got = out.loc[(row.doc_id, w)]
+            assert got.n_blocks == nb and got.m_covered == mm
+            assert got.sse_num == sse
+            assert got.sxx == sxx and got.sx == sx
+            den = mm * sxx - sx * sx
+            ratio = (
+                0.0
+                if den == 0
+                else math.floor(
+                    (1.0 - (sse / (float(w) * float(w))) / (
+                        (float(mm) * float(sxx) - float(sx) * float(sx))
+                        / float(mm)
+                    ))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+            assert got.var_retained == ratio, (row.doc_id, w)
+    # fidelity is monotone in tier width on average: wider blocks
+    # discard more variance
+    mean_by_w = out.groupby(level="w").var_retained.mean()
+    assert mean_by_w[4] > mean_by_w[16] > mean_by_w[64]
