@@ -167,3 +167,183 @@ def neardup_components_q(spark, sf_dir):
     DuckDB with a recursive CTE over the brute-force pair graph."""
     pairs = D.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
     return D.neardup_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# T48 — MinHash+LSH recall audit against planted twin ground truth
+# ---------------------------------------------------------------------------
+
+_TW_N = 256
+
+
+def _twin_universe(spark):
+    """Orig + prefix-edited-twin token docs (the T44/T47 construction):
+    every (doc, doc~s) pair is a KNOWN near-duplicate — twin shingle
+    sets are supersets of the originals', so exact 5-gram Jaccard =
+    |A|/|B| is high by construction and the 256 pairs form a planted
+    ground truth for recall measurement."""
+    from dtaidistance_spark import synth
+
+    base = synth.sequences_df(spark, _TW_N).select(
+        "doc_id",
+        "n_tok",
+        "tokens",
+        F.conv(F.substring(F.md5("doc_id"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    pre = (
+        "transform(sequence(1, CAST(1 + h % 7 AS INT)),"
+        " s -> CAST((h % 50257 + s * 7919) % 50257 AS INT))"
+    )
+    return base.select(
+        "doc_id", F.lit("o").alias("variant"), "n_tok", "tokens"
+    ).unionAll(
+        base.select(
+            F.concat("doc_id", F.lit("~s")).alias("doc_id"),
+            F.lit("s").alias("variant"),
+            (F.col("n_tok") + (F.lit(1) + F.col("h") % 7).cast("int")).alias(
+                "n_tok"
+            ),
+            F.expr(f"concat({pre}, tokens)").alias("tokens"),
+        )
+    )
+
+
+@register("minhash_twin_recall")
+def minhash_twin_recall(spark, sf_dir):
+    """T48: end-to-end recall of the T2 MinHash+LSH candidate stage,
+    measured against the planted twin ground truth — the quality
+    evidence the dedup stack owes, exactly like the ANN recall checks.
+    Token docs get hashed 5-gram shingle sets (``xxhash64`` over the
+    window — the production shingle path), the N_MINHASH min()
+    signature and banded bucket self-join run UNCHANGED from
+    ``operators/dedup.py``, and the output row reports how many of the
+    256 known near-dup pairs surfaced as candidates.  Rows-only
+    (xxhash64 has no DuckDB twin); the oracled ground-truth side is
+    ``minhash_twin_recall_check``, and the banding analysis (b=21 r=3:
+    miss prob ≤ 3e-7 at j = 0.8) predicts recall = 1.0."""
+    uni = _twin_universe(spark)
+    sh = uni.withColumn(
+        "_sh",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(tokens) - 5),"
+                " j -> xxhash64(tokens[j], tokens[j + 1], tokens[j + 2],"
+                " tokens[j + 3], tokens[j + 4]))"
+            )
+        ),
+    ).persist()
+    sig = D.minhash_signature(sh, id_col="doc_id").persist()
+    cands = D.lsh_candidates(sig, id_col="doc_id")
+    truth_found = cands.where(
+        F.col("id_b") == F.concat(F.col("id_a"), F.lit("~s"))
+    )
+    n_found = truth_found.count()
+    return spark.createDataFrame(
+        [(int(_TW_N), int(n_found),
+          __import__("math").floor(n_found / _TW_N * 1e4 + 0.5) / 1e4)],
+        "n_truth_pairs long, n_found long, recall double",
+    )
+
+
+
+
+def _twin_check_oracle():
+    """DuckDB re-derivation of the twin universe + exact gram Jaccard
+    (the T47 CTE shapes; imports deferred to avoid import-order
+    coupling at module load)."""
+    from dtaidistance_spark.operators.synth_q import synth_sql
+    from dtaidistance_spark.operators.tokenstats_q import _GRAMS_DUCK
+
+    return (
+        synth_sql(_TW_N)
+        + f"""
+    , hh AS (
+      SELECT doc_id, n_tok, tokens,
+             ('0x' || substr(md5(doc_id), 1, 15))::BIGINT AS h
+      FROM synth
+    ),
+    uni AS (
+      SELECT doc_id, 'o' AS variant, n_tok, tokens FROM hh
+      UNION ALL
+      SELECT doc_id, 's', n_tok + (1 + h % 7)::INT,
+             list_concat(
+               list_transform(range(1, 1 + (1 + h % 7)::INT),
+                 s -> ((h % 50257 + s * 7919) % 50257)::INT),
+               tokens)
+      FROM hh
+    ),
+    gr AS (
+      SELECT DISTINCT doc_id, variant, q.g1 AS g1, q.g2 AS g2
+      FROM uni, unnest({_GRAMS_DUCK}) AS t(q)
+    ),
+    o AS (SELECT doc_id, g1, g2 FROM gr WHERE variant = 'o'),
+    s AS (SELECT doc_id, g1, g2 FROM gr WHERE variant = 's'),
+    i AS (
+      SELECT o.doc_id, count(*)::BIGINT AS inter
+      FROM o JOIN s USING (doc_id, g1, g2) GROUP BY 1
+    ),
+    na AS (SELECT doc_id, count(*)::BIGINT AS sh_o FROM o GROUP BY 1),
+    nb AS (SELECT doc_id, count(*)::BIGINT AS sh_s FROM s GROUP BY 1)
+    SELECT doc_id, sh_o, sh_s, inter,
+           (sh_o + sh_s - inter)::BIGINT AS uni,
+           CAST(floor(CAST(inter AS DOUBLE)
+                / CAST(sh_o + sh_s - inter AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS jaccard
+    FROM na JOIN nb USING (doc_id) JOIN i USING (doc_id)
+    """
+    )
+
+
+@register(
+    "minhash_twin_recall_check",
+    oracle=_twin_check_oracle(),
+)
+def minhash_twin_recall_check(spark, sf_dir):
+    """T48-check (fully oracled): the exact ground truth the recall is
+    measured against — per twin pair, the exact 5-gram Jaccard from
+    the T47 double-31-bit gram pair key (no xxhash64 anywhere), with
+    the intersection computed RELATIONALLY (exploded distinct grams,
+    per-doc join) rather than by array-intersect builtins.  The subset
+    property (twin grams ⊇ orig grams, so inter = |A|) is verified in
+    data, not assumed.  All int64 + one floor-1e6 float."""
+    from dtaidistance_spark.operators.tokenstats_q import _GRAMS_SPARK
+
+    uni = _twin_universe(spark).withColumn("n_tok", F.size("tokens"))
+    gr = (
+        uni.select(
+            "doc_id", "variant",
+            F.explode(F.expr(_GRAMS_SPARK)).alias("q"),
+        )
+        .select(
+            F.expr("replace(doc_id, '~s', '')").alias("doc_id"),
+            "variant",
+            F.col("q.g1").alias("g1"),
+            F.col("q.g2").alias("g2"),
+        )
+        .distinct()
+    )
+    o = gr.where(F.col("variant") == "o").drop("variant")
+    s = gr.where(F.col("variant") == "s").drop("variant")
+    inter = o.join(s, ["doc_id", "g1", "g2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    na = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sh_o"))
+    nb = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sh_s"))
+    j = na.join(nb, "doc_id").join(inter, "doc_id")
+    uni_sz = F.col("sh_o") + F.col("sh_s") - F.col("inter")
+    jacc = (
+        F.floor(
+            F.col("inter").cast("double") / uni_sz.cast("double") * 1000000.0
+            + 0.5
+        ).cast("double")
+        / 1000000.0
+    )
+    return j.select(
+        "doc_id", "sh_o", "sh_s", "inter",
+        uni_sz.cast("long").alias("uni"),
+        jacc.alias("jaccard"),
+    )
+
