@@ -1033,3 +1033,88 @@ def stream_counter_agg_q(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_attr_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cu
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           (p.pu - c.cu)::BIGINT AS gap_us
+    FROM c JOIN p ON p.user_id = c.user_id
+       AND p.pu >= c.cu AND p.pu <= c.cu + 3600000000
+    """,
+)
+def stream_attr_join(spark, sf_dir):
+    """R32: watermarked STREAM-STREAM inner join — the one stateful
+    streaming shape the registry didn't exercise yet (no aggregation,
+    no applyInPandasWithState: Spark's symmetric-hash join buffers both
+    sides under the watermark and emits on match).  Click→purchase
+    attribution: every (click, purchase) pair of the same user with
+    the purchase inside the click's 1-hour window.  The join condition
+    is equality on user_id plus an integer-microsecond time range, so
+    the emitted pair set is EXACTLY the batch range join — deterministic
+    set semantics, all int64 (gap_us included), bit-exact oracle.
+
+    Scale shape: both streams shuffle once onto user_id; the range
+    condition bounds join state to 1 hour + watermark of per-user
+    events on each side, and the watermark ages buffered rows out —
+    state is O(rate × window), independent of stream length."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").cast("timestamp").alias("cts"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").cast("timestamp").alias("pts"),
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_attr_")
+    csrc, psrc = f"{root}/clicks", f"{root}/purchases"
+    sink, ckpt = f"{root}/sink", f"{root}/ckpt"
+    try:
+        clicks.write.parquet(csrc)
+        purch.write.parquet(psrc)
+        cs = (
+            spark.readStream.schema(
+                "cts timestamp, c_user long, click_id long"
+            ).option("maxFilesPerTrigger", 1).parquet(csrc)
+            .withWatermark("cts", "2 hours")
+        )
+        ps = (
+            spark.readStream.schema(
+                "pts timestamp, user_id long, purchase_id long"
+            ).option("maxFilesPerTrigger", 1).parquet(psrc)
+            .withWatermark("pts", "2 hours")
+        )
+        j = cs.join(
+            ps,
+            F.expr(
+                "c_user = user_id AND pts >= cts"
+                " AND pts <= cts + interval 1 hour"
+            ),
+            "inner",
+        ).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+        )
+        q = (
+            j.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return detach(spark, spark.read.parquet(sink))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

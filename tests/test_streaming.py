@@ -445,3 +445,30 @@ def test_stream_counter_agg_matches_python(spark, sf_dir):
     # counters on this corpus actually reset (values are not monotone),
     # so the reset correction is exercised, not vacuous
     assert out.n_resets.sum() > len(out)
+
+
+def test_stream_attr_join_equals_batch(spark, sf_dir):
+    """R32: the drained stream-stream join emits exactly the batch
+    range-join pair set (pandas recompute), each exactly once."""
+    import pandas as pd
+
+    from dtaidistance_spark.operators.streaming_q import stream_attr_join
+
+    out = stream_attr_join(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tu"] = ev.ts.astype("datetime64[us]").astype("int64")
+    c = ev[ev.event_type == "click"][["user_id", "event_id", "tu"]]
+    p = ev[ev.event_type == "purchase"][["user_id", "event_id", "tu"]]
+    m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+    m = m[(m.tu_p >= m.tu_c) & (m.tu_p <= m.tu_c + 3_600_000_000)]
+    want = {
+        (r.user_id, r.event_id_c, r.event_id_p, r.tu_p - r.tu_c)
+        for r in m.itertuples()
+    }
+    got = [
+        (r.user_id, r.click_id, r.purchase_id, r.gap_us)
+        for r in out.itertuples()
+    ]
+    assert len(got) == len(set(got)) == len(want)  # exactly once
+    assert set(got) == want
+    assert len(want) > 0  # non-vacuous at sf0.01
