@@ -1118,3 +1118,98 @@ def stream_attr_join(spark, sf_dir):
         return detach(spark, spark.read.parquet(sink))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_attr_join_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cu
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           (p.pu - c.cu)::BIGINT AS gap_us
+    FROM c LEFT JOIN p ON p.user_id = c.user_id
+       AND p.pu >= c.cu AND p.pu <= c.cu + 3600000000
+    """,
+)
+def stream_attr_join_outer(spark, sf_dir):
+    """R32b: LEFT-OUTER watermarked stream-stream join — the semantics
+    R32 doesn't touch: an unmatched left row (a click that converted to
+    no purchase within its hour) can only be emitted once the watermark
+    PROVES no future match exists, i.e. on state eviction.  Because the
+    global watermark is the MIN across sources, far-future closer rows
+    are appended to BOTH streams before the second drain; the flushed
+    output then equals the batch LEFT range join exactly — nulls
+    included.  Same state bound as R32."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").cast("timestamp").alias("cts"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").cast("timestamp").alias("pts"),
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_attro_")
+    csrc, psrc = f"{root}/clicks", f"{root}/purchases"
+    sink, ckpt = f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        cs = (
+            spark.readStream.schema(
+                "cts timestamp, c_user long, click_id long"
+            ).option("maxFilesPerTrigger", 1).parquet(csrc)
+            .withWatermark("cts", "2 hours")
+        )
+        ps = (
+            spark.readStream.schema(
+                "pts timestamp, user_id long, purchase_id long"
+            ).option("maxFilesPerTrigger", 1).parquet(psrc)
+            .withWatermark("pts", "2 hours")
+        )
+        j = cs.join(
+            ps,
+            F.expr(
+                "c_user = user_id AND pts >= cts"
+                " AND pts <= cts + interval 1 hour"
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+        )
+        q = (
+            j.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        # 4 files/side keeps multiple micro-batches (incremental-join
+        # coverage) without dozens of 1-file triggers
+        clicks.coalesce(4).write.parquet(csrc)
+        purch.coalesce(4).write.parquet(psrc)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS cts,"
+            " CAST(-1 AS LONG) AS c_user, CAST(-1 AS LONG) AS click_id"
+        ).write.mode("append").parquet(csrc)
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS pts,"
+            " CAST(-1 AS LONG) AS user_id, CAST(-1 AS LONG) AS purchase_id"
+        ).write.mode("append").parquet(psrc)
+        drain()
+        out = spark.read.parquet(sink).where(F.col("click_id") >= 0)
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -472,3 +472,36 @@ def test_stream_attr_join_equals_batch(spark, sf_dir):
     assert len(got) == len(set(got)) == len(want)  # exactly once
     assert set(got) == want
     assert len(want) > 0  # non-vacuous at sf0.01
+
+
+def test_stream_attr_join_outer_nulls_on_eviction(spark, sf_dir):
+    """R32b: unmatched clicks emit exactly once with null purchase
+    after watermark eviction; matched rows equal the inner join."""
+    import pandas as pd
+
+    from dtaidistance_spark.operators.streaming_q import (
+        stream_attr_join_outer,
+    )
+
+    out = stream_attr_join_outer(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tu"] = ev.ts.astype("datetime64[us]").astype("int64")
+    c = ev[ev.event_type == "click"][["user_id", "event_id", "tu"]]
+    p = ev[ev.event_type == "purchase"][["user_id", "event_id", "tu"]]
+    m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+    m = m[(m.tu_p >= m.tu_c) & (m.tu_p <= m.tu_c + 3_600_000_000)]
+    matched_clicks = set(m.event_id_c)
+    want_rows = len(m) + (len(c) - len(matched_clicks))
+    assert len(out) == want_rows
+    nulls = out[out.purchase_id.isna()]
+    assert set(nulls.click_id) == set(c.event_id) - matched_clicks
+    assert nulls.gap_us.isna().all()
+    got_matched = {
+        (r.user_id, r.click_id, int(r.purchase_id), int(r.gap_us))
+        for r in out[out.purchase_id.notna()].itertuples()
+    }
+    want_matched = {
+        (r.user_id, r.event_id_c, r.event_id_p, r.tu_p - r.tu_c)
+        for r in m.itertuples()
+    }
+    assert got_matched == want_matched
