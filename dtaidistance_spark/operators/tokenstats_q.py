@@ -804,3 +804,100 @@ def ngram_novelty(spark, sf_dir):
         "novel_types",
         frac.alias("novel_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T49 — vocabulary-pruning coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+_PRUNE_KS = (256, 1024, 4096, 16384)
+
+
+@register(
+    "vocab_prune_coverage",
+    oracle=synth_sql(_N)
+    + f"""
+    , ex AS (SELECT source, unnest(tokens) AS tok FROM synth),
+    ct AS (
+      SELECT source, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT source, tok, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, tok) AS rnk
+      FROM ct
+    ),
+    tot AS (
+      SELECT source, sum(cnt)::BIGINT AS total_pos,
+             count(*)::BIGINT AS total_types
+      FROM ct GROUP BY 1
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _PRUNE_KS)}])::BIGINT
+             AS k),
+    kept AS (
+      SELECT rk.source, ks.k,
+             sum(CASE WHEN rnk <= ks.k THEN cnt ELSE 0 END)::BIGINT
+               AS kept_pos,
+             sum(CASE WHEN rnk <= ks.k THEN 1 ELSE 0 END)::BIGINT
+               AS kept_types
+      FROM rk CROSS JOIN ks GROUP BY 1, 2
+    )
+    SELECT kept.source, kept.k, tot.total_pos, tot.total_types,
+           kept.kept_pos, kept.kept_types,
+           (tot.total_pos - kept.kept_pos)::BIGINT AS oov_pos,
+           CAST(floor(CAST(kept.kept_pos AS DOUBLE)
+                / CAST(tot.total_pos AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS coverage
+    FROM kept JOIN tot USING (source)
+    """,
+)
+def vocab_prune_coverage(spark, sf_dir):
+    """T49: the tokenizer-sizing curve — per source and candidate vocab
+    size K ∈ {256, 1k, 4k, 16k}, what fraction of token POSITIONS the
+    top-K types (by count, ties to the smaller token id) cover, and
+    how many positions fall out-of-vocabulary.  This is the number a
+    vocab-truncation / UNK-threshold decision reads, and it is exact:
+    counts, ranks, kept/oov positions all int64; the one coverage
+    float is floor-1e6 on the shared tree.  Plan: one map-side-combined
+    (source, token) count shuffle reduces the corpus; the rank window
+    is PARTITIONED over the vocab-sized table (T42's shape), and the
+    K-grid cross join fans each vocab row onto 4 grid points before a
+    tiny reduce — corpus size appears only in the first exchange."""
+    ex = synth.sequences_df(spark, _N).select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    ct = ex.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    rk = ct.withColumn("rnk", F.row_number().over(w))
+    tot = ct.groupBy("source").agg(
+        F.sum("cnt").alias("total_pos"),
+        F.count(F.lit(1)).alias("total_types"),
+    )
+    ks = spark.range(0, len(_PRUNE_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _PRUNE_KS]), (F.col("id") + 1).cast("int")
+        ).cast("long").alias("k")
+    )
+    kept = rk.crossJoin(F.broadcast(ks)).groupBy("source", "k").agg(
+        F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(0))
+        .alias("kept_pos"),
+        F.sum(F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+        .alias("kept_types"),
+    )
+    cov = (
+        F.floor(
+            F.col("kept_pos").cast("double")
+            / F.col("total_pos").cast("double")
+            * 1000000.0
+            + 0.5
+        ).cast("double")
+        / 1000000.0
+    )
+    return kept.join(tot, "source").select(
+        "source", "k", "total_pos", "total_types", "kept_pos", "kept_types",
+        (F.col("total_pos") - F.col("kept_pos")).alias("oov_pos"),
+        cov.alias("coverage"),
+    )

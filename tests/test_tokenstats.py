@@ -269,3 +269,38 @@ def test_ngram_novelty_matches_set_recompute(spark, sf_dir, loc):
     twin = out[out.index.str.endswith("~s")]
     assert (orig.novel_frac == 1.0).all()
     assert (twin.novel_frac < 0.2).all()
+
+
+def test_vocab_prune_coverage_matches_counter(spark, sf_dir, loc):
+    """T49: coverage curve equals a Counter-based recompute."""
+    import math
+    from collections import Counter
+
+    from dtaidistance_spark.operators.tokenstats_q import (
+        _PRUNE_KS,
+        vocab_prune_coverage,
+    )
+
+    out = vocab_prune_coverage(spark, sf_dir).toPandas().set_index(
+        ["source", "k"]
+    )
+    by_src = {}
+    for row in loc.itertuples():
+        by_src.setdefault(row.source, Counter()).update(row.tokens.tolist())
+    assert len(out) == len(by_src) * len(_PRUNE_KS)
+    for src, ctr in by_src.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(ctr.values())
+        for K in _PRUNE_KS:
+            kept = sum(c for _, c in ranked[:K])
+            got = out.loc[(src, K)]
+            assert got.total_pos == total
+            assert got.total_types == len(ctr)
+            assert got.kept_pos == kept
+            assert got.kept_types == min(K, len(ctr))
+            assert got.oov_pos == total - kept
+            assert got.coverage == math.floor(kept / total * 1e6 + 0.5) / 1e6
+    # monotone in K, and the largest K covers (nearly) everything
+    for src in by_src:
+        cov = [out.loc[(src, K)].coverage for K in _PRUNE_KS]
+        assert cov == sorted(cov)
