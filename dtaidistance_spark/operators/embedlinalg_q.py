@@ -201,3 +201,124 @@ def pca_power_topcomp(spark, sf_dir):
             F.round(F.lit(lam / tot_var), 6).alias("explained_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E6 — ZCA whitening + Mahalanobis outlier scoring
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-9
+
+
+def _whitener(n, stats):
+    """ZCA whitening matrix W = V diag(1/sqrt(lam+eps)) V^T from the
+    full symmetric eigendecomposition of the 64x64 covariance (driver-
+    side, microseconds); Mahalanobis^2(x) = ||W (x - mean)||^2."""
+    s1 = np.array(stats[:_D])
+    s2 = np.array(stats[_D:]).reshape(_D, _D)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    lam, V = np.linalg.eigh(cov)
+    W = (V * (1.0 / np.sqrt(lam + _EPS))) @ V.T
+    return mean, cov, W
+
+
+@register("embed_mahalanobis")
+def embed_mahalanobis(spark, sf_dir):
+    """E6: Mahalanobis outlier scoring of the embedding cloud — the
+    covariance-aware distance an embedding-curation pipeline uses
+    where plain L2 is blind to correlated axes.  Same architecture as
+    E5b: the [n | Σe | Σee^T] sufficient statistics (the ORACLED
+    ``embed_gram_check`` values) reduce in one Arrow/BLAS pass, the
+    driver eigensolves the 64×64 covariance once and broadcasts the
+    ZCA whitener W = V·diag(1/√(λ+ε))·Vᵀ, and every vector's
+    maha² = ||W(x−μ)||² is a numpy matmul per Arrow batch — the
+    100 TB shape: 4 KB of model crosses the wire, never a row.
+    Rows-only (eigensolve ≠ ANSI SQL); numpy-gated in pytest, and the
+    whitening claim itself is verified in-engine by
+    ``embed_whiten_identity_check``."""
+    row = _suffstats_df(spark, sf_dir).first()
+    mean, cov, W = _whitener(row["n"], row["stats"])
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    bmean = spark.sparkContext.broadcast(mean)
+    bW = spark.sparkContext.broadcast(W)
+
+    def score(batches):
+        for b in batches:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            Z = (X - bmean.value) @ bW.value.T
+            m2 = (Z * Z).sum(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "label": b["label"],
+                    "maha2": np.round(m2, 6),
+                }
+            )
+
+    out = emb.mapInPandas(
+        score, schema="vec_id long, label int, maha2 double"
+    )
+    # chi²(64) has mean 64: flag > 64 + 4·sqrt(2·64) ≈ 109.3
+    return out.withColumn(
+        "is_outlier", F.col("maha2") > F.lit(64.0 + 4.0 * (2.0 * 64.0) ** 0.5)
+    )
+
+
+@register("embed_whiten_identity_check")
+def embed_whiten_identity_check(spark, sf_dir):
+    """E6-check: the whitening CONTRACT verified in-engine — running
+    the SAME distributed BLAS sufficient-statistics reduce over the
+    whitened vectors must give a covariance equal to the identity
+    (up to the ε regularizer).  One summary row: max |diag − 1|,
+    max |off-diag|, and n — if the whitener were wrong (bad eigh, bad
+    broadcast, wrong mean), these deviations would be O(1), not 1e-9.
+    Rows-only by nature; the INPUT statistics are the oracled
+    ``embed_gram_check`` values."""
+    row = _suffstats_df(spark, sf_dir).first()
+    mean, cov, W = _whitener(row["n"], row["stats"])
+    emb = T(spark, sf_dir, "embeddings").select("embedding")
+    bmean = spark.sparkContext.broadcast(mean)
+    bW = spark.sparkContext.broadcast(W)
+
+    def white_stats(batches):
+        for b in batches:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            Z = (X - bmean.value) @ bW.value.T
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(Z))],
+                    "stats": [
+                        np.concatenate([Z.sum(0), (Z.T @ Z).ravel()])
+                    ],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        white_stats, schema="n double, stats array<double>"
+    )
+    tot = parts.agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.collect_list("stats"),
+            F.expr(f"array_repeat(CAST(0 AS DOUBLE), {_D} + {_D * _D})"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("stats"),
+    ).first()
+    n = tot["n"]
+    s1 = np.array(tot["stats"][:_D])
+    s2 = np.array(tot["stats"][_D:]).reshape(_D, _D)
+    zmean = s1 / n
+    zcov = s2 / n - np.outer(zmean, zmean)
+    dev = zcov - np.eye(_D)
+    off = dev - np.diag(np.diag(dev))
+    return spark.createDataFrame(
+        [(
+            int(n),
+            float(np.abs(np.diag(dev)).max()),
+            float(np.abs(off).max()),
+            float(np.abs(zmean).max()),
+        )],
+        "n long, max_diag_dev double, max_offdiag_dev double,"
+        " max_mean_dev double",
+    )

@@ -67,3 +67,40 @@ def test_pca_scores_and_energy(spark, sf_dir, X):
     assert (res.mean() + scores.var()) == pytest.approx(
         np.trace(cov) * 1.0, rel=1e-6
     )
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir, X):
+    """E6: maha² recompute via numpy's solve on the exact covariance;
+    the whitener route and the solve route must agree."""
+    from dtaidistance_spark.operators.embedlinalg_q import (
+        _EPS,
+        embed_mahalanobis,
+    )
+
+    M, emb = X
+    out = embed_mahalanobis(spark, sf_dir).toPandas().set_index("vec_id")
+    mean = M.mean(0)
+    cov = np.cov(M.T, bias=True) + _EPS * np.eye(_D)
+    inv = np.linalg.inv(cov)
+    C = M - mean
+    want = np.round((C @ inv * C).sum(1), 6)
+    got = out.loc[emb.vec_id].maha2.to_numpy()
+    assert np.allclose(got, want, atol=2e-6)
+    assert (out.loc[emb.vec_id].label.to_numpy() == emb.label.to_numpy()).all()
+    thr = 64.0 + 4.0 * (2.0 * 64.0) ** 0.5
+    assert (out.is_outlier == (out.maha2 > thr)).all()
+    # maha² under the true model averages ~d
+    assert 40 < out.maha2.mean() < 90
+
+
+def test_whiten_identity_check_is_tight(spark, sf_dir):
+    """E6-check: whitened covariance == identity to fp precision."""
+    from dtaidistance_spark.operators.embedlinalg_q import (
+        embed_whiten_identity_check,
+    )
+
+    row = embed_whiten_identity_check(spark, sf_dir).toPandas().iloc[0]
+    assert row.n == 500
+    assert row.max_diag_dev < 1e-6
+    assert row.max_offdiag_dev < 1e-6
+    assert row.max_mean_dev < 1e-9
