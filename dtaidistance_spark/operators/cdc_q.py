@@ -431,3 +431,119 @@ def cdc_dedup_stats(spark, sf_dir):
         (F.floor(saved / total * 10000.0 + 0.5).cast("double") / 10000.0)
         .alias("saved_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T50 — chunk-store provenance: net-new vs reused tokens per doc
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_provenance",
+    oracle=synth_sql(_N)
+    + _UNI_DUCK
+    + f"""
+    , ch AS (
+      SELECT doc_id, variant,
+             CASE WHEN variant = 'o'
+                  THEN CAST(substr(doc_id, 4) AS BIGINT)
+                  ELSE CAST(substr(doc_id, 4) AS BIGINT) + {_N} END AS i,
+             {_CHUNKS_DUCK} AS chunks, nt
+      FROM ub
+    ),
+    inst AS (
+      SELECT doc_id, variant, i, q.cmd5 AS cmd5, q.clen::BIGINT AS clen
+      FROM ch, unnest(chunks) AS t(q)
+    ),
+    fo AS (SELECT cmd5, min(i) AS first_i FROM inst GROUP BY 1),
+    pj AS (
+      SELECT inst.doc_id, inst.variant, inst.i, inst.clen,
+             (fo.first_i = inst.i) AS is_first_doc, inst.cmd5
+      FROM inst JOIN fo USING (cmd5)
+    ),
+    per AS (
+      SELECT doc_id, variant,
+             sum(clen)::BIGINT AS total_tokens,
+             sum(CASE WHEN is_first_doc THEN 0 ELSE clen END)::BIGINT
+               AS reused_tokens,
+             count(*)::BIGINT AS n_chunks
+      FROM pj GROUP BY 1, 2
+    ),
+    store AS (
+      SELECT doc_id, variant, sum(clen)::BIGINT AS new_store_tokens
+      FROM (
+        SELECT DISTINCT doc_id, variant, i, cmd5, clen
+        FROM pj WHERE is_first_doc
+      ) GROUP BY 1, 2
+    )
+    SELECT per.doc_id, per.variant, per.total_tokens, per.n_chunks,
+           per.reused_tokens,
+           coalesce(store.new_store_tokens, 0)::BIGINT AS new_store_tokens,
+           CAST(floor(CAST(per.reused_tokens AS DOUBLE)
+                / CAST(per.total_tokens AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS frac_reused
+    FROM per LEFT JOIN store USING (doc_id, variant)
+    """,
+)
+def cdc_provenance(spark, sf_dir):
+    """T50: dedup-aware storage accounting — per doc (in deterministic
+    stream order: originals first, twins at index i + N), how many of
+    its tokens are REUSED from chunks first seen in an earlier doc vs
+    how many NET-NEW tokens it adds to a content-addressed chunk store
+    (distinct first-occurring chunks, each counted once).  This is the
+    per-document bill a dedup-at-ingest pipeline reads: originals pay
+    full price, prefix-edited twins pay only their edit-touched chunks.
+    Convention (same as T47): a chunk is 'new' for every instance in
+    its FIRST doc, 'reused' elsewhere.  All int64 + one floor-1e6
+    fraction.  Plan: scan-side chunking, one map-side-combined chunk
+    min-reduce, a chunk-keyed join (the exact-dedup shuffle shape),
+    and a per-doc reduce."""
+    ch = _universe(spark).select(
+        "doc_id",
+        "variant",
+        F.expr(
+            f"CASE WHEN variant = 'o' THEN CAST(substr(doc_id, 4) AS BIGINT)"
+            f" ELSE CAST(substr(doc_id, 4) AS BIGINT) + {_N} END"
+        ).alias("i"),
+        F.explode(F.expr(_CHUNKS_SPARK)).alias("q"),
+    ).select(
+        "doc_id", "variant", "i",
+        F.col("q.cmd5").alias("cmd5"),
+        F.col("q.clen").cast("long").alias("clen"),
+    ).persist()
+    fo = ch.groupBy("cmd5").agg(F.min("i").alias("first_i"))
+    pj = ch.join(fo, "cmd5").select(
+        "doc_id", "variant", "i", "clen", "cmd5",
+        (F.col("first_i") == F.col("i")).alias("is_first_doc"),
+    )
+    per = pj.groupBy("doc_id", "variant").agg(
+        F.sum("clen").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("is_first_doc"), 0).otherwise(F.col("clen"))
+        ).alias("reused_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    store = (
+        pj.where(F.col("is_first_doc"))
+        .select("doc_id", "variant", "i", "cmd5", "clen")
+        .distinct()
+        .groupBy("doc_id", "variant")
+        .agg(F.sum("clen").alias("new_store_tokens"))
+    )
+    frac = (
+        F.floor(
+            F.col("reused_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+            * 1000000.0
+            + 0.5
+        ).cast("double")
+        / 1000000.0
+    )
+    return per.join(store, ["doc_id", "variant"], "left").select(
+        "doc_id", "variant", "total_tokens", "n_chunks", "reused_tokens",
+        F.coalesce("new_store_tokens", F.lit(0)).cast("long").alias(
+            "new_store_tokens"
+        ),
+        frac.alias("frac_reused"),
+    )

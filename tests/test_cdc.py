@@ -133,3 +133,42 @@ def test_dedup_stats_matches_exact_chunk_store(spark, sf_dir, loc):
     # recovers nearly all of it, fixed-width recovers ~none.
     assert out.loc["cdc"].saved_ratio > 0.4
     assert out.loc["fix"].saved_ratio < 0.01
+
+
+def test_provenance_matches_chunk_store_replay(spark, sf_dir, loc):
+    """T50: per-doc reused/net-new token accounting equals a Python
+    replay of the content-addressed store in stream order."""
+    import math
+
+    from dtaidistance_spark.operators.cdc_q import cdc_provenance
+
+    out = cdc_provenance(spark, sf_dir).toPandas().set_index(
+        ["doc_id", "variant"]
+    )
+    stream = [(row.doc_id, "o", row.tokens) for row in loc.itertuples()] + [
+        (row.doc_id, "s", _twin(row.doc_id, row.tokens))
+        for row in loc.itertuples()
+    ]
+    first = {}
+    for idx, (doc_id, var, toks) in enumerate(stream):
+        for m, _l in _cdc_chunks(toks):
+            first.setdefault(m, idx)
+    for idx, (doc_id, var, toks) in enumerate(stream):
+        ch = _cdc_chunks(toks)
+        total = sum(l for _, l in ch)
+        reused = sum(l for m, l in ch if first[m] != idx)
+        new_store = sum(
+            l for m, l in {(m, l) for m, l in ch if first[m] == idx}
+        )
+        got = out.loc[(doc_id, var)]
+        assert got.total_tokens == total
+        assert got.n_chunks == len(ch)
+        assert got.reused_tokens == reused, (doc_id, var)
+        assert got.new_store_tokens == new_store, (doc_id, var)
+        assert got.frac_reused == math.floor(reused / total * 1e6 + 0.5) / 1e6
+    # the accounting tells the dedup story: originals pay ~full price,
+    # twins pay only their edit-touched chunks
+    orig = out.xs("o", level="variant")
+    twin = out.xs("s", level="variant")
+    assert orig.frac_reused.median() == 0.0
+    assert twin.frac_reused.median() > 0.8
