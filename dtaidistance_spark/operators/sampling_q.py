@@ -425,3 +425,83 @@ def bloom_dedup_check(spark, sf_dir):
         .cast("long")
         .alias("n_new_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T51 — deterministic training order: hash-shuffle + proportional
+# source interleave (the dataloader's "shuffle and mix" as rank algebra)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_order_mix",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS hkey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, hkey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hkey, doc_id) AS rnk
+      FROM h
+    ),
+    ns AS (SELECT source, count(*)::BIGINT AS n_s FROM h GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n FROM h)
+    SELECT r.doc_id, r.source, r.rnk::BIGINT AS rank_in_source, ns.n_s,
+           ((2 * r.rnk - 1) * tot.n // (2 * ns.n_s))::BIGINT AS mix_key
+    FROM r JOIN ns USING (source), tot
+    """,
+)
+def training_order_mix(spark, sf_dir):
+    """T51: the dataloader's "globally shuffle, keep sources evenly
+    interleaved" as pure rank algebra — deterministic, idempotent, and
+    bit-exact, with NO rand() (the module's md5-decision contract).
+
+    Each doc gets a per-source shuffle rank r from the portable md5
+    hash (ties to doc_id), and its global position key is
+
+        mix_key = (2r − 1) · N div (2 · n_s)
+
+    — the r-th doc of a source lands at its source's r-th proportional
+    slot, so ANY prefix of the (mix_key, source, rank) order contains
+    each source within ±1 slot of its corpus share: heterogeneous-
+    source curricula stay well-mixed at every step, which a plain
+    global hash sort does NOT guarantee for skewed sources (an 80%
+    source can open a plain shuffle with long same-source runs; here
+    runs are bounded by the proportion).  All int64.  Plan: one
+    (source)-partitioned rank window + two broadcast-sized aggregates;
+    the consumer sorts by the emitted key — a sort, not a window, so
+    nothing here is a partition-less WindowExec."""
+    from pyspark.sql import Window
+
+    h = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    r = h.withColumn("rnk", F.row_number().over(w))
+    ns = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = h.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rnk").cast("long").alias("rank_in_source"),
+            "n_s",
+            F.expr("(2 * rnk - 1) * n DIV (2 * n_s)")
+            .cast("long")
+            .alias("mix_key"),
+        )
+    )

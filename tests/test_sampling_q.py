@@ -138,3 +138,47 @@ def test_bloom_bitmap_matches_python_twin(spark, toy_docs, tmp_path):
         for i in range(SQ._BLOOM_K):
             want[(h1 + i * h2) % SQ._BLOOM_M] = True
     assert (bits == want).all()
+
+
+def test_training_order_mix_interleaves_proportionally(spark, sf_dir):
+    """T51: ranks and mix keys recompute from hashlib; every prefix of
+    the emitted order holds each source within ±2 of its share."""
+    import hashlib
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.sampling_q import training_order_mix
+
+    out = training_order_mix(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    docs["hkey"] = [
+        int(hashlib.md5(f"mix|{d}".encode()).hexdigest()[:15], 16)
+        for d in docs.doc_id
+    ]
+    N = len(docs)
+    want = {}
+    for src, grp in docs.groupby("source"):
+        g = grp.sort_values(["hkey", "doc_id"]).reset_index()
+        n_s = len(g)
+        for r, row in enumerate(g.itertuples(), start=1):
+            want[row.doc_id] = (src, r, n_s, (2 * r - 1) * N // (2 * n_s))
+    got = out.set_index("doc_id")
+    assert len(got) == N
+    for doc_id, (src, r, n_s, key) in want.items():
+        row = got.loc[doc_id]
+        assert (row.source, row.rank_in_source, row.n_s, row.mix_key) == (
+            src, r, n_s, key,
+        ), doc_id
+    # the interleave guarantee: in ANY prefix of the consumption order,
+    # each source's count stays within ±2 of proportional
+    ordered = out.sort_values(
+        ["mix_key", "source", "rank_in_source"]
+    ).reset_index()
+    counts = {s: 0 for s in out.source.unique()}
+    shares = out.groupby("source").size() / N
+    for p, row in enumerate(ordered.itertuples(), start=1):
+        counts[row.source] += 1
+        for s, c in counts.items():
+            assert abs(c - p * shares[s]) <= 2, (p, s)
