@@ -55,6 +55,9 @@ def _count(df) -> int:
 
 
 def main() -> None:
+    from pyspark.sql.functions import explode as F_explode
+    from pyspark.sql.functions import expr as F_expr
+
     from dtaidistance_spark import synth
     from dtaidistance_spark.operators import rollup as R
     from dtaidistance_spark.session import get_spark
@@ -213,6 +216,28 @@ def main() -> None:
         bs_sec = dt if bs_sec is None else min(bs_sec, dt)
     timings["binseg_bench"] = round(bs_sec, 3)
 
+    # --- CDC chunk-store dedup throughput (T44-T46 shape) ----------------
+    # landmark-hash boundary scan + per-chunk md5 + the (md5, len)
+    # groupBy — the full dedup-at-ingest path over every bench token
+    from dtaidistance_spark.operators.cdc_q import _BPOS_SPARK, _CHUNKS_SPARK
+
+    cdc_in = seq.selectExpr(
+        "doc_id", "tokens AS toks", "n_tok AS nt"
+    ).withColumn("bpos", F_expr(_BPOS_SPARK))
+    cdc_store = (
+        cdc_in.select(F_explode(F_expr(_CHUNKS_SPARK)).alias("q"))
+        .groupBy("q.cmd5")
+        .agg({"q.clen": "min"})
+    )
+    cdc_in.limit(32).select(F_expr(_CHUNKS_SPARK)).count()  # warm codegen
+    cdc_sec, cdc_chunks = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cdc_chunks = cdc_store.count()
+        dt = time.perf_counter() - t0
+        cdc_sec = dt if cdc_sec is None else min(cdc_sec, dt)
+    timings["cdc_chunk_bench"] = round(cdc_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -289,6 +314,8 @@ def main() -> None:
         "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
         "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
         "binseg_points_per_sec": round(stats["n_points"] / bs_sec, 1),
+        "cdc_distinct_chunks": int(cdc_chunks),
+        "cdc_tokens_per_sec": round(stats["n_points"] / cdc_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
