@@ -43,6 +43,7 @@ def _registry():
         text_q,
         tokenstats_q,
         tsanalytics_q,
+        tscomplexity_q,
         tshyper_q,
         tsrobust_q,
         tswin_q,
