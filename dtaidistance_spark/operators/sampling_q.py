@@ -505,3 +505,99 @@ def training_order_mix(spark, sf_dir):
             .alias("mix_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T52 — weighted reservoir sampling without replacement (Efraimidis-
+# Spirakis A-Res), deterministic md5 draws
+# ---------------------------------------------------------------------------
+
+_RES_N = 512
+_RES_K = 256
+# shared float tree: u in (0, 1] from the 52-bit md5 prefix (+1 so u>0),
+# key = -ln(u)/w  — smaller key = selected. 2^52 = 4503599627370496.
+_RES_KEY = (
+    "(-ln((CAST(h52 AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " / CAST(4503599627370496 AS DOUBLE)) / CAST(n_tok AS DOUBLE))"
+)
+_RES_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=None,  # set below (needs synth_sql; late import avoids a cycle)
+)
+def weighted_reservoir_sample(spark, sf_dir):
+    """T52: one-pass weight-proportional sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006 A-Res): every doc draws u from a
+    portable md5 prefix (52 bits, +1 so u>0), scores key = -ln(u)/w
+    with w = n_tok, and the k = 256 smallest keys ARE the sample —
+    heavier docs get stochastically smaller keys, and any prefix of
+    the key order is itself a valid weighted sample.
+
+    Determinism contract (the module's md5-decision rule): zero RNG —
+    the draw is a pure row-local projection, idempotent across task
+    retries and repartitioning, and re-derivable by the DuckDB oracle.
+    The only float is the key itself; engines' ln() agree to 1 ulp on
+    identical doubles, and with 512 keys spread over ~[1e-6, 0.2] a
+    1-ulp flip of the ORDER is beyond astronomically unlikely (gap
+    ~1e-4 vs 1e-17); the emitted key is floor-1e6.
+
+    Scale shape: map-side key projection + TakeOrderedAndProject
+    (bounded per-partition heap of k, k-row merge) — no full sort, no
+    unbounded state, 100 TB-safe; rank derived on the 256 survivors by
+    the qutil zero-Window re-rank."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.qutil import global_topk
+
+    docs = synth.sequences_df(spark, _RES_N).select("doc_id", "source", "n_tok")
+    keyed = docs.withColumn(
+        "h52",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ares|"), F.col("doc_id"))), 1, 13),
+            16,
+            10,
+        ).cast("long"),
+    ).withColumn("key_raw", F.expr(_RES_KEY))
+    top = global_topk(
+        keyed.select("doc_id", "source", "n_tok", "key_raw"),
+        [(F.col("key_raw"), False), (F.col("doc_id"), False)],
+        _RES_K,
+    )
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(_RES_F6.format(x="key_raw")).alias("key6"),
+    )
+
+
+def _res_oracle() -> str:
+    from dtaidistance_spark.operators.synth_q import synth_sql
+
+    return (
+        synth_sql(_RES_N)
+        + f"""
+    , keyed AS (
+      SELECT doc_id, source, n_tok,
+             ('0x' || substr(md5('ares|' || doc_id), 1, 13))::BIGINT AS h52
+      FROM synth
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tok, {_RES_KEY} AS key_raw FROM keyed
+    ),
+    top AS (
+      SELECT * FROM scored ORDER BY key_raw, doc_id LIMIT {_RES_K}
+    )
+    SELECT row_number() OVER (ORDER BY key_raw, doc_id) AS rank,
+           doc_id, source, n_tok,
+           {_RES_F6.format(x="key_raw")} AS key6
+    FROM top
+    """
+    )
+
+
+from dtaidistance_spark.operators.queries import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["weighted_reservoir_sample"] = _res_oracle()

@@ -182,3 +182,69 @@ def test_training_order_mix_interleaves_proportionally(spark, sf_dir):
         counts[row.source] += 1
         for s, c in counts.items():
             assert abs(c - p * shares[s]) <= 2, (p, s)
+
+
+# ---------------------------------------------------------------------------
+# T52 — weighted reservoir sample (A-Res)
+# ---------------------------------------------------------------------------
+
+
+def _ares_keys(loc, salt="ares|"):
+    import hashlib
+    import math
+
+    keys = {}
+    for row in loc.itertuples():
+        h = int(hashlib.md5((salt + row.doc_id).encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 4503599627370496.0
+        keys[row.doc_id] = -math.log(u) / float(row.n_tok)
+    return keys
+
+
+def test_weighted_reservoir_matches_recompute(spark, sf_dir):
+    import math
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.sampling_q import (
+        _RES_K,
+        _RES_N,
+        weighted_reservoir_sample,
+    )
+
+    loc = synth.sequences_local(_RES_N)
+    keys = _ares_keys(loc)
+    want = sorted(keys, key=lambda d: (keys[d], d))[:_RES_K]
+    out = (
+        weighted_reservoir_sample(spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == want
+    for _, r in out.iterrows():
+        assert r["key6"] == pytest.approx(
+            math.floor(keys[r["doc_id"]] * 1e6 + 0.5) / 1e6, abs=2e-6
+        )
+
+
+def test_weighted_reservoir_is_weight_proportional(spark, sf_dir):
+    """Formula-level distributional gate: across 64 salted replicas of
+    the SAME A-Res draw, the top-weight quartile of docs must be
+    included far more often than the bottom quartile (inclusion prob
+    rises with w), and every replica is a valid no-replacement sample."""
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.operators.sampling_q import _RES_K, _RES_N
+
+    loc = synth.sequences_local(_RES_N)
+    w = {row.doc_id: int(row.n_tok) for row in loc.itertuples()}
+    order = sorted(w, key=lambda d: w[d])
+    q = len(order) // 4
+    lo, hi = set(order[:q]), set(order[-q:])
+    lo_hits = hi_hits = 0
+    for r in range(64):
+        keys = _ares_keys(loc, salt=f"ares{r}|")
+        samp = sorted(keys, key=lambda d: (keys[d], d))[:_RES_K]
+        assert len(set(samp)) == _RES_K  # without replacement
+        lo_hits += len(lo & set(samp))
+        hi_hits += len(hi & set(samp))
+    assert hi_hits > 2 * lo_hits
