@@ -539,3 +539,72 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E7 — int8 scalar quantization (the vector-DB storage staple: 4x less
+# memory/IO than float32, SIMD-int8 distance kernels downstream). Train
+# stats are per-dimension (mn, mx) over the corpus; code
+# q = floor((x - mn) * 255 / (mx - mn) + 0.5) in [0, 255]; dequantize
+# xr = mn + q * (mx - mn) / 255. Everything is deterministic float
+# arithmetic on identical inputs — bit-portable across engines.
+# ---------------------------------------------------------------------------
+
+_SQ8_Q = (
+    "CASE WHEN {mx} > {mn} THEN CAST(floor((({x}) - {mn})"
+    " * CAST(255 AS DOUBLE) / ({mx} - {mn}) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_SQ8_XR = (
+    "CASE WHEN {mx} > {mn} THEN {mn} + CAST({q} AS DOUBLE)"
+    " * ({mx} - {mn}) / CAST(255 AS DOUBLE) ELSE {mn} END"
+)
+
+
+def sq8_dim_stats(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (i, n, mn, mx) training stats: posexplode +
+    ONE map-side-combined groupBy(i) — the shuffle carries 64 rows per
+    task regardless of corpus size."""
+    vals = emb.select(
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "x")
+    )
+    return vals.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+
+
+def sq8_reconstructed(emb: DataFrame, dim: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, reconstructed array<double>) after an int8 quantize →
+    dequantize round trip. The 64-entry stat arrays ride a broadcast
+    cross join (a few KB); codes and reconstruction are per-row HOFs
+    inside codegen — zero extra shuffles over the corpus."""
+    stats = sq8_dim_stats(emb, id_col, vec_col)
+    arrs = stats.agg(
+        F.sort_array(F.collect_list(F.struct("i", "mn", "mx"))).alias("_s")
+    ).select(
+        F.expr("transform(_s, s -> s.mn)").alias("_mns"),
+        F.expr("transform(_s, s -> s.mx)").alias("_mxs"),
+    )
+    q = _SQ8_Q.format(
+        x=f"CAST(element_at({vec_col}, j + 1) AS DOUBLE)",
+        mn="element_at(_mns, j + 1)",
+        mx="element_at(_mxs, j + 1)",
+    )
+    xr = _SQ8_XR.format(
+        q=q, mn="element_at(_mns, j + 1)", mx="element_at(_mxs, j + 1)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(arrs))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(sequence(0, {dim} - 1), j -> {xr})").alias(
+                vec_col
+            ),
+        )
+    )

@@ -234,3 +234,191 @@ def semdedup_check(spark, sf_dir):
         (F.sum(F.col("cluster").isNull().cast("int")) == 0).alias("all_assigned"),
         F.lit(n_viol == 0).alias("no_dup_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E7 — int8 scalar quantization (SQ8): train stats + reconstruction
+# error, asymmetric quantized search, and its measured recall — all
+# three fully DuckDB-oracled (the quantize/dequantize tree is shared
+# verbatim between engines, so reconstructed vectors are IDENTICAL
+# doubles on both sides).
+# ---------------------------------------------------------------------------
+
+from dtaidistance_spark.operators.ann import (  # noqa: E402
+    _SQ8_Q,
+    _SQ8_XR,
+    sq8_dim_stats,
+    sq8_reconstructed,
+)
+
+_SQ8_D = 64
+
+_SQ8_RECON_SQL = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    vals AS (
+        SELECT v.vec_id, t.i AS i, e[t.i + 1] AS x
+        FROM v, unnest(range({_SQ8_D})) AS t(i)
+    ),
+    stats AS (
+        SELECT i, count(*) AS n, min(x) AS mn, max(x) AS mx
+        FROM vals GROUP BY i
+    ),
+    arrs AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM stats
+    ),
+    recon AS (
+        SELECT vec_id, list_transform(range({_SQ8_D}), j -> {
+            _SQ8_XR.format(
+                q=_SQ8_Q.format(x="e[j + 1]", mn="mns[j + 1]", mx="mxs[j + 1]"),
+                mn="mns[j + 1]", mx="mxs[j + 1]",
+            )
+        }) AS e
+        FROM v, arrs
+    )
+"""
+
+_SQ8_RANKED_SQL = f"""
+    , scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN recon c ON q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, nn_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nn_id ASC) AS rank
+        FROM scored
+    )
+"""
+
+
+@register(
+    "embed_sq8_check",
+    oracle=_SQ8_RECON_SQL
+    + f"""
+    , err AS (
+        SELECT va.i,
+               {_SQ8_Q.format(x="va.x", mn="s.mn", mx="s.mx")} AS q,
+               (va.x - {_SQ8_XR.format(
+                   q=_SQ8_Q.format(x="va.x", mn="s.mn", mx="s.mx"),
+                   mn="s.mn", mx="s.mx")}) AS d
+        FROM vals va JOIN stats s USING (i)
+    )
+    SELECT e.i, s.n, s.mn, s.mx,
+           round(sum(e.d * e.d), 6) AS sse,
+           min(e.q) AS q_lo, max(e.q) AS q_hi
+    FROM err e JOIN stats s USING (i)
+    GROUP BY e.i, s.n, s.mn, s.mx
+    """,
+)
+def embed_sq8_check(spark, sf_dir):
+    """E7a: per-dimension SQ8 training stats (exact min/max — raw
+    doubles, no tolerance) plus the reconstruction SSE of the quantize →
+    dequantize round trip (round-6 under the float-sum precedent) and
+    the code range [q_lo, q_hi] ⊆ [0, 255] as int64. Plan: ONE
+    map-side-combined stats aggregate (64 rows/task), stats broadcast
+    back onto the exploded values, ONE more 64-row aggregate."""
+    emb = T(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "x")
+    )
+    stats = sq8_dim_stats(emb)
+    qx = _SQ8_Q.format(x="x", mn="mn", mx="mx")
+    d = f"(x - {_SQ8_XR.format(q=qx, mn='mn', mx='mx')})"
+    err = vals.join(F.broadcast(stats), "i")
+    return (
+        err.withColumn("q", F.expr(qx))
+        .withColumn("d", F.expr(d))
+        .groupBy("i", "n", "mn", "mx")
+        .agg(
+            F.round(F.sum(F.expr("d * d")), 6).alias("sse"),
+            F.min("q").alias("q_lo"),
+            F.max("q").alias("q_hi"),
+        )
+        .select("i", "n", "mn", "mx", "sse", "q_lo", "q_hi")
+    )
+
+
+@register(
+    "embed_sq8_topk",
+    oracle=_SQ8_RECON_SQL + _SQ8_RANKED_SQL
+    + """
+    SELECT query_id, nn_id, rank, round(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embed_sq8_topk(spark, sf_dir):
+    """E7b: asymmetric quantized search (the FAISS SQ8/ADC shape):
+    float queries scored against the int8-reconstructed corpus, exact
+    brute-force top-10. Reconstruction is a per-row HOF over a
+    broadcast 64-entry stat array — zero extra shuffles; the corpus in
+    a real deployment ships 64 BYTES/vector across the scan instead of
+    256."""
+    emb = T(spark, sf_dir, "embeddings")
+    recon = sq8_reconstructed(emb, _SQ8_D)
+    qs = emb.where(F.col("vec_id") < _NQ)
+    return A.brute_cosine_topk(recon, qs, k=10)
+
+
+@register(
+    "embed_sq8_recall_check",
+    oracle=_SQ8_RECON_SQL + _SQ8_RANKED_SQL
+    + f"""
+    , exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN v c ON q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, nn_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nn_id ASC) AS rank
+        FROM exact_scored
+    ),
+    hits AS (
+        SELECT e.query_id, count(*) AS h
+        FROM exact_ranked e
+        JOIN ranked a ON a.query_id = e.query_id AND a.nn_id = e.nn_id
+             AND a.rank <= 10
+        WHERE e.rank <= 10
+        GROUP BY e.query_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(coalesce(h, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+        FROM (SELECT DISTINCT query_id FROM exact_ranked) q
+        LEFT JOIN hits USING (query_id)
+    )
+    SELECT 'sq8' AS tier, round(avg(recall), 4) AS recall_at_k,
+           CAST(0.9 AS DOUBLE) AS floor,
+           avg(recall) >= CAST(0.9 AS DOUBLE) AS met
+    FROM per_q
+    """,
+)
+def embed_sq8_recall_check(spark, sf_dir):
+    """E7c: measured recall@10 of the SQ8 tier against the exact float
+    tier, fully oracled (both rankings are deterministic SQL). The 0.9
+    floor is deliberately high: on the near-uniform worst-case corpus
+    SQ8 loses far less recall than space-partitioning indexes because
+    it perturbs DISTANCES (~1e-2 relative) rather than pruning
+    candidates."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    approx = embed_sq8_topk(spark, sf_dir)
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    rec = A.recall_at_k(approx, exact, k=10)
+    return rec.select(
+        F.lit("sq8").alias("tier"),
+        F.col("recall_at_k"),
+        F.expr("CAST(0.9 AS DOUBLE)").alias("floor"),
+        (F.col("recall_at_k") >= F.expr("CAST(0.9 AS DOUBLE)")).alias("met"),
+    )

@@ -104,3 +104,37 @@ def test_whiten_identity_check_is_tight(spark, sf_dir):
     assert row.max_diag_dev < 1e-6
     assert row.max_offdiag_dev < 1e-6
     assert row.max_mean_dev < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# E7 — int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_stats_and_sse_match_numpy(spark, sf_dir, X):
+    from dtaidistance_spark.operators.ann_q import embed_sq8_check
+
+    out = embed_sq8_check(spark, sf_dir).toPandas().set_index("i").sort_index()
+    X = X[0]
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    q = np.floor((X - mn) * 255.0 / (mx - mn) + 0.5)
+    xr = mn + q * (mx - mn) / 255.0
+    sse = ((X - xr) ** 2).sum(axis=0)
+    assert len(out) == X.shape[1]
+    assert np.allclose(out["mn"].to_numpy(), mn, atol=0)
+    assert np.allclose(out["mx"].to_numpy(), mx, atol=0)
+    assert np.allclose(out["sse"].to_numpy(), sse, atol=2e-6)
+    assert (out["q_lo"] >= 0).all() and (out["q_hi"] <= 255).all()
+    assert (out["q_lo"] == 0).all() and (out["q_hi"] == 255).all()
+    # quantization grain: per-dim MSE must sit below (step^2)/4, i.e.
+    # every value lands within half a quantization step
+    step = (mx - mn) / 255.0
+    assert (out["sse"].to_numpy() / X.shape[0] <= step**2 / 4 + 1e-12).all()
+
+
+def test_sq8_recall_meets_floor(spark, sf_dir):
+    from dtaidistance_spark.operators.ann_q import embed_sq8_recall_check
+
+    row = embed_sq8_recall_check(spark, sf_dir).toPandas().iloc[0]
+    assert bool(row["met"]), row["recall_at_k"]
+    assert row["recall_at_k"] >= 0.9
