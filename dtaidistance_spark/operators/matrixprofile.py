@@ -332,3 +332,92 @@ def matrix_profile_znorm(
                 yield pd.concat(frames, ignore_index=True)
 
     return df.select(id_col, tokens_col).mapInPandas(gen, ZNORM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP7 — FLUSS semantic segmentation (Gharghabi et al., ICDM 2017): the
+# arc curve over the matrix-profile index. Every position's nearest
+# neighbor draws an arc (pos -> nn_pos); positions where FEW arcs cross
+# are semantic regime boundaries. CAC normalizes the arc count by the
+# idealized parabola 2*i*(q-i)/q of a structureless series and clamps
+# to [0, 1]; the edge zones (excl_factor * m) are pinned to 1.0 (the
+# stumpy/upstream convention) so trivial boundary minima never win.
+# ---------------------------------------------------------------------------
+
+
+def fluss_cac(a: np.ndarray, m: int, excl: int, zone: int):
+    """Arc counts + corrected arc curve for one series. Returns
+    ``(ac int64[q], cac float64[q])`` with cac floor-1e6 (the shared
+    cross-engine grid) or None when the profile is degenerate.
+
+    The float tree is written to match the SQL oracle verbatim:
+    ``least(1, ac / ((2*i) * (q-i) / q))`` then floor-1e6; edges exact
+    1.0."""
+    res = mp_self(np.asarray(a, dtype=np.int64), m, excl)
+    if res is None:
+        return None
+    d2, nn = res
+    q = d2.size
+    idx = np.arange(q, dtype=np.int64)
+    valid = nn >= 0
+    lo = np.minimum(idx[valid], nn[valid])
+    hi = np.maximum(idx[valid], nn[valid])
+    delta = np.zeros(q, dtype=np.int64)
+    np.add.at(delta, lo + 1, 1)  # arc covers (lo, hi) exclusive
+    np.add.at(delta, hi, -1)
+    ac = np.cumsum(delta)
+    ii = idx.astype(np.float64)
+    qq = float(q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = ac.astype(np.float64) / ((2.0 * ii) * (qq - ii) / qq)
+    cac = np.minimum(1.0, r)
+    cac[(idx < zone) | (idx > q - 1 - zone)] = 1.0
+    cac = np.floor(cac * 1e6 + 0.5) / 1e6
+    return ac, cac
+
+
+FLUSS_SCHEMA = "doc_id string, pos int, ac long, cac double"
+
+
+def fluss(
+    df: DataFrame,
+    m: int = 8,
+    excl: int | None = None,
+    excl_factor: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-series FLUSS arc curve as a DataFrame operator: one row per
+    subsequence position ``(doc_id, pos, ac, cac)``. Zero shuffles —
+    the profile, arc histogram, and CAC are all inside one mapInPandas
+    projection (same scale shape as the rest of the MP family)."""
+    exc = m // 2 if excl is None else excl
+    zone = excl_factor * m
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            pos: list[np.ndarray] = []
+            acs: list[np.ndarray] = []
+            cacs: list[np.ndarray] = []
+            for doc_id, toks in zip(pdf[id_col], pdf[tokens_col]):
+                res = fluss_cac(np.asarray(toks, dtype=np.int64), m, exc, zone)
+                if res is None:
+                    continue
+                ac, cac = res
+                ids.extend([doc_id] * ac.size)
+                pos.append(np.arange(ac.size, dtype=np.int32))
+                acs.append(ac)
+                cacs.append(cac)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "pos": np.concatenate(pos),
+                    "ac": np.concatenate(acs),
+                    "cac": np.concatenate(cacs),
+                }
+            )
+
+    return df.select(id_col, tokens_col).mapInPandas(gen, FLUSS_SCHEMA)

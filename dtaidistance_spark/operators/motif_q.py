@@ -441,3 +441,160 @@ def corpus_motifs(spark, sf_dir):
         10,
         rank_col="grank",
     ).select("grank", "doc_id", "pos", "nn_pos", "d2")
+
+
+# ---------------------------------------------------------------------------
+# MP7 — FLUSS regime detection over SPLICED series: a regime-switching
+# corpus is constructed in-engine (first 128 tokens of doc 2p followed
+# by first 128 of doc 2p+1 — a true generator change at position 128),
+# and FLUSS must rediscover the splice. Fully DuckDB-oracled: the
+# profile via the exact integer brute twin, arc counts via the
+# histogram + partitioned-window prefix sum (#(lo < i) − #(hi ≤ i)),
+# CAC via the shared verbatim float tree.
+# ---------------------------------------------------------------------------
+
+_NFB = 64  # base docs → ~30 spliced pairs (both halves need n_tok ≥ 128)
+_HALF = 128
+_FQ = 2 * _HALF - _M + 1  # 249 positions
+_ZONE = 5 * _M  # stumpy's excl_factor=5 edge zone
+
+_FLUSS_CAC_SQL = f"""
+       CASE WHEN pos < {_ZONE} OR pos > {_FQ} - 1 - {_ZONE}
+            THEN CAST(1 AS DOUBLE)
+            ELSE CAST(floor(least(CAST(1 AS DOUBLE),
+                   CAST(ac AS DOUBLE) /
+                     (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
+                      * CAST({_FQ} - pos AS DOUBLE) / CAST({_FQ} AS DOUBLE)))
+                 * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)
+       END"""
+
+_FLUSS_BRUTE = synth_sql(_NFB) + f"""
+, fbase AS (
+  SELECT doc_id, tokens, CAST(substr(doc_id, 4, 12) AS BIGINT) AS i
+  FROM synth WHERE n_tok >= {_HALF}
+),
+fev AS (
+  SELECT i // 2 AS p, doc_id AS pair_id, tokens[1:{_HALF}] AS tl
+  FROM fbase WHERE i % 2 = 0
+),
+fod AS (
+  SELECT i // 2 AS p, tokens[1:{_HALF}] AS tr
+  FROM fbase WHERE i % 2 = 1
+),
+sp AS (
+  SELECT pair_id, list_concat(tl, tr) AS t FROM fev JOIN fod USING (p)
+),
+fwinx AS (SELECT pair_id, unnest(range({_FQ})) AS i, t FROM sp),
+fwins AS (
+  SELECT pair_id, i, list_slice(t, i + 1, i + {_M}) AS w FROM fwinx
+),
+fpd2 AS (
+  SELECT a.pair_id, a.i AS pos, b.i AS j,
+         list_sum(list_transform(range({_M}),
+           k -> (a.w[k + 1] - b.w[k + 1]) * (a.w[k + 1] - b.w[k + 1])
+         )) AS d2
+  FROM fwins a JOIN fwins b
+    ON a.pair_id = b.pair_id AND abs(a.i - b.i) > {_EXCL}
+),
+fprof AS (
+  SELECT pair_id, pos, j,
+         row_number() OVER (PARTITION BY pair_id, pos ORDER BY d2, j) AS rn
+  FROM fpd2
+),
+arcs AS (
+  SELECT pair_id, least(pos, j) AS lo, greatest(pos, j) AS hi
+  FROM fprof WHERE rn = 1
+),
+positions AS (SELECT pair_id, unnest(range({_FQ})) AS pos FROM sp),
+lo_h AS (SELECT pair_id, lo AS v, count(*) AS c FROM arcs GROUP BY 1, 2),
+hi_h AS (SELECT pair_id, hi AS v, count(*) AS c FROM arcs GROUP BY 1, 2),
+joined AS (
+  SELECT p.pair_id, p.pos,
+         coalesce(l.c, 0) AS lc, coalesce(h.c, 0) AS hc
+  FROM positions p
+  LEFT JOIN lo_h l ON l.pair_id = p.pair_id AND l.v = p.pos
+  LEFT JOIN hi_h h ON h.pair_id = p.pair_id AND h.v = p.pos
+),
+acs AS (
+  SELECT pair_id, pos,
+         CAST(sum(lc) OVER w - lc - sum(hc) OVER w AS BIGINT) AS ac
+  FROM joined
+  WINDOW w AS (PARTITION BY pair_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cacs AS (
+  SELECT pair_id, pos, ac, {_FLUSS_CAC_SQL} AS cac FROM acs
+)
+"""
+
+
+def _spliced_df(spark):
+    base = synth.sequences_df(spark, _NFB).select(
+        "doc_id",
+        "n_tok",
+        "tokens",
+        F.expr("CAST(substring(doc_id, 4, 12) AS BIGINT)").alias("i"),
+    ).where(F.col("n_tok") >= _HALF)
+    ev = base.where(F.expr("i % 2 = 0")).select(
+        F.expr("i DIV 2").alias("p"),
+        F.col("doc_id").alias("pair_id"),
+        F.expr(f"slice(tokens, 1, {_HALF})").alias("tl"),
+    )
+    od = base.where(F.expr("i % 2 = 1")).select(
+        F.expr("i DIV 2").alias("p"),
+        F.expr(f"slice(tokens, 1, {_HALF})").alias("tr"),
+    )
+    return ev.join(od, "p").select(
+        "pair_id", F.expr("concat(tl, tr)").alias("tokens")
+    )
+
+
+@register(
+    "fluss_cac",
+    oracle=_FLUSS_BRUTE
+    + """
+    SELECT pair_id AS doc_id, pos::INT AS pos, ac, cac FROM cacs
+    """,
+)
+def fluss_cac(spark, sf_dir):
+    """MP7a: the full FLUSS corrected arc curve of every spliced series
+    (~30 pairs × 249 positions), bit-exact vs the SQL twin — profile,
+    arc prefix-sum, AND the parabola-normalized float all hash-match.
+    Spark side is the production zero-shuffle mapInPandas kernel."""
+    return MP.fluss(_spliced_df(spark), m=_M, excl=_EXCL, id_col="pair_id")
+
+
+@register(
+    "fluss_regimes",
+    oracle=_FLUSS_BRUTE
+    + f"""
+    , best AS (
+      SELECT pair_id, pos, ac, cac,
+             row_number() OVER (PARTITION BY pair_id ORDER BY cac, pos) AS rn
+      FROM cacs
+    )
+    SELECT pair_id AS doc_id, pos::INT AS boundary, ac, cac AS cac_min,
+           (pos >= {_HALF} - 2 * _M_SENTINEL_ AND pos <= {_HALF} + 2 * _M_SENTINEL_)
+             AS near_splice
+    FROM best WHERE rn = 1
+    """.replace("_M_SENTINEL_", str(_M)),
+)
+def fluss_regimes(spark, sf_dir):
+    """MP7b: the regime boundary per spliced series = global CAC
+    argmin (ties to the smallest position), with ``near_splice``
+    flagging recovery of the planted generator change at 128 (± 2m —
+    windows straddling the splice start at 121). The detection-rate
+    floor lives in pytest; the oracle pins every boundary choice
+    bit-exactly."""
+    out = MP.fluss(_spliced_df(spark), m=_M, excl=_EXCL, id_col="pair_id")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("cac"), F.asc("pos"))
+    best = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        F.col("pos").alias("boundary"),
+        "ac",
+        F.col("cac").alias("cac_min"),
+        (
+            (F.col("pos") >= _HALF - 2 * _M) & (F.col("pos") <= _HALF + 2 * _M)
+        ).alias("near_splice"),
+    )

@@ -217,3 +217,47 @@ def test_znorm_spark_parity(spark):
         d2, nn = MP.mp_self_znorm(np.asarray(toks)[:64], 8, 4)
         for i in range(d2.size):
             assert got[(doc_id, i)] == (nn[i], d2[i])
+
+
+# ---------------------------------------------------------------------------
+# MP7 — FLUSS
+# ---------------------------------------------------------------------------
+
+
+def test_fluss_cac_matches_naive_arc_count():
+    import numpy as np
+
+    from dtaidistance_spark.operators.matrixprofile import fluss_cac, mp_self
+
+    rng = np.random.default_rng(3)
+    a = np.concatenate(
+        [rng.integers(0, 50, 140), rng.integers(1000, 1050, 140)]
+    )
+    m, excl, zone = 8, 4, 40
+    ac, cac = fluss_cac(a, m, excl, zone)
+    d2, nn = mp_self(a.astype(np.int64), m, excl)
+    q = d2.size
+    for i in range(0, q, 17):  # naive O(q^2) spot grid
+        want = sum(
+            1
+            for p in range(q)
+            if nn[p] >= 0 and min(p, nn[p]) < i < max(p, nn[p])
+        )
+        assert ac[i] == want, i
+    # the regime change at 140 must be the interior CAC minimum
+    interior = np.arange(q)[(np.arange(q) >= zone) & (np.arange(q) <= q - 1 - zone)]
+    best = interior[np.argmin(cac[interior])]
+    assert abs(best - (140 - m)) <= 2 * m
+    assert cac.min() >= 0.0 and cac.max() <= 1.0
+    assert (cac[:zone] == 1.0).all() and (cac[-zone:] == 1.0).all()
+
+
+def test_fluss_regimes_recover_planted_splice(spark, sf_dir):
+    from dtaidistance_spark.operators.motif_q import fluss_regimes
+
+    out = fluss_regimes(spark, sf_dir).toPandas()
+    assert len(out) >= 25
+    # every spliced pair's CAC argmin lands in the straddling-window
+    # region of the planted generator change (128 ± 2m)
+    assert out["near_splice"].all()
+    assert (out["cac_min"] < 0.25).all()
