@@ -22,6 +22,7 @@ def _registry():
     from dtaidistance_spark.operators import (  # noqa: F401
         alignment_q,
         ann_q,
+        bpe_q,
         cdc_q,
         clustering_q,
         continuous_q,
