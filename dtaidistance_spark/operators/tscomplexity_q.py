@@ -133,3 +133,113 @@ def perm_entropy(spark, sf_dir):
             "pe_norm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# T54 — exact distinct-token count in EVERY sliding window (repetition
+# density): windowed COUNT DISTINCT is not a SQL window aggregate in
+# either engine, but "occurrence j is the first of its token in window
+# ending at i" ⟺ i ∈ [max(j, prev_occ_j + W), j + W − 1] — an
+# INTERVAL, so per-position distinct counts are the same ±1 histogram
+# + partitioned prefix sum used by FLUSS. All int64, bit-exact.
+# ---------------------------------------------------------------------------
+
+_NW = 128  # docs
+_W = 64  # window length
+
+
+@register(
+    "sliding_distinct_tokens",
+    oracle=synth_sql(_NW)
+    + f"""
+    , pos AS MATERIALIZED (
+      SELECT doc_id, n_tok, t.j AS i, CAST(tokens[t.j + 1] AS BIGINT) AS v
+      FROM synth, unnest(range(n_tok)) AS t(j)
+    ),
+    occ AS (
+      SELECT doc_id, n_tok, i, v,
+             coalesce(lag(i) OVER (PARTITION BY doc_id, v ORDER BY i),
+                      -{_W}) AS prev
+      FROM pos
+    ),
+    deltas AS (
+      SELECT doc_id, greatest(i, prev + {_W}) AS p, 1 AS d
+      FROM occ
+      UNION ALL
+      SELECT doc_id, i + {_W} AS p, -1 AS d
+      FROM occ WHERE i + {_W} < n_tok
+    ),
+    axis AS (
+      SELECT doc_id, i AS p, 0 AS d FROM pos
+    ),
+    summed AS (
+      SELECT doc_id, p, sum(d) AS dd
+      FROM (SELECT * FROM deltas UNION ALL SELECT * FROM axis)
+      GROUP BY doc_id, p
+    ),
+    cum AS (
+      SELECT doc_id, p,
+             CAST(sum(dd) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_distinct
+      FROM summed
+    )
+    SELECT doc_id, p AS pos, n_distinct
+    FROM cum WHERE p >= {_W} - 1
+    """,
+)
+def sliding_distinct_tokens(spark, sf_dir):
+    """T54: per series, the EXACT number of distinct tokens inside
+    every length-64 sliding window — the repetition-density curve a
+    quality filter reads (a window full of one token has n_distinct 1;
+    healthy text sits near W). Windowed count-distinct has no window-
+    aggregate form, so it is rewritten as first-occurrence intervals
+    (prev-occurrence via ONE (doc, token)-partitioned lag) + the ±1
+    histogram / partitioned-prefix-sum — two bounded shuffles on the
+    doc key, all int64, no explode beyond the token positions
+    themselves. 100 TB shape: both exchanges carry one row per token
+    position; no state is corpus-sized."""
+    docs = synth.sequences_df(spark, _NW).select("doc_id", "n_tok", "tokens")
+    pos = docs.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode(F.expr("transform(tokens, x -> CAST(x AS BIGINT))")).alias(
+            "i", "v"
+        ),
+    )
+    from pyspark.sql import Window
+
+    occ = pos.withColumn(
+        "prev",
+        F.coalesce(
+            F.lag("i").over(Window.partitionBy("doc_id", "v").orderBy("i")),
+            F.lit(-_W),
+        ),
+    )
+    starts = occ.select(
+        "doc_id", F.greatest(F.col("i"), F.col("prev") + _W).alias("p"),
+        F.lit(1).alias("d"),
+    )
+    ends = occ.where(F.col("i") + _W < F.col("n_tok")).select(
+        "doc_id", (F.col("i") + _W).alias("p"), F.lit(-1).alias("d")
+    )
+    axis = pos.select("doc_id", F.col("i").alias("p"), F.lit(0).alias("d"))
+    summed = (
+        starts.unionByName(ends)
+        .unionByName(axis)
+        .groupBy("doc_id", "p")
+        .agg(F.sum("d").alias("dd"))
+    )
+    cum = summed.withColumn(
+        "n_distinct",
+        F.sum("dd")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    return cum.where(F.col("p") >= _W - 1).select(
+        "doc_id", F.col("p").alias("pos"), "n_distinct"
+    )

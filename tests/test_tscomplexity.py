@@ -68,3 +68,28 @@ def test_perm_entropy_separates_structure_from_noise(spark, sf_dir, loc):
     assert out["pe_norm"].max() < noise_norm
     assert (out["pe_norm"] <= 1.0 + 1e-9).all()
     assert (out["pe"] >= 0.0).all()
+
+
+def test_sliding_distinct_matches_set_recompute(spark, sf_dir):
+    from dtaidistance_spark.operators.tscomplexity_q import (
+        _NW,
+        _W,
+        sliding_distinct_tokens,
+    )
+
+    out = sliding_distinct_tokens(spark, sf_dir).toPandas()
+    loc = synth.sequences_local(_NW)
+    grp = {d: g.set_index("pos")["n_distinct"] for d, g in out.groupby("doc_id")}
+    checked = 0
+    for row in list(loc.itertuples())[::7]:  # every 7th doc, full curve
+        toks = row.tokens.tolist()
+        got = grp[row.doc_id]
+        assert len(got) == len(toks) - _W + 1
+        for i in range(_W - 1, len(toks)):
+            assert got.loc[i] == len(set(toks[i - _W + 1 : i + 1])), (
+                row.doc_id,
+                i,
+            )
+            checked += 1
+    assert checked > 5000
+    assert (out["n_distinct"] >= 1).all() and (out["n_distinct"] <= _W).all()
