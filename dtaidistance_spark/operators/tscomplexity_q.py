@@ -195,10 +195,11 @@ def sliding_distinct_tokens(spark, sf_dir):
     healthy text sits near W). Windowed count-distinct has no window-
     aggregate form, so it is rewritten as first-occurrence intervals
     (prev-occurrence via ONE (doc, token)-partitioned lag) + the ±1
-    histogram / partitioned-prefix-sum — two bounded shuffles on the
-    doc key, all int64, no explode beyond the token positions
-    themselves. 100 TB shape: both exchanges carry one row per token
-    position; no state is corpus-sized."""
+    histogram / partitioned-prefix-sum. Measured plan: THREE exchanges
+    — the (doc, token) lag sort, the (doc, pos) histogram reduce
+    (map-side combined), the per-doc cumsum window — each carrying at
+    most one row per token position, all int64; no state is
+    corpus-sized."""
     docs = synth.sequences_df(spark, _NW).select("doc_id", "n_tok", "tokens")
     pos = docs.select(
         "doc_id",
