@@ -874,3 +874,214 @@ def stats_moments_merge_check(spark, sf_dir):
         "n", "s1", "s2",
         "CAST(s3 AS STRING) AS s3", "CAST(s4 AS STRING) AS s4",
     )
+
+
+# ---------------------------------------------------------------------------
+# TS32 — gauge aggregate (TimescaleDB gauge_agg: delta / idelta / irate
+# for series that can go DOWN — no counter reset logic)
+# ---------------------------------------------------------------------------
+
+_G_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+_G_IRATE = (
+    "(v_last - v_prev) / (CAST(tu_last - tu_prev AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE))"
+)
+
+
+@register(
+    "gauge_agg",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id, value FROM events
+    ),
+    l AS (
+      SELECT event_type, tu, event_id, value,
+             first_value(value) OVER w AS v0,
+             lag(value) OVER w AS pv,
+             lag(tu) OVER w AS ptu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY tu DESC, event_id DESC) AS rnd,
+             CASE WHEN lag(value) OVER w IS NOT NULL
+                       AND value <> lag(value) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY tu, event_id)
+    ),
+    tails AS (
+      SELECT event_type, value AS v_last, pv AS v_prev, v0,
+             tu AS tu_last, ptu AS tu_prev
+      FROM l WHERE rnd = 1
+    ),
+    aggs AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(chg) AS BIGINT) AS n_changes
+      FROM l GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_samples, a.n_changes,
+           t.v_last - t.v0 AS delta,
+           t.v_last - t.v_prev AS idelta,
+           {_G_F6.format(x=_G_IRATE)} AS irate_per_s
+    FROM aggs a JOIN tails t USING (event_type)
+    """,
+)
+def gauge_agg(spark, sf_dir):
+    """TS32: TimescaleDB ``gauge_agg`` analog per event_type series —
+    delta (last − first), idelta (last instantaneous change), irate
+    (idelta over the last gap, per second, floor-1e6), and the number
+    of value changes, all under the (tu, event_id) TOTAL order. Gauges
+    differ from counters in allowing decreases, so there is no reset
+    unwrapping — plain float subtraction on identical doubles, exact
+    cross-engine. One exchange on event_type; the asc window, the desc
+    row_number, and the aggregate share it."""
+    s = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type").orderBy("tu", "event_id")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc("tu"), F.desc("event_id")
+    )
+    led = s.select(
+        "event_type",
+        "tu",
+        "value",
+        F.first("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("v0"),
+        F.lag("value").over(w).alias("pv"),
+        F.lag("tu").over(w).alias("ptu"),
+        F.row_number().over(wd).alias("rnd"),
+        F.when(
+            F.lag("value").over(w).isNotNull()
+            & (F.col("value") != F.lag("value").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    tails = led.where(F.col("rnd") == 1).select(
+        "event_type",
+        F.col("value").alias("v_last"),
+        F.col("pv").alias("v_prev"),
+        "v0",
+        F.col("tu").alias("tu_last"),
+        F.col("ptu").alias("tu_prev"),
+    )
+    aggs = led.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("chg").cast("long").alias("n_changes"),
+    )
+    return aggs.join(tails, "event_type").select(
+        "event_type",
+        "n_samples",
+        "n_changes",
+        (F.col("v_last") - F.col("v0")).alias("delta"),
+        (F.col("v_last") - F.col("v_prev")).alias("idelta"),
+        F.expr(_G_F6.format(x=_G_IRATE)).alias("irate_per_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS33 — burstiness diagnostics: Fano factor of hourly counts (zero
+# hours included via span algebra) + Goh-Barabási B = (σ−μ)/(σ+μ) of
+# inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+_B_MEAN = "CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)"
+_B_SD = (
+    "sqrt((CAST(ng AS DOUBLE) * CAST(sg2 AS DOUBLE)"
+    " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+    " / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)))"
+)
+
+
+@register(
+    "burstiness",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS tsec, event_id
+      FROM events
+    ),
+    hourly AS (
+      SELECT event_type, tsec // 3600 AS h, count(*) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    fano AS (
+      SELECT event_type,
+             max(h) - min(h) + 1 AS n_hours,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM hourly GROUP BY event_type
+    ),
+    gaps AS (
+      SELECT event_type,
+             lead(tsec) OVER (PARTITION BY event_type
+                              ORDER BY tsec, event_id) - tsec AS g
+      FROM s
+    ),
+    gstat AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sg2
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_hours, f.sc AS n_events, g.ng AS n_gaps,
+           {_G_F6.format(
+               x="(CAST(f.n_hours * f.sc2 - f.sc * f.sc AS DOUBLE)"
+                 " / CAST(f.n_hours * f.sc AS DOUBLE))"
+           )} AS fano,
+           {_G_F6.format(x=f"(({_B_SD}) - ({_B_MEAN}))"
+                           f" / (({_B_SD}) + ({_B_MEAN}))")} AS burstiness_b
+    FROM fano f JOIN gstat g USING (event_type)
+    """,
+)
+def burstiness(spark, sf_dir):
+    """TS33: two standard burstiness diagnostics per event-type series.
+    Fano factor of hourly counts — computed over the FULL hour span
+    (zero-count hours enter via n_hours = max−min+1, never
+    materialized), numerator/denominator exact int64, one floor-1e6
+    division. Goh & Barabási B = (σ−μ)/(σ+μ) of inter-arrival gaps in
+    integer seconds (μs gaps would overflow Σg² in int64; second-grain
+    keeps Σg² < 2^35) — B→−1 periodic, ≈0 Poisson, →1 extreme bursts.
+    Two map-side-combined aggregates + one per-type lead window."""
+    s = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias(
+            "tsec"
+        ),
+        "event_id",
+    )
+    hourly = s.groupBy(
+        "event_type", F.expr("tsec DIV 3600").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    fano = hourly.groupBy("event_type").agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tsec", "event_id")
+    gaps = s.withColumn("g", F.lead("tsec").over(w) - F.col("tsec"))
+    gstat = gaps.where(F.col("g").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sg2"),
+    )
+    return fano.join(gstat, "event_type").select(
+        "event_type",
+        "n_hours",
+        F.col("sc").alias("n_events"),
+        F.col("ng").alias("n_gaps"),
+        F.expr(
+            _G_F6.format(
+                x="(CAST(n_hours * sc2 - sc * sc AS DOUBLE)"
+                " / CAST(n_hours * sc AS DOUBLE))"
+            )
+        ).alias("fano"),
+        F.expr(
+            _G_F6.format(
+                x=f"(({_B_SD}) - ({_B_MEAN})) / (({_B_SD}) + ({_B_MEAN}))"
+            )
+        ).alias("burstiness_b"),
+    )

@@ -870,3 +870,61 @@ def test_stats_moments_merge_contract(spark):
     for r in rows:
         assert r["merge_equals_direct"] is True
         assert r["three_sources"] is True
+
+
+# ---------------------------------------------------------------------------
+# TS32/TS33 — gauge_agg + burstiness (tshyper_q round-3 batch)
+# ---------------------------------------------------------------------------
+
+
+def test_gauge_agg_matches_pandas(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tshyper_q import gauge_agg
+
+    out = gauge_agg(spark, sf_dir).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["tu", "event_id"]).reset_index(drop=True)
+        row = out.loc[et]
+        assert row.n_samples == len(g)
+        v = g["value"].to_numpy()
+        assert row.delta == v[-1] - v[0]
+        assert row.idelta == v[-1] - v[-2]
+        want_rate = (v[-1] - v[-2]) / (
+            (g["tu"].iloc[-1] - g["tu"].iloc[-2]) / 1e6
+        )
+        assert row.irate_per_s == pytest.approx(
+            math.floor(want_rate * 1e6 + 0.5) / 1e6, abs=2e-6
+        )
+        assert row.n_changes == int((v[1:] != v[:-1]).sum())
+
+
+def test_burstiness_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tshyper_q import burstiness
+
+    out = burstiness(spark, sf_dir).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tsec"] = ev["ts"].astype("datetime64[us]").astype("int64") // 10**6
+    for et, g in ev.groupby("event_type"):
+        row = out.loc[et]
+        h = g["tsec"] // 3600
+        n_hours = int(h.max() - h.min() + 1)
+        counts = h.value_counts().to_numpy()
+        full = np.zeros(n_hours)
+        full[: len(counts)] = counts  # zeros included; moments only
+        sc, sc2 = counts.sum(), (counts**2).sum()
+        fano = (n_hours * sc2 - sc * sc) / (n_hours * sc)
+        assert row.n_hours == n_hours
+        assert row.fano == pytest.approx(fano, abs=2e-6)
+        gps = np.diff(np.sort(g["tsec"].to_numpy()))
+        m, s = gps.mean(), gps.std()  # population std == the engine's
+        assert row.burstiness_b == pytest.approx((s - m) / (s + m), abs=1e-4)
+        # events are near-Poisson -> B near 0, strictly > periodic -1
+        assert -0.5 < row.burstiness_b < 0.5
