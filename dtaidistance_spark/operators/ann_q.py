@@ -422,3 +422,42 @@ def embed_sq8_recall_check(spark, sf_dir):
         F.expr("CAST(0.9 AS DOUBLE)").alias("floor"),
         (F.col("recall_at_k") >= F.expr("CAST(0.9 AS DOUBLE)")).alias("met"),
     )
+
+
+@register("ann_lsh_mp_topk")
+def ann_lsh_mp_topk(spark, sf_dir):
+    """Multi-probe LSH top-k (rows-only; recall gated by its oracled
+    check): 4 tables x 4 planes with 3 Hamming-1 probes per table — the
+    same 16 probe buckets per query as the 16-table single-probe tier
+    but a 4x SMALLER corpus index (index replication is per table;
+    probes fan out only the 8-row query side). Measured recall 0.8625
+    vs 0.45 for single-probe at the same 4-table budget."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    return A.lsh_multiprobe_topk(
+        emb, qs, dim=64, k=10, n_tables=4, n_planes=4, n_flip=3
+    )
+
+
+@register(
+    "ann_lsh_mp_recall_check",
+    oracle="SELECT 'lsh_multiprobe' AS tier, 0.8 AS floor, true AS met",
+)
+def ann_lsh_mp_recall_check(spark, sf_dir):
+    """Recall floor for the multi-probe tier (Lv et al., VLDB 2007):
+    measured 0.8625 at sf0.01 with a 4x smaller index than the
+    single-probe 16-table tier's 0.85 — multi-probe buys with query
+    fan-out what single-probe buys with corpus replication. Asserted
+    >= 0.8 as the oracled 1-row boolean."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ)
+    approx = A.lsh_multiprobe_topk(
+        emb, qs, dim=64, k=10, n_tables=4, n_planes=4, n_flip=3
+    )
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    rec = A.recall_at_k(approx, exact, k=10)
+    return rec.select(
+        F.lit("lsh_multiprobe").alias("tier"),
+        F.lit(0.8).alias("floor"),
+        (F.col("recall_at_k") >= 0.8).alias("met"),
+    )

@@ -138,3 +138,21 @@ def test_sq8_recall_meets_floor(spark, sf_dir):
     row = embed_sq8_recall_check(spark, sf_dir).toPandas().iloc[0]
     assert bool(row["met"]), row["recall_at_k"]
     assert row["recall_at_k"] >= 0.9
+
+
+def test_lsh_multiprobe_beats_singleprobe_at_same_table_budget(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8)
+    exact = A.brute_cosine_topk(emb, qs, k=10)
+    mp = A.lsh_multiprobe_topk(
+        emb, qs, dim=64, k=10, n_tables=4, n_planes=4, n_flip=3
+    )
+    sp = A.lsh_cosine_topk(emb, qs, dim=64, k=10, n_tables=4, n_planes=4)
+    r_mp = A.recall_at_k(mp, exact, k=10).collect()[0][0]
+    r_sp = A.recall_at_k(sp, exact, k=10).collect()[0][0]
+    assert r_mp >= 0.8
+    assert r_mp > r_sp + 0.2  # the probe sequence, not the planes, lifts it
