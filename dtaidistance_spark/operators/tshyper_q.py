@@ -1085,3 +1085,113 @@ def burstiness(spark, sf_dir):
             )
         ).alias("burstiness_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS34 — per-bucket interpolated time-weighted average (TimescaleDB
+# interpolated_average): the LOCF integral CLIPPED to calendar buckets,
+# with segments carried ACROSS bucket boundaries — the per-day honest
+# mean for irregular telemetry, where time_weighted_avg gives only the
+# whole-series number.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "interpolated_daily_avg",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, value
+      FROM events WHERE event_type = 'error'
+    ),
+    seg AS (
+      SELECT user_id, tu AS s0, value,
+             lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+               AS s1
+      FROM s
+    ),
+    hits AS (
+      SELECT user_id, value, s0, s1, b
+      FROM (SELECT *, unnest(range(s0 // {_DAY_US},
+                                   (s1 - 1) // {_DAY_US} + 1)) AS b
+            FROM seg WHERE s1 IS NOT NULL AND s1 > s0)
+    ),
+    clipped AS (
+      SELECT user_id, b,
+             least(s1, (b + 1) * {_DAY_US}) - greatest(s0, b * {_DAY_US})
+               AS dt,
+             value
+      FROM hits
+    ),
+    agg AS (
+      SELECT user_id, b AS day_bucket,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(dt) AS BIGINT) AS covered_us,
+             sum(value * CAST(dt AS DOUBLE)) AS num
+      FROM clipped GROUP BY user_id, b
+    )
+    SELECT user_id, day_bucket, n_segments, covered_us,
+           round(num / CAST(covered_us AS DOUBLE), 6) AS avg_interp
+    FROM agg WHERE covered_us > 0
+    """,
+)
+def interpolated_daily_avg(spark, sf_dir):
+    """TS34: TimescaleDB ``interpolated_average`` analog — per (user,
+    day) the time-weighted LOCF mean where each sample's value holds
+    into the NEXT day until the next sample: segments from one lead()
+    window, clipped to the day buckets they cross (an exploded
+    ``sequence`` of bucket ids — bounded by the segment's day span),
+    integer-μs overlaps, one (user, day) reduce. The whole-series
+    ``time_weighted_avg`` is this query with one bucket; per-bucket
+    carry is what a daily SLA/billing rollup actually needs. Final
+    ratio round(6) under the module's float-sum precedent."""
+    s = T(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    seg = s.select(
+        "user_id",
+        F.col("tu").alias("s0"),
+        "value",
+        F.lead("tu").over(w).alias("s1"),
+    ).where(F.col("s1").isNotNull() & (F.col("s1") > F.col("s0")))
+    hits = seg.select(
+        "user_id",
+        "value",
+        "s0",
+        "s1",
+        F.explode(
+            F.expr(
+                f"sequence(s0 DIV {_DAY_US}, (s1 - 1) DIV {_DAY_US})"
+            )
+        ).alias("b"),
+    )
+    clipped = hits.select(
+        "user_id",
+        "b",
+        (
+            F.least(F.col("s1"), (F.col("b") + 1) * _DAY_US)
+            - F.greatest(F.col("s0"), F.col("b") * _DAY_US)
+        ).alias("dt"),
+        "value",
+    )
+    agg = clipped.groupBy("user_id", F.col("b").alias("day_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("dt").cast("long").alias("covered_us"),
+        F.sum(F.col("value") * F.col("dt").cast("double")).alias("num"),
+    )
+    return agg.where(F.col("covered_us") > 0).select(
+        "user_id",
+        "day_bucket",
+        "n_segments",
+        "covered_us",
+        F.round(F.col("num") / F.col("covered_us").cast("double"), 6).alias(
+            "avg_interp"
+        ),
+    )

@@ -928,3 +928,33 @@ def test_burstiness_matches_numpy(spark, sf_dir):
         assert row.burstiness_b == pytest.approx((s - m) / (s + m), abs=1e-4)
         # events are near-Poisson -> B near 0, strictly > periodic -1
         assert -0.5 < row.burstiness_b < 0.5
+
+
+def test_interpolated_daily_avg_semantics(spark, sf_dir):
+    """TS34: per-user totals must telescope — Σ_buckets covered_us ==
+    whole-series span, Σ num == whole-series integral — and each
+    bucket's covered span never exceeds a day."""
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tshyper_q import (
+        _DAY_US,
+        interpolated_daily_avg,
+        time_weighted_avg,
+    )
+
+    out = interpolated_daily_avg(spark, sf_dir).toPandas()
+    assert (out["covered_us"] <= _DAY_US).all()
+    assert (out["covered_us"] > 0).all()
+    twa = time_weighted_avg(spark, sf_dir).toPandas().set_index("user_id")
+    got = out.assign(integ=out.avg_interp * out.covered_us).groupby("user_id")
+    spans = got["covered_us"].sum()
+    integ = got["integ"].sum()
+    for uid, span in spans.items():
+        assert span == twa.loc[uid, "span_us"], uid
+        # bucket-level round(6) noise accumulates over <=30 buckets
+        want = twa.loc[uid, "twa"] * twa.loc[uid, "span_us"]
+        assert integ[uid] == pytest.approx(want, rel=1e-6), uid
+    # LOCF carry actually crosses midnight: some user has a bucket with
+    # covered_us == a full day but no sample inside it (n_segments == 1)
+    full = out[(out.covered_us == _DAY_US) & (out.n_segments == 1)]
+    assert len(full) > 0
