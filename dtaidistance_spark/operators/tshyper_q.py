@@ -1195,3 +1195,144 @@ def interpolated_daily_avg(spark, sf_dir):
             "avg_interp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS35 — MACD(12, 26, 9) over daily means: per-step EMAs WITHOUT a
+# sequential fold. adjust-mode EMA_t = Σ β^(t−k) x_k / Σ β^(t−k)
+# = cumsum(x_k β^(−k)) / cumsum(β^(−k)) — the β^t factor cancels, so
+# every step is a ratio of two partitioned window cumsums (sequential
+# frame order = deterministic float sums in BOTH engines).
+# ---------------------------------------------------------------------------
+
+
+def _ema_cols(x: str, t: str, span: int, prefix: str) -> tuple[str, str]:
+    """(u, w) term expressions for the closed-form EMA at `span`."""
+    beta = f"(CAST({span - 1} AS DOUBLE) / CAST({span + 1} AS DOUBLE))"
+    p = f"pow({beta}, -CAST({t} AS DOUBLE))"
+    return f"({x} * {p})", p
+
+
+@register(
+    "macd_signal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             {_G_F6.format(x="(sum(value) / CAST(count(*) AS DOUBLE))")}
+               AS dm
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, dm,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS t
+      FROM daily
+    ),
+    terms AS (
+      SELECT *, {_ema_cols("dm", "t", 12, "a")[0]} AS u12,
+                {_ema_cols("dm", "t", 12, "a")[1]} AS w12,
+                {_ema_cols("dm", "t", 26, "b")[0]} AS u26,
+                {_ema_cols("dm", "t", 26, "b")[1]} AS w26
+      FROM idx
+    ),
+    emas AS (
+      SELECT event_type, day, t, dm,
+             sum(u12) OVER w / sum(w12) OVER w AS ema12,
+             sum(u26) OVER w / sum(w26) OVER w AS ema26
+      FROM terms
+      WINDOW w AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    macd AS (
+      SELECT *, ema12 - ema26 AS m FROM emas
+    ),
+    sig AS (
+      SELECT *, sum({_ema_cols("m", "t", 9, "c")[0]}) OVER w
+                  / sum({_ema_cols("m", "t", 9, "c")[1]}) OVER w AS s9
+      FROM macd
+      WINDOW w AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    fin AS (
+      SELECT event_type, day, t, dm,
+             {_G_F6.format(x="(ema12)")} AS ema12,
+             {_G_F6.format(x="(ema26)")} AS ema26,
+             {_G_F6.format(x="(m)")} AS macd,
+             {_G_F6.format(x="(s9)")} AS signal,
+             {_G_F6.format(x="(m - s9)")} AS hist
+      FROM sig
+    )
+    SELECT *, (hist > CAST(0 AS DOUBLE)) <>
+              (lag(hist) OVER (PARTITION BY event_type ORDER BY t)
+                 > CAST(0 AS DOUBLE)) AS crossover
+    FROM fin
+    """,
+)
+def macd_signal(spark, sf_dir):
+    """TS35: MACD(12, 26, 9) per event-type daily-mean series — the
+    standard momentum indicator (EMA12 − EMA26, its EMA9 signal line,
+    histogram, crossover flags). Per-step adjust-mode EMAs are computed
+    CLOSED-FORM as ratios of two window cumsums (β^t cancels), so no
+    sequential fold, no recursion — two partitioned cumsum windows
+    sharing one sort per stage; daily means floor-1e6 first so both
+    engines fold identical inputs; crossovers are derived from the
+    FLOORED histogram (deterministic booleans). pow() is libm (≤1 ulp
+    cross-engine) under the established round-6/floor-1e6 precedent."""
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("day"),
+        )
+        .agg(
+            F.expr(
+                _G_F6.format(x="(sum(value) / CAST(count(1) AS DOUBLE))")
+            ).alias("dm")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(wo) - F.lit(1))
+    u12, w12 = _ema_cols("dm", "t", 12, "a")
+    u26, w26 = _ema_cols("dm", "t", 26, "b")
+    terms = (
+        idx.withColumn("u12", F.expr(u12))
+        .withColumn("w12", F.expr(w12))
+        .withColumn("u26", F.expr(u26))
+        .withColumn("w26", F.expr(w26))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emas = terms.select(
+        "event_type",
+        "day",
+        "t",
+        "dm",
+        (F.sum("u12").over(wc) / F.sum("w12").over(wc)).alias("ema12_raw"),
+        (F.sum("u26").over(wc) / F.sum("w26").over(wc)).alias("ema26_raw"),
+    )
+    macd = emas.withColumn("m", F.col("ema12_raw") - F.col("ema26_raw"))
+    u9, w9 = _ema_cols("m", "t", 9, "c")
+    sig = macd.withColumn("_u9", F.expr(u9)).withColumn("_w9", F.expr(w9))
+    sig = sig.withColumn(
+        "s9", F.sum("_u9").over(wc) / F.sum("_w9").over(wc)
+    )
+    fin = sig.select(
+        "event_type",
+        "day",
+        "t",
+        "dm",
+        F.expr(_G_F6.format(x="(ema12_raw)")).alias("ema12"),
+        F.expr(_G_F6.format(x="(ema26_raw)")).alias("ema26"),
+        F.expr(_G_F6.format(x="(m)")).alias("macd"),
+        F.expr(_G_F6.format(x="(s9)")).alias("signal"),
+        F.expr(_G_F6.format(x="(m - s9)")).alias("hist"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("t")
+    return fin.withColumn(
+        "crossover",
+        (F.col("hist") > 0.0) != (F.lag("hist").over(wl) > 0.0),
+    )

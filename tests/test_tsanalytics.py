@@ -958,3 +958,32 @@ def test_interpolated_daily_avg_semantics(spark, sf_dir):
     # covered_us == a full day but no sample inside it (n_segments == 1)
     full = out[(out.covered_us == _DAY_US) & (out.n_segments == 1)]
     assert len(full) > 0
+
+
+def test_macd_matches_pandas_ewm(spark, sf_dir):
+    """TS35 vs pandas .ewm(span, adjust=True): same daily means in,
+    same EMA/MACD/signal out (to the floor-1e6 grain)."""
+    import numpy as np
+
+    from dtaidistance_spark.operators.tshyper_q import macd_signal
+
+    out = macd_signal(spark, sf_dir).toPandas()
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("t").reset_index(drop=True)
+        dm = g["dm"]
+        e12 = dm.ewm(span=12, adjust=True).mean()
+        e26 = dm.ewm(span=26, adjust=True).mean()
+        m = e12 - e26
+        s9 = m.ewm(span=9, adjust=True).mean()
+        assert np.allclose(g["ema12"], e12, atol=2e-6)
+        assert np.allclose(g["ema26"], e26, atol=2e-6)
+        assert np.allclose(g["macd"], m, atol=2e-6)
+        assert np.allclose(g["signal"], s9, atol=2e-6)
+        assert np.allclose(g["hist"], m - s9, atol=4e-6)
+        want_cross = (
+            (g["hist"] > 0) != (g["hist"].shift(1) > 0)
+        )[1:].to_numpy()
+        assert (g["crossover"][1:].to_numpy() == want_cross).all()
+        assert g["crossover"].iloc[0] is None or np.isnan(
+            g["crossover"].iloc[0]
+        )
