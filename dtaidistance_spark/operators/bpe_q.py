@@ -146,10 +146,65 @@ def _bpe_rounds(spark, k: int = _K):
         F.posexplode("tokens").alias("i", "v"),
     ).withColumn("v", (F.col("v") % 16).cast("long")).persist()
     pos0 = pos
+    winners, pos = _train_loop(pos, k)
+    return winners, pos, pos0
+
+
+def _apply_merge(pos, win, nid: int):
+    """One island-parity merge pass: replace every leftmost-non-
+    overlapping (a, b) adjacency (from the broadcast 1-row `win`) with
+    `nid` and renumber. Shared by training (round r's own winner) and
+    held-out encoding (a trained merge table applied to unseen docs)."""
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    m = pos.crossJoin(F.broadcast(win.select("a", "b"))).withColumn(
+            "mt",
+            F.when(
+                (F.col("v") == F.col("a"))
+                & (F.lead("v").over(wd) == F.col("b")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    c = m.withColumn(
+        "isl",
+        F.col("i")
+        - F.sum("mt").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wi = Window.partitionBy("doc_id", "isl")
+    s = c.withColumn(
+        "sel",
+        F.when(
+            (F.col("mt") == 1)
+            & (
+                (
+                    F.col("i")
+                    - F.min(F.when(F.col("mt") == 1, F.col("i"))).over(wi)
+                )
+                % 2
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    kdf = s.withColumn(
+        "consumed", F.coalesce(F.lag("sel").over(wd), F.lit(0))
+    )
+    return (
+        kdf.where(F.col("consumed") == 0)
+        .withColumn(
+            "v",
+            F.when(F.col("sel") == 1, F.lit(nid).cast("long")).otherwise(
+                F.col("v")
+            ),
+        )
+        .withColumn("i", F.row_number().over(wd) - F.lit(1))
+        .select("doc_id", "source", "i", "v")
+    )
+
+
+def _train_loop(pos, k: int):
     wd = Window.partitionBy("doc_id").orderBy("i")
     winners = []
     for r in range(k):
-        nid = _NID0 + r
         prs = pos.withColumn("b", F.lead("v").over(wd))
         cnt = (
             prs.where(F.col("b").isNotNull())
@@ -158,53 +213,8 @@ def _bpe_rounds(spark, k: int = _K):
         )
         win = cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
         winners.append(win)
-        m = pos.crossJoin(F.broadcast(win.select("a", "b"))).withColumn(
-            "mt",
-            F.when(
-                (F.col("v") == F.col("a"))
-                & (F.lead("v").over(wd) == F.col("b")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        c = m.withColumn(
-            "isl",
-            F.col("i")
-            - F.sum("mt").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        wi = Window.partitionBy("doc_id", "isl")
-        s = c.withColumn(
-            "sel",
-            F.when(
-                (F.col("mt") == 1)
-                & (
-                    (
-                        F.col("i")
-                        - F.min(
-                            F.when(F.col("mt") == 1, F.col("i"))
-                        ).over(wi)
-                    )
-                    % 2
-                    == 0
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        kdf = s.withColumn(
-            "consumed", F.coalesce(F.lag("sel").over(wd), F.lit(0))
-        )
-        pos = (
-            kdf.where(F.col("consumed") == 0)
-            .withColumn(
-                "v",
-                F.when(F.col("sel") == 1, F.lit(nid).cast("long")).otherwise(
-                    F.col("v")
-                ),
-            )
-            .withColumn("i", F.row_number().over(wd) - F.lit(1))
-            .select("doc_id", "source", "i", "v")
-            .persist()
-        )
-    return winners, pos, pos0
+        pos = _apply_merge(pos, win, _NID0 + r).persist()
+    return winners, pos
 
 
 @register("bpe_train_merges", oracle=_bpe_sql_prefix() + _BPE_MERGES_TAIL)
@@ -262,3 +272,119 @@ def bpe_apply_stats(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T53c — the train -> encode contract: the merge table learned on docs
+# 0..255 applied to HELD-OUT docs 256..383, encoded streams pinned by
+# md5 (bit-exact tokenizer application, the artifact a pipeline ships)
+# ---------------------------------------------------------------------------
+
+_NE = 384  # train = idx < 256, eval = idx in [256, 384)
+
+
+def _estage_sql(r: int) -> str:
+    nid = _NID0 + r
+    return f"""
+, em_{r} AS (
+  SELECT p.doc_id, p.source, p.i, p.v,
+         CASE WHEN p.v = w.a
+                   AND lead(p.v) OVER (PARTITION BY p.doc_id ORDER BY p.i)
+                       = w.b
+              THEN 1 ELSE 0 END AS mt
+  FROM epos_{r} p, win_{r} w
+),
+ec_{r} AS (
+  SELECT *, i - sum(mt) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM em_{r}
+),
+es_{r} AS (
+  SELECT *, CASE WHEN mt = 1
+                      AND (i - min(CASE WHEN mt = 1 THEN i END)
+                           OVER (PARTITION BY doc_id, isl)) % 2 = 0
+                 THEN 1 ELSE 0 END AS sel
+  FROM ec_{r}
+),
+ek_{r} AS (
+  SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id ORDER BY i), 0)
+              AS consumed
+  FROM es_{r}
+),
+epos_{r + 1} AS MATERIALIZED (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
+         CASE WHEN sel = 1 THEN CAST({nid} AS BIGINT) ELSE v END AS v
+  FROM ek_{r} WHERE consumed = 0
+)"""
+
+
+def _bpe_holdout_oracle(k: int = _K) -> str:
+    head = (
+        synth_sql(_NE)
+        + """
+, idxd AS (
+  SELECT *, CAST(substr(doc_id, 4, 12) AS BIGINT) AS di FROM synth
+),
+pos_0 AS MATERIALIZED (
+  SELECT doc_id, source, t.j AS i,
+         CAST(tokens[t.j + 1] % 16 AS BIGINT) AS v
+  FROM idxd, unnest(range(n_tok)) AS t(j) WHERE di < 256
+),
+epos_0 AS MATERIALIZED (
+  SELECT doc_id, source, t.j AS i,
+         CAST(tokens[t.j + 1] % 16 AS BIGINT) AS v
+  FROM idxd, unnest(range(n_tok)) AS t(j) WHERE di >= 256
+)"""
+    )
+    stages = "".join(_stage_sql(r) + _estage_sql(r) for r in range(k))
+    tail = f"""
+, eb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before
+         FROM epos_0 GROUP BY doc_id),
+ea AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+              md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS enc_md5
+       FROM epos_{k} GROUP BY doc_id)
+SELECT doc_id, n_before, n_after, enc_md5 FROM eb JOIN ea USING (doc_id)
+"""
+    return head + stages + tail
+
+
+@register("bpe_encode_holdout", oracle=_bpe_holdout_oracle())
+def bpe_encode_holdout(spark, sf_dir):
+    """T53c: the trained tokenizer APPLIED — the merge table learned on
+    docs 0..255 encodes 128 held-out docs, and every encoded stream is
+    pinned by md5 (bit-exact application, not just counts). Same
+    island-parity passes as training, with each round's winner arriving
+    as a broadcast row; the unrolled SQL twin re-learns AND re-applies
+    independently. This is the train/apply split a production pipeline
+    ships: the learned artifact is 6 rows, the application is 6 bounded
+    passes over any corpus."""
+    winners, _, _ = _bpe_rounds(spark)
+    docs = synth.sequences_df(spark, _NE).select(
+        "doc_id",
+        "source",
+        "tokens",
+        F.expr("CAST(substring(doc_id, 4, 12) AS BIGINT)").alias("di"),
+    )
+    epos = (
+        docs.where(F.col("di") >= 256)
+        .select("doc_id", "source", F.posexplode("tokens").alias("i", "v"))
+        .withColumn("v", (F.col("v") % 16).cast("long"))
+        .persist()
+    )
+    eb = epos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    cur = epos
+    for r, win in enumerate(winners):
+        cur = _apply_merge(cur, win, _NID0 + r).persist()
+    ea = cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.md5(
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list("
+                "struct(i, v))), s -> CAST(s.v AS STRING)))"
+            ).cast("binary")
+        ).alias("enc_md5"),
+    )
+    return eb.join(ea, "doc_id")

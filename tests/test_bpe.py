@@ -91,3 +91,28 @@ def test_bpe_overlap_rule_is_leftmost():
     assert out == [99, 99] and n == 2
     out, n = _merge_once([7, 7, 7, 7, 7], 7, 7, 99)
     assert out == [99, 99, 7] and n == 2
+
+
+def test_bpe_holdout_encode_matches_reference(spark, sf_dir, ref):
+    import hashlib
+
+    from dtaidistance_spark.operators.bpe_q import _NE, bpe_encode_holdout
+
+    _, _, merges, _ = ref
+    loc = synth.sequences_local(_NE)
+    out = bpe_encode_holdout(spark, sf_dir).toPandas().set_index("doc_id")
+    assert len(out) == _NE - _N
+    n_checked = 0
+    for row in loc.itertuples():
+        if int(row.doc_id[3:]) < _N:
+            continue
+        seq = [int(t) % 16 for t in row.tokens]
+        for _, a, b, _, nid in merges:
+            seq, _ = _merge_once(seq, a, b, nid)
+        got = out.loc[row.doc_id]
+        assert got.n_before == row.n_tok
+        assert got.n_after == len(seq)
+        want = hashlib.md5(",".join(str(v) for v in seq).encode()).hexdigest()
+        assert got.enc_md5 == want, row.doc_id
+        n_checked += 1
+    assert n_checked == _NE - _N
