@@ -416,3 +416,69 @@ def neardup_components(
     )
     und.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# T3-scale — prefix-filtered exact Jaccard join (PPJoin-style; Bayardo
+# et al. WWW'07 / Chaudhuri et al. ICDE'06). Complete by the prefix-
+# filter theorem: the globally-SMALLEST common shingle of any pair with
+# jac >= t sits within the first |s| − ⌈t·|s|⌉ + 1 shingles of BOTH
+# docs (jac >= t forces |A∩B| >= ⌈t·|s|⌉ on each side), so joining
+# prefixes loses nothing — and prefixes are sorted rarest-first so the
+# join keys are the most selective shingles in the corpus.
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs WITHOUT the N² cross join: doc
+    shingle lists are ordered by (document frequency, shingle) — one
+    vocab-sized df aggregate broadcast back — and only the
+    |s| − ⌈t·|s|⌉ + 1 rarest shingles of each doc enter the candidate
+    join. Candidates are then verified with the same exact
+    array_intersect Jaccard as the brute tier, so the output is
+    IDENTICAL row-for-row (same oracle)."""
+    t_num, t_den = int(round(threshold * 10)), 10  # exact rational
+    sh = shingles(docs, k=k, text_col=text_col).select(
+        F.col(id_col).alias("_id"), "_sh"
+    )
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    df_tab = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        ex.join(df_tab, "_g")
+        .groupBy("_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_df, _g))),"
+                   " s -> s._g)").alias("_ord")
+        )
+    )
+    # p = n − ceil(t·n) + 1, ceil(a·n/b) = (a·n + b − 1) DIV b, exact ints
+    pref = ordered.select(
+        "_id",
+        F.expr(
+            f"slice(_ord, 1, size(_ord)"
+            f" - (({t_num} * size(_ord) + {t_den} - 1) DIV {t_den}) + 1)"
+        ).alias("_pref"),
+    ).select("_id", F.explode("_pref").alias("_g"))
+    cands = (
+        pref.select(F.col("_id").alias("id_a"), "_g")
+        .join(pref.select(F.col("_id").alias("id_b"), "_g"), "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

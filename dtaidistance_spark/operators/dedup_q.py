@@ -347,3 +347,17 @@ def minhash_twin_recall_check(spark, sf_dir):
         jacc.alias("jaccard"),
     )
 
+
+
+@register("jaccard_prefix_join", oracle=_JACCARD_ORACLE)
+def jaccard_prefix_join(spark, sf_dir):
+    """T3 SCALE tier: prefix-filtered exact Jaccard join (PPJoin-style)
+    — provably the same pairs as the brute N² tier (same oracle), but
+    candidates come from joining only each doc's |s| − ⌈0.8·|s|⌉ + 1
+    rarest shingles (rarest-first canonical order from one vocab-sized
+    df aggregate). At corpus scale the candidate join is driven by the
+    most selective shingles instead of an all-pairs product; the brute
+    tier stays as the small-N verification twin."""
+    return D.jaccard_prefix_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.8
+    )

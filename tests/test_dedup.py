@@ -17,3 +17,53 @@ def test_minhash_twin_recall_is_total(spark, sf_dir):
     assert (chk.inter == chk.sh_o).all()          # subset property
     assert (chk.jaccard >= 0.7).all()
     assert chk.jaccard.median() > 0.95
+
+
+def test_jaccard_prefix_join_equals_brute_and_prunes(spark, sf_dir):
+    """T3 scale tier: identical pairs to the N² tier, with the
+    candidate space measurably pruned (the point of prefix filtering)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    brute = (
+        D.ngram_jaccard_pairs(docs, threshold=0.8)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    fast = (
+        D.jaccard_prefix_pairs(docs, threshold=0.8)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert brute.equals(fast)
+    # candidate pruning: count pairs surviving the prefix join vs N^2/2
+    sh = D.shingles(docs).select(F.col("doc_id").alias("_id"), "_sh")
+    n = sh.count()
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    dft = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        ex.join(dft, "_g")
+        .groupBy("_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(_df, _g))), s -> s._g)"
+        ).alias("_ord"))
+    )
+    pref = ordered.select(
+        "_id",
+        F.expr(
+            "slice(_ord, 1, size(_ord) - ((8 * size(_ord) + 9) DIV 10) + 1)"
+        ).alias("_p"),
+    ).select("_id", F.explode("_p").alias("_g"))
+    cands = (
+        pref.select(F.col("_id").alias("a"), "_g")
+        .join(pref.select(F.col("_id").alias("b"), "_g"), "_g")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert cands < n * (n - 1) // 2 / 4  # >4x fewer than all-pairs
