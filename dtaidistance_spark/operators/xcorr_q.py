@@ -347,3 +347,114 @@ def series_acf(spark, sf_dir):
     return rr.withColumn(
         "is_dominant", F.row_number().over(w) == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# TS36 — rolling 24 h Pearson correlation between two event-type count
+# series, with ZERO window functions: each hour's (cx, cy) row is
+# exploded to the 24 window ids it participates in and ONE map-side-
+# combined aggregate collects the five correlation sums — hours where
+# both series are 0 contribute nothing to any sum, so the (sparse)
+# count table needs no zero-filling and n is the constant 24.
+# ---------------------------------------------------------------------------
+
+_RC_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+_RC_R = (
+    "(CAST(24 * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))"
+    "    * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))))"
+)
+
+
+@register(
+    "rolling_correlation",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    cnt AS (
+      SELECT h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cy
+      FROM s GROUP BY h
+    ),
+    lims AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+    contrib AS (
+      SELECT unnest(range(h, h + 24)) AS w, cx, cy FROM cnt
+    ),
+    sums AS (
+      SELECT w, CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy,
+             CAST(sum(cx * cx) AS BIGINT) AS sxx,
+             CAST(sum(cy * cy) AS BIGINT) AS syy,
+             CAST(sum(cx * cy) AS BIGINT) AS sxy
+      FROM contrib GROUP BY w
+    )
+    SELECT w AS window_end_h, sx, sy, sxx, syy, sxy,
+           {_RC_F6.format(x=_RC_R)} AS r
+    FROM sums, lims
+    WHERE w >= h0 + 23 AND w <= h1
+      AND 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0
+    """,
+)
+def rolling_correlation(spark, sf_dir):
+    """TS36: rolling 24-hour Pearson correlation between the click and
+    view hourly count series — the co-movement diagnostic a capacity/
+    anomaly dashboard reads. No window functions at all: every hour row
+    explodes to the 24 window ids it belongs to (a bounded sequence)
+    and ONE map-side-combined aggregate collects (Σx, Σy, Σx², Σy²,
+    Σxy) — all exact int64 since inputs are counts; n = 24 is constant
+    because all-zero hours contribute nothing to any sum. One float:
+    the final r (floor-1e6). Window ids outside full coverage or with
+    zero variance are excluded by the int64 guards. 100 TB shape: the
+    exchange carries 24 combiner rows per task per window id — never
+    the events."""
+    s = T(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "h"
+        ),
+    )
+    cnt = s.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    lims = cnt.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    contrib = cnt.select(
+        F.explode(F.expr("sequence(h, h + 23)")).alias("w"), "cx", "cy"
+    )
+    sums = contrib.groupBy("w").agg(
+        F.sum("cx").cast("long").alias("sx"),
+        F.sum("cy").cast("long").alias("sy"),
+        F.sum(F.expr("cx * cx")).cast("long").alias("sxx"),
+        F.sum(F.expr("cy * cy")).cast("long").alias("syy"),
+        F.sum(F.expr("cx * cy")).cast("long").alias("sxy"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(lims))
+        .where(
+            (F.col("w") >= F.col("h0") + 23)
+            & (F.col("w") <= F.col("h1"))
+            & (F.expr("24 * sxx - sx * sx") > 0)
+            & (F.expr("24 * syy - sy * sy") > 0)
+        )
+        .select(
+            F.col("w").alias("window_end_h"),
+            "sx",
+            "sy",
+            "sxx",
+            "syy",
+            "sxy",
+            F.expr(_RC_F6.format(x=_RC_R)).alias("r"),
+        )
+    )

@@ -162,3 +162,36 @@ def test_paa_fidelity_matches_numpy(spark, sf_dir):
     # discard more variance
     mean_by_w = out.groupby(level="w").var_retained.mean()
     assert mean_by_w[4] > mean_by_w[16] > mean_by_w[64]
+
+
+def test_rolling_correlation_matches_pandas(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.operators.xcorr_q import rolling_correlation
+
+    out = (
+        rolling_correlation(spark, sf_dir)
+        .toPandas()
+        .set_index("window_end_h")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["h"] = ev["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+    piv = (
+        ev[ev.event_type.isin(["click", "view"])]
+        .pivot_table(index="h", columns="event_type", values="event_id",
+                     aggfunc="count")
+        .reindex(range(ev.h.min(), ev.h.max() + 1))
+        .fillna(0)
+    )
+    roll = piv["click"].rolling(24).corr(piv["view"])
+    n_checked = 0
+    for w, r in out["r"].items():
+        want = roll.loc[w]
+        assert abs(r - want) < 1e-4, w
+        n_checked += 1
+    assert n_checked > 600
+    # counts telescoping: window sums equal pandas rolling sums
+    rs = piv["click"].rolling(24).sum()
+    assert all(out.loc[w, "sx"] == rs.loc[w] for w in out.index[:50])
