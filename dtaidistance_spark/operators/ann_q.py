@@ -461,3 +461,68 @@ def ann_lsh_mp_recall_check(spark, sf_dir):
         F.lit(0.8).alias("floor"),
         (F.col("recall_at_k") >= 0.8).alias("met"),
     )
+
+
+@register(
+    "embed_decontaminate",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    flagged AS (
+        SELECT c.vec_id, c.label,
+               max(list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e)))) AS best
+        FROM v c JOIN v q ON q.vec_id < {_NQ} AND c.vec_id >= {_NQ}
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN best >= CAST(0.35 AS DOUBLE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(max(best), 4) AS max_best
+    FROM flagged GROUP BY label
+    """,
+)
+def embed_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (the semantic twin of the n-gram
+    T19 screen): every train vector's best cosine against the held-out
+    eval set (vec_id < 8 standing in for an eval benchmark), flagged
+    above 0.55 — near-duplicate-of-eval semantics on a corpus whose top
+    neighbors sit at ~0.5. Plan: eval side broadcast (tiny), ONE
+    max-aggregate over the scored pairs — the train corpus never
+    shuffles. Fully oracled (count/flag int64, max cosine round-4)."""
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("_q"),
+    )
+    tr = emb.where(F.col("vec_id") >= _NQ).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("_c"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_q", "_c", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate("_q", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("_c", F.lit(0.0), lambda a, x: a + x * x))
+    flagged = (
+        tr.crossJoin(F.broadcast(qs))
+        .withColumn("cos", dot / (nq * nc))
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos").alias("best"))
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(
+            (F.col("best") >= F.expr("CAST(0.35 AS DOUBLE)")).cast("int")
+        )
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(F.max("best"), 4).alias("max_best"),
+    )

@@ -720,3 +720,51 @@ def differencing(spark, sf_dir):
             F.expr("element_at(emb, 2) - element_at(emb, 1)"), 4
         ).alias("d0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R33 — semi-structured JSON extraction (schema-on-read over the raw
+# `props` string column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_json_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+             AS n_distinct_k,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def props_json_rollup(spark, sf_dir):
+    """R33: schema-on-read over the raw JSON `props` column — extract
+    $.k, bucket it, and roll up counts / int sums / distincts / value
+    sums per (event_type, bucket). Spark parses with get_json_object
+    inside codegen (no UDF); at scale the parse rides the scan
+    projection and the only exchange is the map-side-combined rollup.
+    Int64 throughout except the round-6 value sum."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"
+            ).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )

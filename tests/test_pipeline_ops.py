@@ -500,3 +500,49 @@ def test_ivfpq_residual_refine_beats_raw_adc(spark, sf_dir):
             )
             hits += 1
     assert hits >= 20
+
+
+def test_props_json_rollup_matches_pandas(spark, sf_dir):
+    import json
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.queries import props_json_rollup
+
+    out = props_json_rollup(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["k"] = ev["props"].map(lambda s: json.loads(s).get("k"))
+    ev = ev[ev.k.notna()]
+    ev["kb"] = ev["k"].astype(int) // 10
+    grp = ev.groupby(["event_type", "kb"])
+    assert len(out) == len(grp)
+    idx = out.set_index(["event_type", "k_bucket"])
+    for (et, kb), g in grp:
+        row = idx.loc[(et, kb)]
+        assert row["n"] == len(g)
+        assert row["sum_k"] == g["k"].sum()
+        assert row["n_distinct_k"] == g["k"].nunique()
+        assert abs(row["sum_value"] - g["value"].sum()) < 1e-5
+
+
+def test_embed_decontaminate_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.operators.ann_q import embed_decontaminate
+
+    out = embed_decontaminate(spark, sf_dir).toPandas().set_index("label")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q, c = Xn[:8], Xn[8:]
+    best = (c @ q.T).max(axis=1)
+    lab = emb.label.to_numpy()[8:]
+    for label in np.unique(lab):
+        m = lab == label
+        row = out.loc[label]
+        assert row.n_train == int(m.sum())
+        assert row.n_contaminated == int((best[m] >= 0.35).sum())
+        assert row.max_best == pytest.approx(best[m].max(), abs=2e-4)
+    assert out.n_contaminated.sum() > 0  # threshold actually bites
+    assert out.n_contaminated.sum() < out.n_train.sum() / 2
