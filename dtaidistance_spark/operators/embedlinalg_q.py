@@ -322,3 +322,137 @@ def embed_whiten_identity_check(spark, sf_dir):
         "n long, max_diag_dev double, max_offdiag_dev double,"
         " max_mean_dev double",
     )
+
+
+# ---------------------------------------------------------------------------
+# E8 — Johnson-Lindenstrauss random projection (Achlioptas 2003 sparse
+# ±1 scheme) + pairwise-distortion audit: d = 64 → d' = 16 with
+# R[i][j] ∈ {+1, −1, 0} · sqrt(3/d') drawn from portable md5 bits —
+# the projection is PURE relational algebra (explode × broadcast grid
+# join × two reduces), so the oracle re-derives everything.
+# ---------------------------------------------------------------------------
+
+_JD = 16  # target dimension
+_JNS = 64  # audit sample: vec_id < _JNS → 2016 pairs
+_JL_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+# Achlioptas scale factor sqrt(3/d') applied to SQUARED distances: 3/d'
+_JL_S2 = f"(CAST(3 AS DOUBLE) / CAST({_JD} AS DOUBLE))"
+_JL_R = (
+    "(CASE WHEN ('0x' || substr(md5('jl|' || CAST(i AS {st}) || '|' ||"
+    " CAST(j AS {st})), 1, 8)){castb} % 6 = 0 THEN 1"
+    " WHEN ('0x' || substr(md5('jl|' || CAST(i AS {st}) || '|' ||"
+    " CAST(j AS {st})), 1, 8)){castb} % 6 = 1 THEN -1 ELSE 0 END)"
+)
+
+
+@register(
+    "jl_project_distortion",
+    oracle=f"""
+    WITH grid AS (
+      SELECT t.i AS i, u.j AS j,
+             {_JL_R.format(st="VARCHAR", castb="::BIGINT")} AS r
+      FROM unnest(range({_D})) AS t(i), unnest(range({_JD})) AS u(j)
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < {_JNS}
+    ),
+    vals AS (
+      SELECT vec_id, t.i AS i, e[t.i + 1] AS x
+      FROM v, unnest(range({_D})) AS t(i)
+    ),
+    proj AS (
+      SELECT vec_id, j, sum(x * CAST(r AS DOUBLE)) AS y
+      FROM vals JOIN grid USING (i) WHERE r <> 0
+      GROUP BY vec_id, j
+    ),
+    pd AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum((a.y - b.y) * (a.y - b.y)) * {_JL_S2} AS d2p
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    od AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum((a.x - b.x) * (a.x - b.x)) AS d2o
+      FROM vals a JOIN vals b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(d2o, 6) AS d2_orig,
+           round(d2p, 6) AS d2_proj,
+           {_JL_F6.format(x="(d2p / d2o)")} AS ratio,
+           (d2p / d2o >= CAST(0.35 AS DOUBLE)
+            AND d2p / d2o <= CAST(1.8 AS DOUBLE)) AS within_jl_band
+    FROM pd JOIN od USING (id_a, id_b)
+    """,
+)
+def jl_project_distortion(spark, sf_dir):
+    """E8: JL random projection d=64 → d'=16 with the Achlioptas
+    sparse ±1 matrix drawn from md5 bits (zero RNG, re-derivable by the
+    oracle), audited on all 2 016 pairs of a 64-vector sample: squared
+    distances before/after, their ratio (E[ratio]=1 under JL), and the
+    per-pair distortion-band flag. Plan: the 1 024-entry ±1 grid is
+    GENERATED relationally and broadcast; projection = explode ×
+    broadcast join × ONE (vec, j) reduce — at corpus scale each vector
+    ships d' sums across one exchange and the grid never grows.
+    Cross-row float sums under the round-6 precedent."""
+    h = (
+        "CAST(conv(substring(md5(concat('jl|', CAST(i AS STRING), '|', "
+        "CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 6"
+    )
+    grid = (
+        spark.range(_D)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(_JD).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CASE WHEN {h} = 0 THEN 1 WHEN {h} = 1 THEN -1 ELSE 0 END"
+            ).alias("r"),
+        )
+    )
+    v = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < _JNS)
+    vals = v.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "x"),
+    )
+    proj = (
+        vals.join(F.broadcast(grid.where(F.col("r") != 0)), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.expr("x * CAST(r AS DOUBLE)")).alias("y"))
+    )
+    pa = proj.select(F.col("vec_id").alias("id_a"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("id_b"), "j", F.col("y").alias("yb"))
+    pd_ = (
+        pa.join(pb, "j")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(F.expr("(ya - yb) * (ya - yb)")) * F.expr(_JL_S2)
+            ).alias("d2p")
+        )
+    )
+    va = vals.select(F.col("vec_id").alias("id_a"), "i", F.col("x").alias("xa"))
+    vb = vals.select(F.col("vec_id").alias("id_b"), "i", F.col("x").alias("xb"))
+    od = (
+        va.join(vb, "i")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("(xa - xb) * (xa - xb)")).alias("d2o"))
+    )
+    return pd_.join(od, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("d2o", 6).alias("d2_orig"),
+        F.round("d2p", 6).alias("d2_proj"),
+        F.expr(_JL_F6.format(x="(d2p / d2o)")).alias("ratio"),
+        (
+            (F.col("d2p") / F.col("d2o") >= F.expr("CAST(0.35 AS DOUBLE)"))
+            & (F.col("d2p") / F.col("d2o") <= F.expr("CAST(1.8 AS DOUBLE)"))
+        ).alias("within_jl_band"),
+    )

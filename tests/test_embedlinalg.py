@@ -156,3 +156,39 @@ def test_lsh_multiprobe_beats_singleprobe_at_same_table_budget(spark, sf_dir):
     r_sp = A.recall_at_k(sp, exact, k=10).collect()[0][0]
     assert r_mp >= 0.8
     assert r_mp > r_sp + 0.2  # the probe sequence, not the planes, lifts it
+
+
+def test_jl_distortion_matches_numpy_and_concentrates(spark, sf_dir, X):
+    import hashlib
+
+    from dtaidistance_spark.operators.embedlinalg_q import (
+        _JD,
+        _JNS,
+        jl_project_distortion,
+    )
+
+    M = X[0][:_JNS]
+    R = np.zeros((64, _JD))
+    for i in range(64):
+        for j in range(_JD):
+            h = int(
+                hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:8], 16
+            ) % 6
+            R[i, j] = 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+    Y = M @ R
+    out = jl_project_distortion(spark, sf_dir).toPandas()
+    assert len(out) == _JNS * (_JNS - 1) // 2
+    idx = out.set_index(["id_a", "id_b"])
+    rng = np.random.default_rng(0)
+    for a, b in rng.integers(0, _JNS, size=(40, 2)):
+        if a >= b:
+            continue
+        row = idx.loc[(a, b)]
+        d2o = ((M[a] - M[b]) ** 2).sum()
+        d2p = ((Y[a] - Y[b]) ** 2).sum() * 3.0 / _JD
+        assert row.d2_orig == pytest.approx(d2o, abs=2e-5)
+        assert row.d2_proj == pytest.approx(d2p, abs=2e-5)
+        assert row.ratio == pytest.approx(d2p / d2o, abs=1e-4)
+    # JL concentration: unbiased on average, mostly inside the band
+    assert 0.9 < out.ratio.mean() < 1.1
+    assert out.within_jl_band.mean() > 0.9
