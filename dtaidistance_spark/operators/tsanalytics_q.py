@@ -1901,3 +1901,221 @@ def asap_smooth(spark, sf_dir):
         "doc_id", "n_tok", "w", "m", "ssd_raw", "ssd_w", "wsum",
         *_ASAP_FLOATS,
     )
+
+
+# ---------------------------------------------------------------------------
+# R34 — event-type Markov transition matrix (product-analytics staple)
+# ---------------------------------------------------------------------------
+
+_MK_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+
+
+@register(
+    "markov_transitions",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, event_type FROM events
+    ),
+    tr AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY tu, event_id) AS nxt
+      FROM s
+    ),
+    cnt AS (
+      SELECT cur, nxt, count(*) AS n FROM tr WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM cnt GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n, t.row_n,
+           {_MK_F6.format(
+               x="(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE))")} AS p
+    FROM cnt c JOIN tot t USING (cur)
+    """,
+)
+def markov_transitions(spark, sf_dir):
+    """R34: first-order Markov transition matrix over per-user event
+    streams under the (tu, event_id) total order — counts int64, row-
+    conditional probabilities one floor-1e6 division. One user exchange
+    for the lead window, one map-side-combined (cur, nxt) count, one
+    broadcast row-total join — the stream itself crosses the wire
+    once."""
+    s = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    tr = s.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = tr.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cur").agg(F.sum("n").cast("long").alias("row_n"))
+    return cnt.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        "row_n",
+        F.expr(
+            _MK_F6.format(x="(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE))")
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS37 — Kaplan-Meier survival curve (signup -> first purchase), with
+# right-censoring at the end of observation. No window functions: the
+# risk set n_t and the survival product both come from tiny day-axis
+# joins (the day table is bounded), so nothing global ever sorts.
+# ---------------------------------------------------------------------------
+
+_KM_DAY = 86_400_000_000
+
+
+@register(
+    "km_survival",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+    ),
+    t0 AS (
+      SELECT user_id, min(tu) AS t0 FROM s WHERE event_type = 'signup'
+      GROUP BY user_id
+    ),
+    obs_end AS (SELECT max(tu) AS tmax FROM s),
+    tp AS (
+      SELECT s.user_id, min(s.tu) AS tp
+      FROM s JOIN t0 USING (user_id)
+      WHERE s.event_type = 'purchase' AND s.tu > t0.t0
+      GROUP BY s.user_id
+    ),
+    subj AS (
+      SELECT t0.user_id,
+             CASE WHEN tp.tp IS NOT NULL THEN (tp.tp - t0.t0) // {_KM_DAY}
+                  ELSE (o.tmax - t0.t0) // {_KM_DAY} END AS dur,
+             CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id, obs_end o
+    ),
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_subj FROM subj),
+    leavers AS (
+      SELECT dur AS d, CAST(count(*) AS BIGINT) AS lv,
+             CAST(sum(ev) AS BIGINT) AS dv
+      FROM subj GROUP BY dur
+    ),
+    evdays AS (SELECT d AS t FROM leavers WHERE dv > 0),
+    risk AS (
+      SELECT e.t,
+             (SELECT n_subj FROM ntot)
+               - CAST(coalesce(sum(l.lv), 0) AS BIGINT) AS n_t
+      FROM evdays e LEFT JOIN leavers l ON l.d < e.t
+      GROUP BY e.t
+    ),
+    km AS (
+      SELECT r.t, r.n_t, le.dv AS d_t,
+             (SELECT CASE WHEN max(CASE WHEN l2.dv >= r2.n_t THEN 1 ELSE 0
+                                   END) = 1 THEN CAST(0 AS DOUBLE)
+                  ELSE exp(sum(CASE WHEN l2.dv >= r2.n_t
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE ln(CAST(1 AS DOUBLE)
+                    - CAST(l2.dv AS DOUBLE) / CAST(r2.n_t AS DOUBLE)) END))
+                  END
+              FROM risk r2 JOIN leavers l2 ON l2.d = r2.t
+              WHERE r2.t <= r.t) AS s_raw
+      FROM risk r JOIN leavers le ON le.d = r.t
+    )
+    SELECT t AS day, d_t AS n_events, n_t AS n_at_risk,
+           {_MK_F6.format(x="s_raw")} AS s_km
+    FROM km
+    """,
+)
+def km_survival(spark, sf_dir):
+    """TS37: Kaplan-Meier estimator for time from signup to first
+    purchase, right-censored at the end of observation: per event day
+    t, the risk set n_t (subjects with duration ≥ t — censored
+    subjects count while at risk), deaths d_t, and
+    S(t) = Π_{u≤t}(1 − d_u/n_u) computed as exp(Σ ln(·)) over the
+    BOUNDED day table — risk sets and the survival product are both
+    small day-axis joins, zero window functions, so nothing
+    corpus-sized ever sorts globally. Counts/durations int64; the one
+    float chain (ln/exp, libm ≤1 ulp) lands on floor-1e6."""
+    s = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        "event_type",
+    )
+    t0 = s.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("tu").alias("t0")
+    )
+    tmax = s.agg(F.max("tu").alias("tmax"))
+    tp = (
+        s.join(t0, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("tu") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("tp"))
+    )
+    subj = (
+        t0.join(tp, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            F.expr(
+                f"CASE WHEN tp IS NOT NULL THEN (tp - t0) DIV {_KM_DAY}"
+                f" ELSE (tmax - t0) DIV {_KM_DAY} END"
+            ).alias("dur"),
+            F.expr("CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+        )
+    )
+    ntot = subj.agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    leavers = subj.groupBy(F.col("dur").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("lv"),
+        F.sum("ev").cast("long").alias("dv"),
+    )
+    evdays = leavers.where(F.col("dv") > 0).select(F.col("d").alias("t"))
+    risk = (
+        evdays.join(
+            leavers.select(F.col("d").alias("ld"), "lv"),
+            F.col("ld") < F.col("t"),
+            "left",
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("lv"), F.lit(0)).cast("long").alias("gone"))
+        .crossJoin(F.broadcast(ntot))
+        .select("t", (F.col("n_subj") - F.col("gone")).alias("n_t"))
+    )
+    terms = risk.join(
+        leavers.select(F.col("d").alias("t"), "dv"), "t"
+    ).select(
+        "t",
+        "n_t",
+        "dv",
+        F.expr(
+            "CASE WHEN dv >= n_t THEN CAST(NULL AS DOUBLE)"
+            " ELSE ln(CAST(1 AS DOUBLE)"
+            " - CAST(dv AS DOUBLE) / CAST(n_t AS DOUBLE)) END"
+        ).alias("lnterm"),
+        F.expr("CASE WHEN dv >= n_t THEN 1 ELSE 0 END").alias("iszero"),
+    )
+    ta = terms.select(
+        F.col("t").alias("t2"),
+        F.col("lnterm").alias("lnterm2"),
+        F.col("iszero").alias("iszero2"),
+    )
+    km = (
+        terms.drop("lnterm", "iszero")
+        .join(ta, F.col("t2") <= F.col("t"))
+        .groupBy("t", "n_t", "dv")
+        .agg(
+            F.expr(
+                "CASE WHEN max(iszero2) = 1 THEN CAST(0 AS DOUBLE)"
+                " ELSE exp(sum(lnterm2)) END"
+            ).alias("s_raw")
+        )
+    )
+    return km.select(
+        F.col("t").alias("day"),
+        F.col("dv").alias("n_events"),
+        F.col("n_t").alias("n_at_risk"),
+        F.expr(_MK_F6.format(x="s_raw")).alias("s_km"),
+    )

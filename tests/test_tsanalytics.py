@@ -987,3 +987,68 @@ def test_macd_matches_pandas_ewm(spark, sf_dir):
         assert g["crossover"].iloc[0] is None or np.isnan(
             g["crossover"].iloc[0]
         )
+
+
+def test_markov_transitions_match_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tsanalytics_q import markov_transitions
+
+    out = markov_transitions(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "tu", "event_id"])
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev[ev.nxt.notna()]
+    want = tr.groupby(["event_type", "nxt"]).size()
+    idx = out.set_index(["cur", "nxt"])
+    assert len(out) == len(want)
+    for (cur, nxt), n in want.items():
+        row = idx.loc[(cur, nxt)]
+        assert row["n"] == n
+    # rows are conditional distributions
+    sums = out.groupby("cur")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_km_survival_matches_reference(spark, sf_dir):
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tsanalytics_q import (
+        _KM_DAY,
+        km_survival,
+    )
+
+    out = km_survival(spark, sf_dir).toPandas().set_index("day").sort_index()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    t0 = ev[ev.event_type == "signup"].groupby("user_id")["tu"].min()
+    tmax = ev["tu"].max()
+    pur = ev[ev.event_type == "purchase"].merge(
+        t0.rename("t0"), on="user_id"
+    )
+    tp = pur[pur.tu > pur.t0].groupby("user_id")["tu"].min()
+    durs, evs = [], []
+    for uid, start in t0.items():
+        if uid in tp.index:
+            durs.append((tp.loc[uid] - start) // _KM_DAY)
+            evs.append(1)
+        else:
+            durs.append((tmax - start) // _KM_DAY)
+            evs.append(0)
+    df = pd.DataFrame({"dur": durs, "ev": evs})
+    s = 1.0
+    n = len(df)
+    for day in sorted(df.dur.unique()):
+        d = int(df[(df.dur == day) & (df.ev == 1)].shape[0])
+        at_risk = int((df.dur >= day).sum())
+        if d > 0:
+            srow = out.loc[day]
+            assert srow.n_events == d
+            assert srow.n_at_risk == at_risk
+            s *= 1.0 - d / at_risk
+            assert srow.s_km == pytest.approx(s, abs=1e-5), day
+    # survival is monotone nonincreasing in [0, 1]
+    km = out["s_km"].to_numpy()
+    assert (km[:-1] >= km[1:] - 1e-9).all()
+    assert km[0] <= 1.0 and km[-1] >= 0.0
