@@ -1213,3 +1213,60 @@ def stream_attr_join_outer(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("stream_sdt")
+def stream_sdt_q(spark, sf_dir):
+    """E4-as-a-stream: swinging-door compression of each user's 'error'
+    value stream run as the 6th applyInPandasWithState operator — raw
+    points in, archived points out exactly once on event-time timeout
+    (the process-historian deployment shape; the north star names this
+    compression tier explicitly). Rows-only in the driver artifact; the
+    oracled family twin is ``sdt_check`` (independent SQL range-join
+    reconstruction bound) and the pytest gate pins row-for-row equality
+    with the batch E4 kernel."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="stream_sdt_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            S.stream_sdt(stream, tol=5.0, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, CAST(0.0 AS DOUBLE) AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                "idx",
+                F.expr("timestamp_micros(tu)").alias("ts"),
+                "value",
+            )
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

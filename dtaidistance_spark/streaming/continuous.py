@@ -620,3 +620,80 @@ def stream_counter_agg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_sdt(
+    stream: DataFrame,
+    tol: float = 5.0,
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 6th): swinging-door trending compression AS A STREAM — the
+    deployment shape a process historian actually runs: raw points
+    flow in, the archived (kept) points flow out exactly once when the
+    watermark closes the series.
+
+    The state is the user's (tu, value) buffer (bounded by the per-key
+    event count in the drained window — a production deployment
+    windows the key exactly like the DBA tier, committing each closed
+    door segment as its own key); on event-time timeout the EXACT
+    batch kernel (``functions.sdt.swinging_door`` — greedy doors +
+    the unconditional verify-split tolerance pass) runs over the
+    sorted buffer, so the emitted point set equals the batch E4
+    operator row for row, including the reconstruction-error
+    guarantee."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dtaidistance_spark.functions.sdt import swinging_door
+
+    keyed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            tus, vals = state.get
+            state.remove()
+            pairs = sorted(zip(tus, vals))
+            if pairs:
+                x = [p[0] / 1e6 for p in pairs]  # seconds, as batch E4
+                y = [p[1] for p in pairs]
+                kept = swinging_door(x, y, tol)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)] * len(kept),
+                        "idx": list(range(len(kept))),
+                        "tu": [int(pairs[j][0]) for j in kept],
+                        "value": [float(pairs[j][1]) for j in kept],
+                    }
+                )
+            return
+        tus, vals = (state.get if state.exists else ([], []))
+        tus, vals = list(tus), list(vals)
+        for pdf in pdfs:
+            tus.extend(int(x) for x in pdf["tu"])
+            vals.extend(float(x) for x in pdf["v"])
+        state.update((tus, vals))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, idx int, tu long, value double",
+        stateStructType="tus array<long>, vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

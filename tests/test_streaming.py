@@ -505,3 +505,30 @@ def test_stream_attr_join_outer_nulls_on_eviction(spark, sf_dir):
         for r in m.itertuples()
     }
     assert got_matched == want_matched
+
+
+def test_stream_sdt_equals_batch_kernel(spark, sf_dir):
+    """The 6th stateful op: the drained stream's archived points must
+    equal the batch E4 operator row for row (same kernel, same tol)."""
+    from dtaidistance_spark.operators.streaming_q import stream_sdt_q
+    from dtaidistance_spark.operators.tsops_q import sdt_downsample
+
+    got = (
+        stream_sdt_q(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        sdt_downsample(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["idx"] == want["idx"]).all()
+    assert (
+        got["ts"].astype("datetime64[us]") == want["ts"].astype("datetime64[us]")
+    ).all()
+    assert (got["value"] == want["value"]).all()
