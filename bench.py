@@ -238,6 +238,33 @@ def main() -> None:
         cdc_sec = dt if cdc_sec is None else min(cdc_sec, dt)
     timings["cdc_chunk_bench"] = round(cdc_sec, 3)
 
+    # --- BPE training-round throughput (T53 shape) -----------------------
+    # one merge-learning round over every bench token: adjacent-pair
+    # extraction (per-row HOF, 16-symbol fold) + the map-side-combined
+    # (a, b) count + the TakeOrderedAndProject(1) winner
+    bpe_sec, bpe_top = None, None
+    for r in (0, -1):  # distinct filter literals defeat shuffle reuse
+        bpe_pairs = seq.where(F_expr(f"n_tok > {r}")).select(
+            F_explode(
+                F_expr(
+                    "transform(sequence(1, n_tok - 1), j -> struct("
+                    "element_at(tokens, j) % 16 AS a,"
+                    " element_at(tokens, j + 1) % 16 AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        bpe_win = (
+            bpe_pairs.groupBy("a", "b")
+            .count()
+            .orderBy(F_expr("count DESC"), "a", "b")
+            .limit(1)
+        )
+        t0 = time.perf_counter()
+        bpe_top = bpe_win.collect()[0]
+        dt = time.perf_counter() - t0
+        bpe_sec = dt if bpe_sec is None else min(bpe_sec, dt)
+    timings["bpe_round_bench"] = round(bpe_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -315,6 +342,8 @@ def main() -> None:
         "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
         "binseg_points_per_sec": round(stats["n_points"] / bs_sec, 1),
         "cdc_distinct_chunks": int(cdc_chunks),
+        "bpe_round_top_count": int(bpe_top["count"]),
+        "bpe_tokens_per_sec": round(stats["n_points"] / bpe_sec, 1),
         "cdc_tokens_per_sec": round(stats["n_points"] / cdc_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
