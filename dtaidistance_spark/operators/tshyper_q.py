@@ -1336,3 +1336,119 @@ def macd_signal(spark, sf_dir):
         "crossover",
         (F.col("hist") > 0.0) != (F.lag("hist").over(wl) > 0.0),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS38 — seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+# 2006): the no-excuses forecasting baseline + the scale-free error a
+# capacity-planning pipeline actually reports.
+# ---------------------------------------------------------------------------
+
+_FC_TEST = 7  # held-out days
+_FC_P = 7  # weekly seasonality
+
+
+@register(
+    "forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             {_G_F6.format(x="(sum(value) / CAST(count(*) AS DOUBLE))")}
+               AS dm
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, dm,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    lagd AS (
+      SELECT event_type, day, t, n, dm,
+             lag(dm, {_FC_P}) OVER (PARTITION BY event_type ORDER BY t)
+               AS fcst,
+             abs(dm - lag(dm) OVER (PARTITION BY event_type ORDER BY t))
+               AS d1
+      FROM idx
+    ),
+    denom AS (
+      SELECT event_type,
+             sum(CASE WHEN t < n - {_FC_TEST} THEN d1 ELSE NULL END)
+               / CAST(sum(CASE WHEN t < n - {_FC_TEST} AND d1 IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS mae1
+      FROM lagd GROUP BY event_type
+    ),
+    test AS (
+      SELECT l.event_type, l.day, l.dm AS actual, l.fcst,
+             abs(l.dm - l.fcst) AS abserr, d.mae1
+      FROM lagd l JOIN denom d USING (event_type)
+      WHERE l.t >= l.n - {_FC_TEST}
+    ),
+    scored AS (
+      SELECT event_type, day, actual, fcst, abserr, mae1,
+             avg(abserr) OVER (PARTITION BY event_type) AS mae_s
+      FROM test
+    )
+    SELECT event_type, day, actual, fcst,
+           {_G_F6.format(x="abserr")} AS abs_err,
+           {_G_F6.format(x="(mae_s / mae1)")} AS mase
+    FROM scored
+    """,
+)
+def forecast_backtest(spark, sf_dir):
+    """TS38: seasonal-naive backtest — forecast(d) = dm(d − 7) on the
+    last 7 held-out days of each event-type daily-mean series, scored
+    with MASE (mean |err| over the test window divided by the TRAINING
+    window's naive-1 MAE — the scale-free Hyndman-Koehler error; < 1
+    beats drift). Daily means floor-1e6 first, so both engines
+    difference identical inputs; per-type windows only. MASE ≈ 1 here:
+    the synthetic events have no weekly structure, which is itself the
+    correct reading of the diagnostic."""
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("day"),
+        )
+        .agg(
+            F.expr(
+                _G_F6.format(x="(sum(value) / CAST(count(1) AS DOUBLE))")
+            ).alias("dm")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    idx = daily.withColumn("t", F.row_number().over(wo) - F.lit(1)).withColumn(
+        "n", F.count(F.lit(1)).over(wt)
+    )
+    lagd = idx.withColumn("fcst", F.lag("dm", _FC_P).over(wo)).withColumn(
+        "d1", F.abs(F.col("dm") - F.lag("dm").over(wo))
+    )
+    denom = lagd.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.when(F.col("t") < F.col("n") - _FC_TEST, F.col("d1"))
+            )
+            / F.sum(
+                F.when(
+                    (F.col("t") < F.col("n") - _FC_TEST)
+                    & F.col("d1").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+        ).alias("mae1")
+    )
+    test = lagd.join(denom, "event_type").where(
+        F.col("t") >= F.col("n") - _FC_TEST
+    )
+    scored = test.withColumn("mae_s", F.avg(F.abs(F.col("dm") - F.col("fcst"))).over(wt))
+    return scored.select(
+        "event_type",
+        "day",
+        F.col("dm").alias("actual"),
+        "fcst",
+        F.expr(_G_F6.format(x="abs(dm - fcst)")).alias("abs_err"),
+        F.expr(_G_F6.format(x="(mae_s / mae1)")).alias("mase"),
+    )

@@ -1052,3 +1052,35 @@ def test_km_survival_matches_reference(spark, sf_dir):
     km = out["s_km"].to_numpy()
     assert (km[:-1] >= km[1:] - 1e-9).all()
     assert km[0] <= 1.0 and km[-1] >= 0.0
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_spark.operators.tshyper_q import forecast_backtest
+
+    out = forecast_backtest(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    f6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    for et, g in ev.groupby("event_type"):
+        dm = g.groupby("day")["value"].mean().map(f6).sort_index()
+        n = len(dm)
+        train = dm.iloc[: n - 7]
+        mae1 = train.diff().abs().dropna().mean()
+        test_act = dm.iloc[n - 7 :]
+        fcst = dm.shift(7).iloc[n - 7 :]
+        mae_s = (test_act - fcst).abs().mean()
+        sub = out[out.event_type == et].set_index("day").sort_index()
+        assert len(sub) == 7
+        for day in sub.index:
+            assert sub.loc[day, "actual"] == pytest.approx(dm.loc[day], abs=2e-6)
+            assert sub.loc[day, "fcst"] == pytest.approx(
+                dm.shift(7).loc[day], abs=2e-6
+            )
+        assert np.allclose(sub["mase"], f6(mae_s / mae1), atol=2e-5)
+        # unstructured synthetic series: seasonal-naive ~ drift baseline
+        assert 0.5 < sub["mase"].iloc[0] < 2.0
