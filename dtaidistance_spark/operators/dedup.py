@@ -482,3 +482,92 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def cc_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale tier next to ``neardup_components``'s label
+    propagation: each round HALVES the component diameter (propagation
+    moves labels one hop per round), so adversarially deep chains
+    converge in O(log d) shuffles instead of O(d).
+
+    large-star: every node attaches its LARGER neighbors to the
+    minimum of its closed neighborhood; small-star (on edges directed
+    large→small): every node attaches its smaller-or-equal neighbors
+    and itself to that minimum. At the fixed point the edge set is a
+    forest of stars (child → root); roots are component minima —
+    identical output contract to ``neardup_components``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    st = edges.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(a, b))").alias("s")
+    ).collect()[0]
+    prev_n, prev_chk = st["n"], st["s"]
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lg = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(lg, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        dirn = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        sg = dirn.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            dirn.join(sg, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(sg.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            # localCheckpoint, not persist: the iteration would otherwise
+            # grow the LOGICAL plan every round (persist only caches the
+            # physical result) and AQE's plan-string rendering goes
+            # quadratic-to-OOM on deep graphs
+            .localCheckpoint()
+        )
+        # fixed point: star edges are invariant under both steps —
+        # (count, order-free checksum) of the canonicalized (large,
+        # small) edge set vs the previous round, ONE aggregate per round
+        st = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(greatest(a, b), least(a, b)))").alias(
+                "s"
+            ),
+        ).collect()[0]
+        edges = small
+        if st["n"] == prev_n and st["s"] == prev_chk:
+            break
+        prev_n, prev_chk = st["n"], st["s"]
+    # edges are (child, root); roots are their own component
+    members = edges.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    roots = edges.select(F.col("b").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    comp = members.unionByName(roots).distinct()
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+    )

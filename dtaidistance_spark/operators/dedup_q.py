@@ -361,3 +361,36 @@ def jaccard_prefix_join(spark, sf_dir):
     return D.jaccard_prefix_pairs(
         T(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+@register(
+    "neardup_components_star",
+    oracle=_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT s, d FROM e
+        UNION
+        SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    sizes AS (SELECT component_id, count(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT comp.id AS doc_id, comp.component_id, sizes.cluster_size,
+           comp.id = comp.component_id AS is_canonical
+    FROM comp JOIN sizes USING (component_id)
+    """,
+)
+def neardup_components_star(spark, sf_dir):
+    """T6 SCALE tier: large-star/small-star connected components
+    (Kiveris SoCC'14) over the same MinHash-LSH pair graph — diameter
+    HALVES per round (label propagation moves one hop per round), so
+    deep chains need O(log d) shuffles. Identical output contract and
+    identical recursive-CTE oracle as ``neardup_components``; the
+    propagation tier remains the simple-graph default."""
+    pairs = D.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.8)
+    return D.cc_star(pairs)

@@ -67,3 +67,33 @@ def test_jaccard_prefix_join_equals_brute_and_prunes(spark, sf_dir):
         .count()
     )
     assert cands < n * (n - 1) // 2 / 4  # >4x fewer than all-pairs
+
+
+def test_cc_star_equals_propagation_and_halves_deep_chains(spark, sf_dir):
+    from dtaidistance_spark.operators import dedup as D
+
+    # deep path graph: the adversarial case for label propagation
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)],
+        "id_a string, id_b string",
+    )
+    out = D.cc_star(chain).toPandas()
+    assert (out["component_id"] == "n000").all()
+    assert (out["cluster_size"] == 41).all()
+    assert out["is_canonical"].sum() == 1
+    # equality with the propagation tier on the real LSH pair graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8).persist()
+    a = (
+        D.neardup_components(pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        D.cc_star(pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
