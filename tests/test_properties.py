@@ -241,3 +241,107 @@ def test_lfilter_zi_step_steady_state(xs):
     ext = np.concatenate([np.full(7, x[0]), x])
     y2, _ = K.lfilter(b, a, ext, zi=zi * x[0])
     np.testing.assert_allclose(y1, y2[7:], rtol=1e-9, atol=1e-9)
+
+
+# -- round-3 session kernels: BPE merge pass, FLUSS arc curve, SQ8 ----------
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=2, max_size=60),
+    st.integers(0, 5),
+    st.integers(0, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_once_invariants(seq, a, b):
+    from tests.test_bpe import _merge_once
+
+    out, applied = _merge_once(seq, a, b, 99)
+    # every application removes exactly one position
+    assert len(out) == len(seq) - applied
+    # leftmost-non-overlap: NO (a, b) adjacency of ORIGINAL tokens
+    # survives the pass (new 99s break any would-be overlap chain)
+    for x, y in zip(out, out[1:]):
+        assert not (x == a and y == b)
+    # non-merged tokens preserved in order
+    assert [t for t in out if t != 99] == _strip_merged(seq, a, b)
+
+
+def _strip_merged(seq, a, b):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=30, max_size=120),
+    st.integers(4, 8),
+)
+@settings(max_examples=50, deadline=None)
+def test_fluss_arc_counts_match_naive(vals, m):
+    from dtaidistance_spark.operators.matrixprofile import fluss_cac, mp_self
+
+    arr = np.asarray(vals, dtype=np.int64)
+    excl, zone = m // 2, m
+    res = fluss_cac(arr, m, excl, zone)
+    if res is None:
+        return
+    ac, cac = res
+    d2, nn = mp_self(arr, m, excl)
+    q = d2.size
+    for i in range(q):
+        want = sum(
+            1
+            for p in range(q)
+            if nn[p] >= 0 and min(p, nn[p]) < i < max(p, nn[p])
+        )
+        assert ac[i] == want
+    assert (cac >= 0).all() and (cac <= 1).all()
+
+
+@given(st.lists(st.floats(-100, 100, width=64), min_size=2, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_sq8_roundtrip_within_half_step(vals):
+    x = np.asarray(vals, dtype=np.float64)
+    mn, mx = x.min(), x.max()
+    if mx <= mn:
+        return
+    q = np.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+    xr = mn + q * (mx - mn) / 255.0
+    step = (mx - mn) / 255.0
+    assert (q >= 0).all() and (q <= 255).all()
+    assert (np.abs(x - xr) <= step / 2 + 1e-12 * (mx - mn)).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 80), st.integers(0, 80)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_ares_prefix_property(pairs):
+    """A-Res invariant: the top-k by key of a union equals the merge of
+    per-partition top-k (the bounded-heap mergeability TakeOrdered
+    relies on)."""
+    import hashlib
+    import math
+
+    keys = {}
+    for idx, (w, salt) in enumerate(pairs):
+        d = f"doc{idx:04d}"
+        h = int(hashlib.md5(f"ares|{d}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 4503599627370496.0
+        keys[d] = -math.log(u) / float(w + 1)
+    k = max(1, len(keys) // 3)
+    full = sorted(keys, key=lambda d: (keys[d], d))[:k]
+    mid = len(pairs) // 2
+    part1 = sorted(list(keys)[:mid], key=lambda d: (keys[d], d))[:k]
+    part2 = sorted(list(keys)[mid:], key=lambda d: (keys[d], d))[:k]
+    merged = sorted(part1 + part2, key=lambda d: (keys[d], d))[:k]
+    assert merged == full
