@@ -768,3 +768,65 @@ def props_json_rollup(spark, sf_dir):
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R35 — TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+# per-key aggregate join (small-quantity-order revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    WITH thresh AS (
+      SELECT l_partkey,
+             CAST(0.2 AS DOUBLE) * (sum(l_quantity) / count(*)) AS t,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           count(*) AS n_small,
+           round(sum(l.l_extendedprice), 4) AS small_revenue,
+           round(sum(l.l_extendedprice) / CAST(7 AS DOUBLE), 4)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN thresh th ON th.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < th.t
+    GROUP BY p.p_brand
+    """,
+)
+def small_qty_revenue(spark, sf_dir):
+    """R35 (TPC-H Q17 shape): revenue locked in unusually small orders —
+    the classic correlated scalar subquery (`l_quantity < 0.2 * avg per
+    part`) written DECORRELATED: one map-side-combined per-part
+    aggregate joined back (Catalyst plans the same decorrelation for
+    the subquery form; stating it explicitly keeps the plan stable and
+    the threshold reusable), then a broadcast part-dim join for the
+    brand rollup. avg spelled sum/count so both engines build the
+    identical float tree; round-4 outputs."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    thresh = li.groupBy("l_partkey").agg(
+        (
+            F.expr("CAST(0.2 AS DOUBLE)")
+            * (F.sum("l_quantity") / F.count(F.lit(1)))
+        ).alias("t")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("t"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 4).alias("small_revenue"),
+            F.round(
+                F.sum("l_extendedprice") / F.expr("CAST(7 AS DOUBLE)"), 4
+            ).alias("avg_yearly"),
+        )
+    )
