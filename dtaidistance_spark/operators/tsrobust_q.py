@@ -23,10 +23,11 @@ Both are scan-side HOF pipelines — zero shuffles, whole-stage codegen.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dtaidistance_spark import synth
-from dtaidistance_spark.operators.queries import register
+from dtaidistance_spark.operators.queries import T, register
 from dtaidistance_spark.operators.synth_q import synth_sql
 
 _N = 128
@@ -315,4 +316,106 @@ def winsorize_series(spark, sf_dir):
                 ",",
             )
         ).alias("clamped_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS39 — Benford first-digit conformance (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+_BF_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+# expected Benford mass for digit d, identical tree both engines
+_BF_P = "log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE))"
+
+
+@register(
+    "benford_digit_test",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(floor(value * CAST(100 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT event_type,
+             CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents WHERE c > 0
+    ),
+    obs AS (
+      SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY event_type, d
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n FROM obs
+      GROUP BY event_type
+    ),
+    scored AS (
+      SELECT o.event_type, o.d, o.n_obs, t.n,
+             {_BF_P} AS p,
+             (CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({_BF_P}))
+               * (CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({_BF_P}))
+               / (CAST(t.n AS DOUBLE) * ({_BF_P})) AS term
+      FROM obs o JOIN tot t USING (event_type)
+    )
+    SELECT event_type, d AS digit, n_obs, n,
+           {_BF_F6.format(x="p")} AS p_benford,
+           {_BF_F6.format(x="term")} AS chi2_term,
+           {_BF_F6.format(
+               x="sum(term) OVER (PARTITION BY event_type)")} AS chi2
+    FROM scored
+    """,
+)
+def benford_digit_test(spark, sf_dir):
+    """TS39: Benford first-significant-digit conformance per event
+    type — the classic data-quality / fraud screen. Digit extraction
+    is INTEGER-exact: values are 2-dp, so cents = floor(100v + 0.5) is
+    an exact int64 and the leading digit is the first character of its
+    digit string (no float log10 near power-of-ten boundaries).
+    Expected mass log10(1 + 1/d) and the χ² terms share one verbatim
+    float tree; per-type χ² via a type-partitioned window over ≤ 9
+    rows. Two map-side-combined aggregates, nothing global."""
+    cents = (
+        T(spark, sf_dir, "events")
+        .where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(floor(value * CAST(100 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("c"),
+        )
+        .where(F.col("c") > 0)
+    )
+    digits = cents.select(
+        "event_type",
+        F.expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)").alias(
+            "d"
+        ),
+    )
+    obs = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = obs.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n")
+    )
+    term = (
+        "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " / (CAST(n AS DOUBLE) * ({p}))"
+    ).format(p=_BF_P)
+    scored = obs.join(F.broadcast(tot), "event_type").withColumn(
+        "term", F.expr(term)
+    )
+    w = Window.partitionBy("event_type")
+    return scored.select(
+        "event_type",
+        F.col("d").alias("digit"),
+        "n_obs",
+        "n",
+        F.expr(_BF_F6.format(x=_BF_P)).alias("p_benford"),
+        F.expr(_BF_F6.format(x="term")).alias("chi2_term"),
+        F.expr(_BF_F6.format(x="sum(term) OVER (PARTITION BY event_type)")).alias(
+            "chi2"
+        ),
     )

@@ -1085,3 +1085,49 @@ def test_forecast_backtest_matches_pandas(spark, sf_dir):
         # unstructured synthetic series: seasonal-naive within the same
         # order of magnitude as the drift baseline
         assert 0.2 < sub["mase"].iloc[0] < 3.0
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit test (TS39, tsrobust_q)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_matches_pandas(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators import tsrobust_q  # noqa: F401
+
+    out = REGISTRY["benford_digit_test"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    f6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    v = ev.loc[ev["value"] > 0, ["event_type", "value"]].copy()
+    v["c"] = np.floor(v["value"] * 100.0 + 0.5).astype("int64")
+    v = v[v["c"] > 0]
+    v["d"] = v["c"].astype(str).str[0].astype("int64")
+    for et, g in v.groupby("event_type"):
+        obs = g.groupby("d").size()
+        n = int(obs.sum())
+        sub = out[out.event_type == et].set_index("digit").sort_index()
+        # every observed digit present, counts exact
+        assert set(sub.index) == set(obs.index)
+        chi2 = 0.0
+        for d in obs.index:
+            p = math.log10(1.0 + 1.0 / d)
+            term = (obs[d] - n * p) ** 2 / (n * p)
+            chi2 += term
+            assert int(sub.loc[d, "n_obs"]) == int(obs[d])
+            assert int(sub.loc[d, "n"]) == n
+            assert sub.loc[d, "p_benford"] == pytest.approx(f6(p), abs=2e-6)
+            assert sub.loc[d, "chi2_term"] == pytest.approx(term, abs=2e-6)
+        # χ² column is constant per type and equals the sum of terms
+        assert sub["chi2"].nunique() == 1
+        assert sub["chi2"].iloc[0] == pytest.approx(chi2, rel=1e-6)
+        # events.value spans ~4 decades exponentially (0.03–327), the
+        # regime where Benford genuinely holds: the screen must NOT fire
+        # (χ² at 8 dof stays under the 99.9% critical value ≈ 26.1), and
+        # digit 1 is modal near the log10(2) ≈ 0.301 Benford mass
+        assert chi2 < 26.1
+        assert obs.idxmax() == 1
+        assert 0.2 < obs[1] / n < 0.4
