@@ -244,3 +244,160 @@ def sliding_distinct_tokens(spark, sf_dir):
     return cum.where(F.col("p") >= _W - 1).select(
         "doc_id", F.col("p").alias("pos"), "n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# TS40 — Hurst exponent by rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+# Mandelbrot-Wallis R/S: for each dyadic window size w ∈ {8,16,32,64},
+# split the series into ⌊n/w⌋ disjoint blocks; per block the range R of
+# the cumulative mean-deviation walk over the block stddev S, averaged
+# over blocks; H = OLS slope of ln(R/S) on ln(w).  Everything until the
+# final divide/sqrt is INT64-EXACT by scaling each block by w:
+# deviations d_i = w·x_i − Σx (ints), walk prefixes and their min/max
+# via one [z, mn, mx] array fold (Z_w = 0 always, so the origin is in
+# the range for free), SSD = Σ d_i² (≤ 2^50), and
+# R/S = R_scaled / sqrt(SSD / w) — two int64s into one float.  The
+# per-w block mean is a left fold over the block array in index order,
+# so the float accumulation order is engine-identical (the kalman_filter
+# list_reduce precedent); the 4-point log-log OLS slope is one shared
+# verbatim tree over the raw (unfloored) R/S values.
+#
+# Scale shape: zero exchanges — per-row HOFs inside the scan projection,
+# O(n) per window size (block sums/folds partition the array; the
+# single-element-array transform trick binds Σx and the deviation array
+# once per block, so nothing is re-evaluated per element).
+
+_HWS = (8, 16, 32, 64)
+
+
+def _rs_expr(eng: str, w: int) -> str:
+    """R/S mean over ⌊n_tok/w⌋ blocks as one expression (engine-shared
+    value tree; only function spellings differ)."""
+    sp = eng == "spark"
+    el = (lambda a, i: f"element_at({a}, {i})") if sp else (
+        lambda a, i: f"{a}[{i}]"
+    )
+    tr = "transform" if sp else "list_transform"
+    fil = "filter" if sp else "list_filter"
+    siz = "size" if sp else "len"
+    arr = (lambda body: f"array({body})") if sp else (lambda body: f"[{body}]")
+    blk = (
+        f"slice(tokens, b * {w} + 1, {w})"
+        if sp
+        else f"list_slice(tokens, b * {w} + 1, b * {w} + {w})"
+    )
+    if sp:
+        s_expr = (
+            f"aggregate({blk}, CAST(0 AS BIGINT),"
+            f" (a, x) -> a + CAST(x AS BIGINT))"
+        )
+    else:
+        s_expr = (
+            f"list_reduce({tr}({blk}, x -> CAST(x AS BIGINT)),"
+            f" (a, x) -> a + x)"
+        )
+    d_expr = f"{tr}({blk}, x -> CAST({w} AS BIGINT) * CAST(x AS BIGINT) - s)"
+    if sp:
+        fold_rm = (
+            f"aggregate(slice(d, 2, {w} - 1),"
+            f" array({el('d', 1)}, {el('d', 1)}, {el('d', 1)}),"
+            f" (st, z) -> array({el('st', 1)} + z,"
+            f" least({el('st', 2)}, {el('st', 1)} + z),"
+            f" greatest({el('st', 3)}, {el('st', 1)} + z)))"
+        )
+        ssd = f"aggregate(d, CAST(0 AS BIGINT), (a, z) -> a + z * z)"
+    else:
+        fold_rm = (
+            f"list_reduce({tr}(d, z -> [z, z, z]),"
+            f" (st, z) -> [st[1] + z[1],"
+            f" least(st[2], st[1] + z[1]),"
+            f" greatest(st[3], st[1] + z[1])])"
+        )
+        ssd = f"list_reduce({tr}(d, z -> z * z), (a, z) -> a + z)"
+    r_expr = el(
+        f"{tr}({arr(fold_rm)}, st -> {el('st', 3)} - {el('st', 2)})", 1
+    )
+    pair = arr(f"{r_expr}, {ssd}")
+    with_d = el(f"{tr}({arr(d_expr)}, d -> {pair})", 1)
+    with_s = el(f"{tr}({arr(s_expr)}, s -> {with_d})", 1)
+    nb = (
+        f"sequence(0, n_tok DIV {w} - 1)" if sp else f"range(n_tok // {w})"
+    )
+    blocks = f"{tr}({nb}, b -> {with_s})"
+    term = (
+        f"CASE WHEN {el('p', 2)} > 0 THEN CAST({el('p', 1)} AS DOUBLE)"
+        f" / sqrt(CAST({el('p', 2)} AS DOUBLE) / CAST({w} AS DOUBLE))"
+        f" ELSE CAST(0 AS DOUBLE) END"
+    )
+    if sp:
+        rs_sum = (
+            f"aggregate(transform(bl, p -> {term}), CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + x)"
+        )
+    else:
+        rs_sum = f"list_reduce(list_transform(bl, p -> {term}), (a, x) -> a + x)"
+    nv = f"{siz}({fil}(bl, p -> {el('p', 2)} > 0))"
+    body = (
+        f"CASE WHEN {nv} > 0 THEN {rs_sum} / CAST({nv} AS DOUBLE)"
+        f" ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return el(f"{tr}({arr(blocks)}, bl -> {body})", 1)
+
+
+def _ln(k) -> str:
+    return f"ln(CAST({k} AS DOUBLE))"
+
+
+def _hurst_tree() -> str:
+    """4-point OLS slope of ln(rs_w) on ln(w) — shared verbatim."""
+    sx = " + ".join(_ln(w) for w in _HWS)
+    sy = " + ".join(f"ln(rs_{w})" for w in _HWS)
+    sxy = " + ".join(f"{_ln(w)} * ln(rs_{w})" for w in _HWS)
+    sxx = " + ".join(f"{_ln(w)} * {_ln(w)}" for w in _HWS)
+    ok = " AND ".join(f"rs_{w} > CAST(0 AS DOUBLE)" for w in _HWS)
+    raw = (
+        f"(({sxy}) - ({sx}) * ({sy}) / CAST(4 AS DOUBLE))"
+        f" / (({sxx}) - ({sx}) * ({sx}) / CAST(4 AS DOUBLE))"
+    )
+    return f"CASE WHEN {ok} THEN {raw} ELSE CAST(NULL AS DOUBLE) END"
+
+
+@register(
+    "hurst_rs",
+    oracle=synth_sql(_N)
+    + f"""
+    , rsq AS (
+      SELECT doc_id, n_tok,
+             {", ".join(f"{_rs_expr('duck', w)} AS rs_{w}" for w in _HWS)}
+      FROM synth
+    )
+    SELECT doc_id, n_tok,
+           {", ".join(_FLOOR6.format(x=f"rs_{w}") + f" AS rs_{w}" for w in _HWS)},
+           {_FLOOR6.format(x=_hurst_tree())} AS hurst
+    FROM rsq
+    """,
+)
+def hurst_rs(spark, sf_dir):
+    """TS40: Hurst exponent per series by classic rescaled-range
+    analysis (module header) — block algebra int64-exact via the
+    w-scaled deviation walk, one float divide+sqrt per block, block
+    means as order-pinned left folds, and the ln–ln OLS slope over
+    w ∈ {8,16,32,64} as one verbatim cross-engine tree (floor-1e6
+    outputs; hurst from the RAW rs values).  Plan: zero exchanges —
+    a pure map job at any corpus size."""
+    docs = synth.sequences_df(spark, _N).select("doc_id", "n_tok", "tokens")
+    rsq = docs.select(
+        "doc_id",
+        "n_tok",
+        *[F.expr(_rs_expr("spark", w)).alias(f"rs_{w}") for w in _HWS],
+    )
+    return rsq.select(
+        "doc_id",
+        "n_tok",
+        *[
+            F.expr(_FLOOR6.format(x=f"rs_{w}")).alias(f"rs_{w}")
+            for w in _HWS
+        ],
+        F.expr(_FLOOR6.format(x=_hurst_tree())).alias("hurst"),
+    )

@@ -93,3 +93,51 @@ def test_sliding_distinct_matches_set_recompute(spark, sf_dir):
             checked += 1
     assert checked > 5000
     assert (out["n_distinct"] >= 1).all() and (out["n_distinct"] <= _W).all()
+
+
+# ---------------------------------------------------------------------------
+# Hurst R/S (TS40)
+# ---------------------------------------------------------------------------
+
+
+def _naive_rs(x, w):
+    """Classic rescaled-range over disjoint blocks, numpy route (floats
+    from the start — an INDEPENDENT path from the engine's scaled-int
+    algebra)."""
+    x = np.asarray(x, dtype=np.float64)
+    nb = len(x) // w
+    vals = []
+    for b in range(nb):
+        blk = x[b * w : (b + 1) * w]
+        dev = blk - blk.mean()
+        z = np.cumsum(dev)
+        r = max(z.max(), 0.0) - min(z.min(), 0.0)
+        s = math.sqrt((dev**2).mean())
+        if s > 0:
+            vals.append(r / s)
+    return (sum(vals) / len(vals)) if vals else None
+
+
+def test_hurst_rs_matches_numpy(spark, sf_dir):
+    from dtaidistance_spark.operators.tscomplexity_q import _HWS, hurst_rs
+
+    out = hurst_rs(spark, sf_dir).toPandas().set_index("doc_id")
+    loc = synth.sequences_local(_N)
+    lws = [math.log(w) for w in _HWS]
+    mx = sum(lws) / 4
+    sxx = sum((lx - mx) ** 2 for lx in lws)
+    for row in list(loc.itertuples())[::5]:
+        got = out.loc[row.doc_id]
+        rs = {w: _naive_rs(row.tokens, w) for w in _HWS}
+        for w in _HWS:
+            assert got[f"rs_{w}"] == pytest.approx(rs[w], rel=1e-9, abs=2e-6)
+        lys = [math.log(rs[w]) for w in _HWS]
+        my = sum(lys) / 4
+        h = sum((lx - mx) * (ly - my) for lx, ly in zip(lws, lys)) / sxx
+        assert got["hurst"] == pytest.approx(h, rel=1e-7, abs=2e-6)
+        # R/S of any block is >= sqrt(w)-ish lower ranges; sanity band:
+        # a bounded modular ramp is not a pure random walk, but H must
+        # land in the physically meaningful [0, 1.5] band and rs must
+        # grow with w (long-range structure from the period-64 season)
+        assert 0.0 < h < 1.5
+        assert rs[8] < rs[64]
