@@ -49,6 +49,7 @@ def _registry():
         tsrobust_q,
         tswin_q,
         tsops_q,
+        wavelet_q,
         xcorr_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
