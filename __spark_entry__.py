@@ -32,6 +32,7 @@ def _registry():
         diag_q,
         encoding_q,
         flagship,
+        itemset_q,
         layout_q,
         motif_q,
         multimodal_q,
