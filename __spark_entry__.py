@@ -46,6 +46,7 @@ def _registry():
         tokenstats_q,
         tsanalytics_q,
         tscomplexity_q,
+        tsfeatures_q,
         tshyper_q,
         tsrobust_q,
         tswin_q,
