@@ -36,6 +36,7 @@ def _registry():
         layout_q,
         motif_q,
         multimodal_q,
+        nbclassifier_q,
         queries,
         sampling_q,
         saxindex,
