@@ -33,6 +33,7 @@ def _registry():
         encoding_q,
         flagship,
         itemset_q,
+        knlm_q,
         layout_q,
         motif_q,
         multimodal_q,
