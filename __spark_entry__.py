@@ -21,6 +21,7 @@ def _registry():
     # importing the operator modules populates the registry
     from dtaidistance_spark.operators import (  # noqa: F401
         alignment_q,
+        allanvar_q,
         ann_q,
         bpe_q,
         cdc_q,
@@ -32,6 +33,7 @@ def _registry():
         diag_q,
         encoding_q,
         flagship,
+        goodturing_q,
         itemset_q,
         knlm_q,
         layout_q,
