@@ -41,6 +41,7 @@ def _registry():
         multimodal_q,
         nbclassifier_q,
         queries,
+        rqa_q,
         sampling_q,
         saxindex,
         sketch_q,
