@@ -49,6 +49,7 @@ def _registry():
         synth_q,
         text_q,
         tokenstats_q,
+        tpch_q,
         tsanalytics_q,
         tscomplexity_q,
         tsfeatures_q,

@@ -1,0 +1,90 @@
+"""Semantic gates for tpch_q (R36 Q21-shape, R37 Q22-shape): full
+pandas recomputes of both queries at sf0.001 plus the quantifier
+semantics the shapes exist to exercise."""
+
+import pandas as pd
+import pytest
+
+from dtaidistance_spark.operators.tpch_q import (
+    _IDLE_DAYS,
+    _LATE_DAYS,
+    idle_rich_customers,
+    late_sole_supplier,
+)
+
+
+@pytest.fixture(scope="module")
+def tabs(sf_dir):
+    return {
+        t: pd.read_parquet(f"{sf_dir}/{t}.parquet")
+        for t in ["lineitem", "orders", "customer", "supplier", "nation"]
+    }
+
+
+def test_late_sole_supplier_matches_pandas(spark, sf_dir, tabs):
+    li, o = tabs["lineitem"], tabs["orders"]
+    s, n = tabs["supplier"], tabs["nation"]
+    m = li.merge(
+        o[o.o_orderstatus == "F"][["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    m["is_late"] = m.l_shipdate > m.o_orderdate + pd.Timedelta(
+        days=_LATE_DAYS
+    )
+    g = m.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "nunique"),
+        n_late_supp=(
+            "l_suppkey",
+            lambda x: m.loc[x.index][m.loc[x.index].is_late][
+                "l_suppkey"
+            ].nunique(),
+        ),
+    )
+    w = (
+        m[m.is_late]
+        .merge(g, on="l_orderkey")
+        .query("n_supp > 1 and n_late_supp == 1")[
+            ["l_orderkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    want = (
+        w.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .groupby(["s_name", "n_name"])
+        .size()
+        .reset_index(name="numwait")
+    )
+    got = late_sole_supplier(spark, sf_dir).toPandas()
+    gm = got.set_index(["s_name", "n_name"])["numwait"].to_dict()
+    wm = want.set_index(["s_name", "n_name"])["numwait"].to_dict()
+    assert gm == wm
+    # sole-late semantics: every winner order has EXACTLY one late supplier
+    assert (got["numwait"] >= 1).all()
+
+
+def test_idle_rich_customers_matches_pandas(spark, sf_dir, tabs):
+    c, o, n = tabs["customer"], tabs["orders"], tabs["nation"]
+    ab = c[c.c_acctbal > 0].c_acctbal.sum() / (c.c_acctbal > 0).sum()
+    cutoff = o.o_orderdate.max() - pd.Timedelta(days=_IDLE_DAYS)
+    recent = set(o[o.o_orderdate > cutoff].o_custkey)
+    sel = c[(c.c_acctbal > ab) & (~c.c_custkey.isin(recent))]
+    want = (
+        sel.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby("n_name")
+        .agg(
+            numcust=("c_custkey", "size"),
+            totacctbal=("c_acctbal", "sum"),
+        )
+        .reset_index()
+    )
+    got = idle_rich_customers(spark, sf_dir).toPandas()
+    assert len(got) == len(want) > 0
+    gm = got.set_index("n_name")
+    for r in want.itertuples():
+        g = gm.loc[r.n_name]
+        assert g.numcust == r.numcust
+        assert g.totacctbal == pytest.approx(
+            round(r.totacctbal, 2), abs=0.02
+        )
