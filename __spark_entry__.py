@@ -34,6 +34,7 @@ def _registry():
         encoding_q,
         flagship,
         goodturing_q,
+        intenc_q,
         itemset_q,
         knlm_q,
         layout_q,
