@@ -46,6 +46,7 @@ def _registry():
         sampling_q,
         saxindex,
         sketch_q,
+        specdiag_q,
         streaming_q,
         synth_q,
         text_q,
