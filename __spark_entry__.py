@@ -60,6 +60,7 @@ def _registry():
         tswin_q,
         tsops_q,
         wavelet_q,
+        wasserstein_q,
         xcorr_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
