@@ -41,6 +41,7 @@ def _registry():
         motif_q,
         multimodal_q,
         nbclassifier_q,
+        pagerank_q,
         queries,
         rqa_q,
         sampling_q,
