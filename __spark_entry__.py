@@ -30,6 +30,7 @@ def _registry():
         corpusops_q,
         dedup_q,
         embedlinalg_q,
+        dfa_q,
         diag_q,
         encoding_q,
         flagship,
