@@ -43,6 +43,7 @@ def _registry():
         multimodal_q,
         nbclassifier_q,
         pagerank_q,
+        randtests_q,
         queries,
         rqa_q,
         sampling_q,
