@@ -51,6 +51,7 @@ def _registry():
         sketch_q,
         specdiag_q,
         streaming_q,
+        streamsketch_q,
         synth_q,
         text_q,
         tokenstats_q,

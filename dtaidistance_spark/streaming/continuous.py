@@ -697,3 +697,97 @@ def stream_sdt(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_uddq_sketch(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 7th): real-time UddSketch-analog quantile-sketch MAINTENANCE —
+    per event type, the T32 log-bucket histogram kept incrementally as
+    the stream arrives.  Unlike the CUSUM/counter kernels (whose state
+    is the raw event buffer), the state here IS the sketch: the
+    (bucket idx → count) map, bounded by the number of touched buckets
+    (≤ ~8·64) regardless of stream length — the property that makes
+    sketch maintenance deployable on unbounded streams.
+
+    Values are integerized to cents JVM-side (floor(100·v + 0.5) —
+    exact for 2-dp inputs, the stream_counter_agg precedent), and the
+    bucket index is T32's sub-bucket-of-8 integer log index, computed
+    in Python via bit_length — bit-identical to the SQL
+    ``length(bin(t))`` spelling.  Bucket counts are ORDER-FREE int64
+    sums, so the emitted rows equal the batch GROUP BY exactly however
+    the stream is micro-batched — the same argument that makes the
+    sketch mergeable across partitions.
+
+    Emits one (event_type, idx, cnt) row per touched bucket, exactly
+    once, on event-time timeout (append mode)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(type_col).alias("event_type"),
+        F.expr(
+            f"CAST(floor(100.0 * {value_col} + CAST(0.5 AS DOUBLE))"
+            f" AS BIGINT)"
+        ).alias("cents"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    def _idx(v: int) -> int:
+        # python mirror of the T32 index: length(bin(v)) == bit_length
+        if v < 8:
+            return v
+        L = v.bit_length()
+        return (L - 1) * 8 + ((v >> (L - 4)) & 7)
+
+    def fn(key, pdfs, state):
+        (etype,) = key
+        if state.hasTimedOut:
+            idxs, cnts = state.get
+            state.remove()
+            if len(idxs):
+                yield pd.DataFrame(
+                    {
+                        "event_type": [etype] * len(idxs),
+                        "idx": [int(i) for i in idxs],
+                        "cnt": [int(c) for c in cnts],
+                    }
+                )
+            return
+        if state.exists:
+            idxs, cnts = state.get
+            sk = dict(zip(idxs, cnts))
+        else:
+            sk = {}
+        last_ms = 0
+        for pdf in pdfs:
+            for v in pdf["cents"]:
+                i = _idx(int(v))
+                sk[i] = sk.get(i, 0) + 1
+            if len(pdf):
+                last_ms = max(
+                    last_ms, int(pdf["_ts"].max().timestamp() * 1000)
+                )
+        items = sorted(sk.items())
+        state.update(
+            ([i for i, _ in items], [c for _, c in items])
+        )
+        state.setTimeoutTimestamp(
+            max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType="event_type string, idx long, cnt long",
+        stateStructType="idxs array<long>, cnts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
