@@ -40,6 +40,7 @@ def _registry():
         knlm_q,
         layout_q,
         motif_q,
+        mpdist_q,
         multimodal_q,
         nbclassifier_q,
         pagerank_q,
