@@ -55,6 +55,7 @@ def _registry():
         streamsketch_q,
         synth_q,
         text_q,
+        tfidf_q,
         tokenstats_q,
         tpch_q,
         tsanalytics_q,
