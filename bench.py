@@ -265,6 +265,34 @@ def main() -> None:
         bpe_sec = dt if bpe_sec is None else min(bpe_sec, dt)
     timings["bpe_round_bench"] = round(bpe_sec, 3)
 
+    # --- feature-battery throughput (TS41 shape) -------------------------
+    # the full 23-feature tsfresh-style battery as a ZERO-exchange map
+    # job over every bench series; work metric = tokens featurized/s.
+    # Distinct filter literals per run defeat cross-job stage reuse
+    # (the bpe_round_bench lesson).
+    from dtaidistance_spark.operators import tsfeatures_q as TF
+
+    feat_sec = None
+    n_feat_tokens = stats["n_points"]
+    for r in (0, -1):
+        sub = seq.where(F_expr(f"n_tok > {r}"))
+        d = sub
+        for k, x in TF._stage1(TF._Eng("spark")).items():
+            d = d.withColumn(k, F_expr(x))
+        for k, x in TF._stage2(TF._Eng("spark")).items():
+            d = d.withColumn(k, F_expr(x))
+        feats = TF._features(TF._Eng("spark"))
+        d = d.select(
+            *[F_expr(x).alias(k) for k, x in feats.items()]
+        ).selectExpr(
+            "sum(abs_energy) AS se", "sum(n_distinct) AS sd"
+        )
+        t0 = time.perf_counter()
+        d.collect()
+        dt = time.perf_counter() - t0
+        feat_sec = dt if feat_sec is None else min(feat_sec, dt)
+    timings["ts_features_bench"] = round(feat_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -345,6 +373,9 @@ def main() -> None:
         "bpe_round_top_count": int(bpe_top["count"]),
         "bpe_tokens_per_sec": round(stats["n_points"] / bpe_sec, 1),
         "cdc_tokens_per_sec": round(stats["n_points"] / cdc_sec, 1),
+        "ts_features_tokens_per_sec": round(
+            stats["n_points"] / feat_sec, 1
+        ),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
