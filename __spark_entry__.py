@@ -28,6 +28,7 @@ def _registry():
         clustering_q,
         continuous_q,
         corpusops_q,
+        dbscan_q,
         dedup_q,
         embedlinalg_q,
         dfa_q,
