@@ -24,8 +24,10 @@ def _registry():
         allanvar_q,
         ann_q,
         bpe_q,
+        burstiness_q,
         cdc_q,
         clustering_q,
+        conformal_q,
         continuous_q,
         corpusops_q,
         dbscan_q,
