@@ -38,6 +38,7 @@ def _registry():
         encoding_q,
         flagship,
         goodturing_q,
+        groupsets_q,
         intenc_q,
         itemset_q,
         knlm_q,
