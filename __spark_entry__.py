@@ -41,6 +41,7 @@ def _registry():
         groupsets_q,
         intenc_q,
         itemset_q,
+        kcenter_q,
         knlm_q,
         layout_q,
         motif_q,
