@@ -32,6 +32,7 @@ def _registry():
         corpusops_q,
         dbscan_q,
         dedup_q,
+        editdist_q,
         embedlinalg_q,
         dfa_q,
         diag_q,
