@@ -63,6 +63,7 @@ def _registry():
         text_q,
         tfidf_q,
         tokenstats_q,
+        tpch4_q,
         tpch_q,
         tsanalytics_q,
         tscomplexity_q,

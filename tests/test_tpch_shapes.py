@@ -88,3 +88,34 @@ def test_idle_rich_customers_matches_pandas(spark, sf_dir, tabs):
         assert g.totacctbal == pytest.approx(
             round(r.totacctbal, 2), abs=0.02
         )
+
+
+def test_order_priority_check_matches_pandas(spark, sf_dir, tabs):
+    from dtaidistance_spark.operators.tpch4_q import (
+        _LATE,
+        order_priority_check,
+    )
+
+    o, li = tabs["orders"], tabs["lineitem"]
+    o = o[
+        (o.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (o.o_orderdate < pd.Timestamp("1997-01-01"))
+    ]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late_keys = set(
+        m[m.l_shipdate > m.o_orderdate + pd.Timedelta(days=_LATE)]
+        .o_orderkey
+    )
+    want = (
+        o[o.o_orderkey.isin(late_keys)]
+        .groupby("o_orderpriority")
+        .size()
+        .to_dict()
+    )
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in order_priority_check(spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    assert got == want and sum(got.values()) > 0
