@@ -37,6 +37,7 @@ def _registry():
         dfa_q,
         diag_q,
         encoding_q,
+        ewmachart_q,
         flagship,
         goodturing_q,
         groupsets_q,
