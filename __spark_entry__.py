@@ -57,6 +57,7 @@ def _registry():
         sampling_q,
         saxindex,
         sketch_q,
+        snippets_q,
         specdiag_q,
         streaming_q,
         streamsketch_q,
