@@ -30,6 +30,7 @@ def _registry():
         conformal_q,
         continuous_q,
         corpusops_q,
+        croston_q,
         dbscan_q,
         dedup_q,
         editdist_q,
