@@ -57,6 +57,7 @@ def _registry():
         rqa_q,
         sampling_q,
         saxindex,
+        seasonstrength_q,
         sketch_q,
         snippets_q,
         specdiag_q,
