@@ -64,6 +64,7 @@ def _registry():
         streaming_q,
         streamsketch_q,
         synth_q,
+        tailvr_q,
         text_q,
         tfidf_q,
         tokenstats_q,
