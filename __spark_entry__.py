@@ -65,6 +65,7 @@ def _registry():
         streamsketch_q,
         synth_q,
         tailvr_q,
+        tempsample_q,
         text_q,
         tfidf_q,
         tokenstats_q,
