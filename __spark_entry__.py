@@ -44,6 +44,7 @@ def _registry():
         groupsets_q,
         intenc_q,
         itemset_q,
+        kappa_q,
         kcenter_q,
         knlm_q,
         layout_q,
