@@ -26,6 +26,7 @@ def _registry():
         bpe_q,
         burstiness_q,
         cdc_q,
+        chisq_q,
         clustering_q,
         conformal_q,
         continuous_q,
