@@ -60,6 +60,7 @@ def _registry():
         sampling_q,
         saxindex,
         seasonstrength_q,
+        silhouette_q,
         sketch_q,
         snippets_q,
         specdiag_q,
