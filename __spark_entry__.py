@@ -48,6 +48,7 @@ def _registry():
         kappa_q,
         kcenter_q,
         knlm_q,
+        kstest_q,
         layout_q,
         motif_q,
         mpdist_q,
