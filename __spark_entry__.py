@@ -56,6 +56,7 @@ def _registry():
         nbclassifier_q,
         pagerank_q,
         randtests_q,
+        pettitt_q,
         queries,
         rqa_q,
         sampling_q,
