@@ -47,6 +47,7 @@ def _registry():
         itemset_q,
         kappa_q,
         kcenter_q,
+        kendall_q,
         knlm_q,
         kstest_q,
         layout_q,
