@@ -51,6 +51,7 @@ def _registry():
         knlm_q,
         kstest_q,
         layout_q,
+        mannwhitney_q,
         motif_q,
         mpdist_q,
         multimodal_q,
