@@ -87,6 +87,7 @@ def _registry():
         tsops_q,
         wavelet_q,
         wasserstein_q,
+        wilcoxon_q,
         xcorr_q,
     )
     from dtaidistance_spark.operators.queries import ORACLE, REGISTRY
