@@ -56,6 +56,7 @@ def _registry():
         mpdist_q,
         multimodal_q,
         nbclassifier_q,
+        olstrend_q,
         pagerank_q,
         randtests_q,
         pettitt_q,
