@@ -22,6 +22,7 @@ def _registry():
     from dtaidistance_spark.operators import (  # noqa: F401
         alignment_q,
         allanvar_q,
+        anova_q,
         ann_q,
         bpe_q,
         burstiness_q,
