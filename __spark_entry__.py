@@ -46,6 +46,7 @@ def _registry():
         groupsets_q,
         intenc_q,
         itemset_q,
+        jarquebera_q,
         kappa_q,
         kcenter_q,
         kendall_q,
