@@ -69,6 +69,7 @@ def _registry():
         seasonstrength_q,
         silhouette_q,
         sketch_q,
+        stationarity_q,
         snippets_q,
         specdiag_q,
         streaming_q,
