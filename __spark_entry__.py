@@ -43,6 +43,7 @@ def _registry():
         ewmachart_q,
         flagship,
         goodturing_q,
+        granger_q,
         groupsets_q,
         intenc_q,
         itemset_q,
