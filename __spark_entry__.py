@@ -24,6 +24,7 @@ def _registry():
         allanvar_q,
         anova_q,
         ann_q,
+        bleu_q,
         bpe_q,
         burstiness_q,
         cdc_q,
