@@ -34,6 +34,7 @@ def _registry():
         continuous_q,
         corpusops_q,
         croston_q,
+        custdist_q,
         dbscan_q,
         dedup_q,
         editdist_q,

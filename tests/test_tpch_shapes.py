@@ -119,3 +119,48 @@ def test_order_priority_check_matches_pandas(spark, sf_dir, tabs):
         .itertuples()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_cust_order_distribution_matches_pandas(spark, sf_dir, tabs):
+    from dtaidistance_spark.operators.custdist_q import (
+        cust_order_distribution,
+    )
+
+    c, o = tabs["customer"], tabs["orders"]
+    keep = o[~o.o_orderpriority.str.startswith("1-")]
+    per = keep.groupby("o_custkey").size()
+    counts = c.c_custkey.map(per).fillna(0).astype(int)
+    want = counts.value_counts().to_dict()
+    got = {
+        r.c_count: r.custdist
+        for r in cust_order_distribution(spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    assert got == want
+    assert sum(got.values()) == len(c)
+    # the Q13 essence — zero-order customers land in the 0 bucket —
+    # exercised on a constructed mini-case (at this SF every customer
+    # has orders, so the parquet run can't show it)
+    cdf = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    odf = spark.createDataFrame(
+        [(10, 1, "2-HIGH"), (11, 1, "3-MEDIUM"), (12, 2, "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    from pyspark.sql import functions as F
+
+    per = (
+        odf.where(~F.col("o_orderpriority").like("1-%"))
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+    )
+    mini = (
+        cdf.join(per, cdf.c_custkey == per.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .count()
+    )
+    dist = {r.c_count: r["count"] for r in mini.collect()}
+    # cust 1 -> 2 kept orders; cust 2 -> only an urgent order (filtered
+    # in the ON clause, so it still appears, at 0); cust 3 -> no orders
+    assert dist == {2: 1, 0: 2}
