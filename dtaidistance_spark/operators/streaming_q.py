@@ -1270,3 +1270,102 @@ def stream_sdt_q(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_page_hinkley",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'
+    ),
+    o AS (
+      SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tu, event_id) AS t
+      FROM s
+    ),
+    m AS (
+      SELECT user_id, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cn
+      FROM o GROUP BY 1
+    ),
+    w AS (
+      SELECT o.user_id, o.t, m.n,
+             (m.n * sum(o.cents) OVER (PARTITION BY o.user_id
+                                       ORDER BY o.t)
+              - o.t * m.cn - o.t * m.n * 25)::BIGINT AS mstat
+      FROM o JOIN m USING (user_id) WHERE m.n >= 3
+    ),
+    g AS (
+      SELECT user_id, t, n,
+             (mstat - min(mstat) OVER (PARTITION BY user_id
+                                       ORDER BY t))::BIGINT AS gap
+      FROM w
+    ),
+    r AS (
+      SELECT user_id, n, gap, t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gap DESC, t) AS rk,
+             min(CASE WHEN gap > n * 25000 THEN t END)
+               OVER (PARTITION BY user_id) AS t_cross
+      FROM g
+    )
+    SELECT user_id, n AS n_events, gap AS ph_stat, t AS t_peak,
+           CAST(CASE WHEN gap > n * 25000 THEN 1 ELSE 0 END AS BIGINT)
+             AS alarm,
+           COALESCE(t_cross, 0)::BIGINT AS t_alarm
+    FROM r WHERE rk = 1
+    """,
+)
+def stream_page_hinkley_q(spark, sf_dir):
+    """R42: streaming Page-Hinkley mean-drift detection
+    (``streaming/continuous.stream_page_hinkley`` — the 8th
+    applyInPandasWithState operator): per-user cleared-integer PH
+    drawup on event-value cents (m_t = n·C_t − t·C_n − t·n·δ,
+    PH = max drawup, alarm PH > n·λ; δ = 25, λ = 25 000 cents),
+    emitted exactly once per user on event-time timeout.  Replayed
+    over the 'view' stream and drained with availableNow + the
+    far-future closer, the verdicts equal the batch SQL re-derivation
+    bit-for-bit — integer PH statistics, FIRST-argmax peak ties, and
+    the 0 sentinel for never-crossed alarms."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_id",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="stream_ph_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            S.stream_page_hinkley(stream, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS user_id, CAST(-1 AS LONG) AS event_id, "
+            "0.0 AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(
+            (F.col("user_id") >= 0) & (F.col("n_events") >= 3)
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

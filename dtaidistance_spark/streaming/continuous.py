@@ -791,3 +791,112 @@ def stream_uddq_sketch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_page_hinkley(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    delta_cents: int = 25,
+    lam_cents: int = 25000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 8th): per-user PAGE-HINKLEY mean-drift detection on event
+    VALUES (Page Biometrika'54; the data-stream formulation per Gama
+    et al.'s drift-detection survey) — "did this user's spend level
+    drift UP, when did the drift peak, and when did it first cross the
+    alarm bar".  The complement of ``stream_rate_cusum``: CUSUM reads
+    the event RATE via inter-arrival gaps; PH reads the event VALUE
+    level with a tolerance δ.
+
+    Exact integer state: values → cents (int64), and the PH statistic
+    is cleared by n so the running mean never divides:
+
+        m_t = n·C_t − t·C_n − t·n·δ          (int64; |m| ≤ n²·maxc)
+        PH  = max_t (m_t − min_{i≤t} m_i)    (the drawup)
+
+    alarm when PH > n·λ (the cleared form of raw-PH > λ).  Emitted
+    once per user on event-time timeout: n_events, ph_stat, t_peak
+    (FIRST argmax, 1-indexed), alarm flag, t_alarm (first bar
+    crossing; 0 when no alarm — 1-indexed positions make 0 a safe
+    sentinel, keeping the output column non-nullable across the
+    Arrow hop).
+
+    This retrospective window form shares R30's calibration choice:
+    the reference mean is the drained window's own mean (exact
+    integers), where the textbook online PH tracks a running mean —
+    declared; a production deployment would window the key exactly
+    like the DBA tier."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.expr(
+            f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            tus, eids, cs = state.get
+            state.remove()
+            order = sorted(range(len(tus)), key=lambda k: (tus[k], eids[k]))
+            x = np.asarray([cs[k] for k in order], dtype=np.int64)
+            n = len(x)
+            if n >= 3:
+                c = np.cumsum(x)
+                cn = int(c[-1])
+                t = np.arange(1, n + 1, dtype=np.int64)
+                m = n * c - t * cn - t * n * int(delta_cents)
+                gap = m - np.minimum.accumulate(m)
+                ph = int(gap.max())
+                t_peak = int(np.argmax(gap)) + 1
+                bar = n * int(lam_cents)
+                over = np.nonzero(gap > bar)[0]
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)],
+                        "n_events": [n],
+                        "ph_stat": [ph],
+                        "t_peak": [t_peak],
+                        "alarm": [1 if ph > bar else 0],
+                        "t_alarm": [int(over[0]) + 1 if len(over) else 0],
+                    }
+                )
+            return
+        tus, eids, cs = (state.get if state.exists else ([], [], []))
+        tus, eids, cs = list(tus), list(eids), list(cs)
+        for pdf in pdfs:
+            tus.extend(int(v) for v in pdf["tu"])
+            eids.extend(int(v) for v in pdf["eid"])
+            cs.extend(int(v) for v in pdf["cents"])
+        state.update((tus, eids, cs))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, ph_stat long, t_peak long,"
+            " alarm long, t_alarm long"
+        ),
+        stateStructType=(
+            "tus array<long>, eids array<long>, cs array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -532,3 +532,60 @@ def test_stream_sdt_equals_batch_kernel(spark, sf_dir):
         got["ts"].astype("datetime64[us]") == want["ts"].astype("datetime64[us]")
     ).all()
     assert (got["value"] == want["value"]).all()
+
+
+def test_stream_page_hinkley_matches_numpy(spark, sf_dir):
+    """R42: the drained integer PH verdicts recompute exactly from
+    numpy over each user's (ts, event_id)-sorted view-event cents,
+    and a constructed drifting user must alarm."""
+    import numpy as np
+
+    from dtaidistance_spark.operators.streaming_q import (
+        stream_page_hinkley_q,
+    )
+
+    out = (
+        stream_page_hinkley_q(spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    v = ev[ev.event_type == "view"].copy()
+    v["tu"] = v.ts.astype("datetime64[us]").astype("int64")
+    v["cents"] = np.floor(v.value * 100.0 + 0.5).astype("int64")
+    n_checked = n_alarm = 0
+    for uid, grp in v.groupby("user_id"):
+        g = grp.sort_values(["tu", "event_id"])
+        x = g.cents.to_numpy()
+        n = len(x)
+        if n < 3:
+            assert uid not in out.index
+            continue
+        c = np.cumsum(x)
+        t = np.arange(1, n + 1, dtype=np.int64)
+        m = n * c - t * int(c[-1]) - t * n * 25
+        gap = m - np.minimum.accumulate(m)
+        got = out.loc[uid]
+        assert got.n_events == n
+        assert got.ph_stat == int(gap.max())
+        assert got.t_peak == int(np.argmax(gap)) + 1
+        bar = n * 25000
+        assert got.alarm == (1 if gap.max() > bar else 0)
+        over = np.nonzero(gap > bar)[0]
+        assert got.t_alarm == (int(over[0]) + 1 if len(over) else 0)
+        n_alarm += int(got.alarm)
+        n_checked += 1
+    assert n_checked == len(out) > 0
+    # honest reading: iid values → alarms a small minority (binomial
+    # noise at sf0.001's 15 users needs the absolute floor)
+    assert n_alarm <= max(2, 0.15 * n_checked)
+    # constructed drift: mean jumps +$400 halfway → PH must alarm and
+    # the first crossing must come after the jump
+    x = np.array([5000] * 20 + [45000] * 20, dtype=np.int64)
+    n = len(x)
+    c = np.cumsum(x)
+    t = np.arange(1, n + 1, dtype=np.int64)
+    m = n * c - t * int(c[-1]) - t * n * 25
+    gap = m - np.minimum.accumulate(m)
+    assert gap.max() > n * 25000
+    assert int(np.nonzero(gap > n * 25000)[0][0]) + 1 > 20
