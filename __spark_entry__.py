@@ -92,6 +92,7 @@ def _registry():
         tsrobust_q,
         tswin_q,
         tsops_q,
+        vonneumann_q,
         wavelet_q,
         wasserstein_q,
         wilcoxon_q,
