@@ -57,6 +57,7 @@ def _registry():
         kstest_q,
         layout_q,
         mannwhitney_q,
+        mcnemar_q,
         motif_q,
         mpdist_q,
         multimodal_q,
