@@ -63,6 +63,7 @@ def _registry():
         multimodal_q,
         nbclassifier_q,
         olstrend_q,
+        pacf_q,
         pagerank_q,
         randtests_q,
         pettitt_q,
