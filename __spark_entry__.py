@@ -43,6 +43,7 @@ def _registry():
         diag_q,
         encoding_q,
         ewmachart_q,
+        fisherg_q,
         flagship,
         goodturing_q,
         granger_q,
