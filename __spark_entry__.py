@@ -98,6 +98,7 @@ def _registry():
         vonneumann_q,
         wavelet_q,
         wasserstein_q,
+        welch_q,
         wilcoxon_q,
         xcorr_q,
     )
