@@ -124,3 +124,93 @@ def stream_uddq_sketch(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_KMV_K = 64
+_TWO60 = 1 << 60
+_SKMV_F6 = "CAST(floor({x} * 1000000.0 + CAST(0.5 AS DOUBLE)) / 1000000.0 AS DOUBLE)"
+_SKMV_EST = (
+    f"CASE WHEN d.nd < {_KMV_K} THEN CAST(d.nd AS DOUBLE)"
+    f" ELSE ((CAST({_KMV_K - 1} AS DOUBLE) * CAST({_TWO60} AS DOUBLE))"
+    f" / CAST(r.hv AS DOUBLE)) END"
+)
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(CAST(floor(100.0 * value + 0.5)
+                AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    kt AS (SELECT DISTINCT event_type, hv FROM c),
+    kd AS (SELECT event_type, count(*)::BIGINT AS nd
+           FROM kt GROUP BY 1),
+    kr AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hv) AS rn
+      FROM kt
+    )
+    SELECT d.event_type,
+           CAST(least(d.nd, {_KMV_K}) AS BIGINT) AS k_kept,
+           r.hv AS theta,
+           {_SKMV_F6.format(x=_SKMV_EST)} AS kmv_estimate
+    FROM kd d JOIN kr r ON d.event_type = r.event_type
+     AND r.rn = least(d.nd, {_KMV_K})
+    """,
+)
+def stream_kmv_distinct(spark, sf_dir):
+    """R43: streaming KMV/theta distinct-sketch maintenance
+    (``streaming/continuous.stream_kmv``, the 9th
+    applyInPandasWithState operator): bottom-{_KMV_K} distinct 60-bit
+    md5 hashes of the value cents per event type, state bounded by k.
+    Bottom-k-of-a-set is order-free, so the drained (theta, estimate)
+    rows are bit-equal to the batch re-derivation however the stream
+    is micro-batched — FULLY oracled like R38.  Replayed
+    file-by-file with the far-future closer flush."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_kmv_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            S.stream_kmv(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+            " '__closer__' AS event_type, CAST(1.0 AS DOUBLE) AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = spark.read.parquet(sink).where(
+            F.col("event_type") != "__closer__"
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

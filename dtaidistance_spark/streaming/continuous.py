@@ -900,3 +900,100 @@ def stream_page_hinkley(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_kmv(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    k: int = 64,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 9th): KMV / theta DISTINCT sketch per key maintained
+    incrementally (Bar-Yossef et al. RANDOM'02; the theta-sketch
+    bottom-k form) — the streaming twin of the batch ``kmv_distinct``
+    (T-series).  State is the sorted bottom-k DISTINCT 60-bit md5
+    hashes of the value cents — bounded by k, NOT by stream length —
+    and because bottom-k-of-a-set is order-free, the emitted
+    (theta, estimate) rows are BIT-EQUAL to the batch re-derivation
+    however the stream is micro-batched: this stateful operator is
+    fully oracled.
+
+    The hash is computed JVM-side in the keyed projection (md5 → first
+    15 hex chars → BIGINT, the portable-hash twin convention,
+    FIXTURES.md) so Python never hashes; the state fold only set-unions
+    and truncates.  Emitted once per key on event-time timeout:
+    k_kept, theta = k-th smallest hash, and the classic estimator
+    (k−1)·2⁶⁰/θ (exact count when fewer than k distinct seen),
+    HALF_UP-floored at 1e-6 exactly like the SQL oracle."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(key_col).alias("k"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(CAST(floor(100.0 * {value_col}"
+            f" + 0.5) AS BIGINT) AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    two60 = 1 << 60
+
+    def fn(key, pdfs, state):
+        (kk,) = key
+        if state.hasTimedOut:
+            (kept,) = state.get
+            state.remove()
+            kept = sorted(kept)
+            n = len(kept)
+            if n:
+                theta = kept[-1] if n < k else kept[k - 1]
+                est = (
+                    float(n)
+                    if n < k
+                    else (k - 1.0) * float(two60) / float(theta)
+                )
+                yield pd.DataFrame(
+                    {
+                        "event_type": [kk],
+                        "k_kept": [n],
+                        "theta": [int(theta)],
+                        "kmv_estimate": [
+                            math.floor(est * 1e6 + 0.5) / 1e6
+                        ],
+                    }
+                )
+            return
+        (kept,) = (state.get if state.exists else ([],))
+        s = set(int(h) for h in kept)
+        last_ms = 0
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["hv"])
+            if len(pdf):
+                last_ms = max(
+                    last_ms, int(pdf["_ts"].max().timestamp() * 1000)
+                )
+        kept = sorted(s)[:k]
+        state.update((kept,))
+        state.setTimeoutTimestamp(
+            max(last_ms + 1, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, k_kept long, theta long,"
+            " kmv_estimate double"
+        ),
+        stateStructType="kept array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

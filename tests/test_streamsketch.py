@@ -63,3 +63,50 @@ def test_bucket_edges_contain_bucket(spark, sf_dir):
     per_type = out.groupby("event_type").size()
     assert (per_type < 512).all()
     assert out["cnt"].sum() > per_type.sum()  # real compression
+
+
+def test_stream_kmv_matches_python(spark, sf_dir):
+    """R43: the drained KMV rows recompute exactly from a pure-Python
+    bottom-k over the md5 hashes, and the estimate lands within the
+    1/sqrt(k) error band of the true distinct count."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from dtaidistance_spark.operators.streamsketch_q import (
+        _KMV_K,
+        _TWO60,
+        stream_kmv_distinct,
+    )
+
+    out = (
+        stream_kmv_distinct(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["cents"] = (100.0 * ev.value + 0.5).apply(math.floor).astype(int)
+    n_checked = 0
+    for et, grp in ev.groupby("event_type"):
+        hs = sorted(
+            {
+                int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16)
+                for c in grp.cents
+            }
+        )
+        nd = len(hs)
+        got = out.loc[et]
+        kept = min(nd, _KMV_K)
+        assert got.k_kept == kept
+        assert got.theta == hs[kept - 1]
+        est = (
+            float(nd)
+            if nd < _KMV_K
+            else (_KMV_K - 1.0) * float(_TWO60) / float(hs[_KMV_K - 1])
+        )
+        assert abs(got.kmv_estimate - math.floor(est * 1e6 + 0.5) / 1e6) < 1e-9
+        # accuracy: within 5/sqrt(k) of truth (wide band, deterministic)
+        assert abs(est - nd) < 5.0 * nd / math.sqrt(_KMV_K)
+        n_checked += 1
+    assert n_checked == len(out) == 5
