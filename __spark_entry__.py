@@ -68,6 +68,7 @@ def _registry():
         pagerank_q,
         randtests_q,
         pettitt_q,
+        procrustes_q,
         queries,
         rqa_q,
         sampling_q,
