@@ -229,6 +229,38 @@ def main() -> None:
         final_plan(reg["butterworth_smooth"](spark, SF)),
     ))
 
+    sections.append((
+        "jarque_bera_series (TS62, the per-series inference-fold shape)",
+        "ZERO exchanges: int64/DECIMAL power sums and the cleared "
+        "moment trees are scan-side HOFs inside codegen over the "
+        "distributed generator. The whole round-3 inference battery "
+        "shares this pure-map shape — adf_unit_root, von_neumann_ratio, "
+        "ols_trend_ttest, pacf_yule_walker, fisher_g_test (gated "
+        "BatchEvalPython-free in tests/test_plans.py).",
+        final_plan(reg["jarque_bera_series"](spark, SF)),
+    ))
+
+    sections.append((
+        "kpss_level_stat (TS64, struct-accumulator prefix fold)",
+        "ZERO exchanges even though the statistic needs a RUNNING "
+        "prefix sum: the (q, p, t) struct-accumulator fold threads the "
+        "prefix through one scan-side aggregate() HOF, so the series "
+        "never explodes to rows and nothing shuffles — compare the "
+        "classic explode + partitioned-window formulation, which costs "
+        "one exchange per pass.",
+        final_plan(reg["kpss_level_stat"](spark, SF)),
+    ))
+
+    sections.append((
+        "cust_order_distribution (R41, TPC-H Q13 aggregate-before-join)",
+        "orders are aggregated to per-custkey counts (map-side partial "
+        "+ final) BEFORE the left join, so the join input is "
+        "|customers-with-orders| rows, not |orders|; the zero bucket "
+        "comes back via coalesce after the outer join; the histogram "
+        "is a second map-side-combined aggregate.",
+        final_plan(reg["cust_order_distribution"](spark, SF)),
+    ))
+
     pdf_big = paa_series_df(spark, 500, length=64).persist()
     pdf_big.count()
     sections.append((
