@@ -48,6 +48,7 @@ def _registry():
         goodturing_q,
         granger_q,
         groupsets_q,
+        hubness_q,
         intenc_q,
         itemset_q,
         jarquebera_q,
