@@ -74,6 +74,7 @@ def _registry():
         rqa_q,
         sampling_q,
         saxindex,
+        seasonalmk_q,
         seasonstrength_q,
         silhouette_q,
         sketch_q,
