@@ -293,6 +293,47 @@ def main() -> None:
         feat_sec = dt if feat_sec is None else min(feat_sec, dt)
     timings["ts_features_bench"] = round(feat_sec, 3)
 
+    # --- inference-battery throughput (TS62/TS63/TS66 shape) -------------
+    # Jarque-Bera + lag-0 Dickey-Fuller + von Neumann sufficient
+    # statistics and verdicts in ONE zero-exchange pass over every bench
+    # series (the round-3 statistical-test family's production shape);
+    # work metric = tokens through the battery per second.
+    from dtaidistance_spark.operators import jarquebera_q as JB
+    from dtaidistance_spark.operators import stationarity_q as ST
+
+    inf_sec = None
+    for r in (0, -1):
+        sub = seq.where(F_expr(f"n_tok > {r}")).selectExpr(
+            "doc_id",
+            "CAST(n_tok AS BIGINT) AS n",
+            "transform(tokens, y -> CAST(y AS BIGINT)) AS v",
+        )
+        d = sub
+        for k, x in JB._folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        for k, x in ST._df_folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        for k, x in ST._DF_ABC.items():
+            d = d.withColumn(k, F_expr(f"CAST({x} AS BIGINT)"))
+        d = d.withColumn(
+            "m2", F_expr("CAST(n * s2 - s1 * s1 AS BIGINT)")
+        ).selectExpr(
+            "doc_id", "n", "m2", *JB._DBLS.split(", "),
+            "a_num", "b_den", "c_num", "s_dd",
+        )
+        chk = d.selectExpr(
+            f"sum({JB._REJ}) AS jb_rejects",
+            f"sum({ST._DF_REJ.format(t=ST._DF_T)}) AS df_rejects",
+            "sum(CASE WHEN CAST(n * s_dd AS DOUBLE)"
+            " / CAST(m2 AS DOUBLE) < 2.0 THEN 1 ELSE 0 END)"
+            " AS vn_smooth",
+        )
+        t0 = time.perf_counter()
+        chk.collect()
+        dt = time.perf_counter() - t0
+        inf_sec = dt if inf_sec is None else min(inf_sec, dt)
+    timings["inference_battery_bench"] = round(inf_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -368,6 +409,7 @@ def main() -> None:
         "mp_windows_per_sec": round(mp_windows / mp_sec, 1),
         "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
         "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
+        "inference_points_per_sec": round(stats["n_points"] / inf_sec, 1),
         "binseg_points_per_sec": round(stats["n_points"] / bs_sec, 1),
         "cdc_distinct_chunks": int(cdc_chunks),
         "bpe_round_top_count": int(bpe_top["count"]),
