@@ -33,6 +33,7 @@ def _registry():
         conformal_q,
         continuous_q,
         corpusops_q,
+        cramersv_q,
         croston_q,
         custdist_q,
         dbscan_q,
@@ -90,6 +91,7 @@ def _registry():
         tfidf_q,
         tokenstats_q,
         tpch4_q,
+        tpch8_q,
         tpch_q,
         tsanalytics_q,
         tscomplexity_q,

@@ -164,3 +164,58 @@ def test_cust_order_distribution_matches_pandas(spark, sf_dir, tabs):
     # cust 1 -> 2 kept orders; cust 2 -> only an urgent order (filtered
     # in the ON clause, so it still appears, at 0); cust 3 -> no orders
     assert dist == {2: 1, 0: 2}
+
+
+def test_nation_market_share_matches_pandas(spark, sf_dir, tabs):
+    from dtaidistance_spark.operators.tpch8_q import (
+        _NATION,
+        _PTYPE,
+        _REGION,
+        nation_market_share,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o, c = tabs["orders"], tabs["customer"]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    r = pd.read_parquet(f"{sf_dir}/region.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    o = o[
+        (o.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (o.o_orderdate < pd.Timestamp("1998-01-01"))
+    ]
+    rk = r.loc[r.r_name == _REGION, "r_regionkey"].iloc[0]
+    cust_keys = set(
+        c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .loc[lambda d: d.n_regionkey == rk, "c_custkey"]
+    )
+    part_keys = set(p.loc[p.p_type == _PTYPE, "p_partkey"])
+    sup_nat = s.merge(
+        n, left_on="s_nationkey", right_on="n_nationkey"
+    ).set_index("s_suppkey")["n_name"]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m = m[m.o_custkey.isin(cust_keys) & m.l_partkey.isin(part_keys)]
+    m["volume"] = m.l_extendedprice * (1 - m.l_discount)
+    m["supp_nation"] = m.l_suppkey.map(sup_nat)
+    m["o_year"] = m.o_orderdate.dt.year
+    got = {
+        row.o_year: row
+        for row in nation_market_share(spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    want = m.groupby("o_year").apply(
+        lambda g: (
+            g.loc[g.supp_nation == _NATION, "volume"].sum(),
+            g.volume.sum(),
+        ),
+        include_groups=False,
+    )
+    assert set(got) == set(want.index)
+    assert len(got) == 2  # 1996, 1997
+    for yr, (nv, tv) in want.items():
+        g = got[yr]
+        assert g.nation_volume == pytest.approx(round(nv, 2), abs=0.02)
+        assert g.total_volume == pytest.approx(round(tv, 2), abs=0.02)
+        assert g.mkt_share == pytest.approx(round(nv / tv, 4), abs=2e-4)
+        assert 0.0 < g.mkt_share < 1.0
