@@ -23,6 +23,7 @@ def _registry():
         alignment_q,
         allanvar_q,
         anova_q,
+        archlm_q,
         ann_q,
         bleu_q,
         bpe_q,
