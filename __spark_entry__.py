@@ -54,6 +54,7 @@ def _registry():
         intenc_q,
         itemset_q,
         jarquebera_q,
+        jsonl_q,
         kappa_q,
         kcenter_q,
         kendall_q,
