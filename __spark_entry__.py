@@ -71,6 +71,7 @@ def _registry():
         pacf_q,
         pagerank_q,
         randtests_q,
+        pelt_q,
         pettitt_q,
         procrustes_q,
         queries,
