@@ -50,6 +50,7 @@ def _registry():
         goodturing_q,
         granger_q,
         groupsets_q,
+        hpfilter_q,
         hubness_q,
         intenc_q,
         itemset_q,
