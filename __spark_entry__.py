@@ -47,6 +47,7 @@ def _registry():
         ewmachart_q,
         fisherg_q,
         flagship,
+        friedman_q,
         goodturing_q,
         granger_q,
         groupsets_q,
