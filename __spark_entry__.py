@@ -31,6 +31,7 @@ def _registry():
         cdc_q,
         chisq_q,
         clustering_q,
+        cochranq_q,
         conformal_q,
         continuous_q,
         corpusops_q,
@@ -72,6 +73,7 @@ def _registry():
         olstrend_q,
         pacf_q,
         pagerank_q,
+        pagetrend_q,
         randtests_q,
         pelt_q,
         pettitt_q,
