@@ -41,6 +41,7 @@ def _registry():
         dbscan_q,
         dedup_q,
         editdist_q,
+        elastic_q,
         embedlinalg_q,
         dfa_q,
         diag_q,
