@@ -77,6 +77,7 @@ def _registry():
         pagetrend_q,
         randtests_q,
         pelt_q,
+        permentropy_q,
         pettitt_q,
         procrustes_q,
         queries,
