@@ -56,6 +56,7 @@ def _registry():
         hpfilter_q,
         hubness_q,
         intenc_q,
+        isotonic_q,
         itemset_q,
         jarquebera_q,
         jsonl_q,
