@@ -45,6 +45,7 @@ def _registry():
         embedlinalg_q,
         dfa_q,
         diag_q,
+        dieboldmariano_q,
         encoding_q,
         ewmachart_q,
         fisherg_q,
