@@ -104,6 +104,7 @@ def _registry():
         tpch4_q,
         tpch8_q,
         tpch_q,
+        tpchmore_q,
         tsanalytics_q,
         tscomplexity_q,
         tsfeatures_q,
