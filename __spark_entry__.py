@@ -30,6 +30,7 @@ def _registry():
         burstiness_q,
         cdc_q,
         chisq_q,
+        chow_q,
         clustering_q,
         cochranq_q,
         conformal_q,
