@@ -25,6 +25,7 @@ def _registry():
         anova_q,
         archlm_q,
         ann_q,
+        benford_q,
         bleu_q,
         bpe_q,
         burstiness_q,
