@@ -56,6 +56,7 @@ def _registry():
         goodturing_q,
         granger_q,
         groupsets_q,
+        higuchi_q,
         hpfilter_q,
         hubness_q,
         intenc_q,
