@@ -34,6 +34,7 @@ def _registry():
         chow_q,
         clustering_q,
         cochranq_q,
+        cointegration_q,
         conformal_q,
         continuous_q,
         corpusops_q,
