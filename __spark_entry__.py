@@ -67,6 +67,7 @@ def _registry():
         jsonl_q,
         kappa_q,
         kcenter_q,
+        keyness_q,
         kendall_q,
         knlm_q,
         kstest_q,
