@@ -93,6 +93,7 @@ def _registry():
         saxindex,
         seasonalmk_q,
         seasonstrength_q,
+        ses_q,
         silhouette_q,
         sketch_q,
         stationarity_q,
