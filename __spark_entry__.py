@@ -72,6 +72,7 @@ def _registry():
         knlm_q,
         kstest_q,
         layout_q,
+        lz76_q,
         mannwhitney_q,
         mcnemar_q,
         motif_q,
