@@ -82,6 +82,7 @@ def _registry():
         olstrend_q,
         pacf_q,
         pagerank_q,
+        pca_q,
         pagetrend_q,
         randtests_q,
         pelt_q,
