@@ -58,6 +58,7 @@ def _registry():
         granger_q,
         groupsets_q,
         higuchi_q,
+        holt_q,
         hpfilter_q,
         hubness_q,
         intenc_q,
