@@ -80,6 +80,7 @@ def _registry():
         mpdist_q,
         multimodal_q,
         nbclassifier_q,
+        neweywest_q,
         olstrend_q,
         pacf_q,
         pagerank_q,
