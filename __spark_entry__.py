@@ -36,6 +36,7 @@ def _registry():
         cochranq_q,
         cointegration_q,
         conformal_q,
+        containment_q,
         continuous_q,
         corpusops_q,
         cramersv_q,
