@@ -66,6 +66,7 @@ def _registry():
         isotonic_q,
         itemset_q,
         jarquebera_q,
+        jl_q,
         jsonl_q,
         kappa_q,
         kcenter_q,
