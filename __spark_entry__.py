@@ -41,6 +41,7 @@ def _registry():
         corpusops_q,
         cramersv_q,
         croston_q,
+        csvio_q,
         custdist_q,
         dbscan_q,
         dedup_q,
