@@ -334,6 +334,42 @@ def main() -> None:
         inf_sec = dt if inf_sec is None else min(inf_sec, dt)
     timings["inference_battery_bench"] = round(inf_sec, 3)
 
+    # --- forecast/HAC-battery throughput (TS81/TS83/TS84 shape) ----------
+    # SES + Holt sequential accumulator folds, the naive int64 sums, and
+    # the Newey-West K=4 lagged-product folds in ONE zero-exchange pass
+    # per series — the round-3 forecasting/HAC family's production shape.
+    from dtaidistance_spark.operators import holt_q as HO
+    from dtaidistance_spark.operators import neweywest_q as NW
+    from dtaidistance_spark.operators import ses_q as SE
+
+    fc_sec = None
+    for r in (0, -1):
+        sub = seq.where(F_expr(f"n_tok > {r}")).selectExpr(
+            "doc_id",
+            "CAST(n_tok AS BIGINT) AS n",
+            "transform(tokens, y -> CAST(y AS BIGINT)) AS v",
+        )
+        d = sub.withColumn("sacc", F_expr(SE._ses_fold("spark"))).withColumn(
+            "hacc", F_expr(HO._holt_fold("spark"))
+        )
+        for k, x in SE._naive_folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        for k, x in NW._folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        chk = d.selectExpr(
+            "sum(CASE WHEN sacc.sse < CAST(nsse AS DOUBLE)"
+            " THEN 1 ELSE 0 END) AS ses_wins",
+            "sum(CASE WHEN element_at(hacc, 1) < sacc.sse"
+            " THEN 1 ELSE 0 END) AS holt_beats_ses",
+            f"sum(CASE WHEN {NW._LRV} < {NW._G[0]}"
+            " THEN 1 ELSE 0 END) AS vif_below_one",
+        )
+        t0 = time.perf_counter()
+        chk.collect()
+        dt = time.perf_counter() - t0
+        fc_sec = dt if fc_sec is None else min(fc_sec, dt)
+    timings["forecast_battery_bench"] = round(fc_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
@@ -410,6 +446,7 @@ def main() -> None:
         "mp_window_pairs_per_sec": round(int(mp_pairs) / mp_sec, 1),
         "analytics_fold_points_per_sec": round(stats["n_points"] / an_sec, 1),
         "inference_points_per_sec": round(stats["n_points"] / inf_sec, 1),
+        "forecast_points_per_sec": round(stats["n_points"] / fc_sec, 1),
         "binseg_points_per_sec": round(stats["n_points"] / bs_sec, 1),
         "cdc_distinct_chunks": int(cdc_chunks),
         "bpe_round_top_count": int(bpe_top["count"]),
