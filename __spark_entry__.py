@@ -118,6 +118,7 @@ def _registry():
         tpch8_q,
         tpch_q,
         tpchmore_q,
+        tpchpred_q,
         tsanalytics_q,
         tscomplexity_q,
         tsfeatures_q,
