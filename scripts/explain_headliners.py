@@ -261,6 +261,45 @@ def main() -> None:
         final_plan(reg["cust_order_distribution"](spark, SF)),
     ))
 
+    sections.append((
+        "large_volume_customers (R45, TPC-H Q18 aggregate-HAVING-then-join)",
+        "the per-order quantity sum runs map-side-combined over "
+        "lineitem FIRST; the HAVING filter cuts ~0.3% of orders and "
+        "only that winner set joins orders/customer (winner side + dim "
+        "broadcast) — the join-first anti-pattern never materializes.",
+        final_plan(reg["large_volume_customers"](spark, SF)),
+    ))
+
+    sections.append((
+        "disjunctive_promo_revenue (R49, TPC-H Q19 OR-of-conjuncts)",
+        "the part side is prefiltered to the UNION of the three "
+        "(brand, size) branches and broadcast with a first-match "
+        "branch tag; only the tagged branch's lineitem quantity range "
+        "evaluates post-join — the disjunction never blocks the "
+        "broadcast or widens the fact scan.",
+        final_plan(reg["disjunctive_promo_revenue"](spark, SF)),
+    ))
+
+    sections.append((
+        "dunning_keyness (T79, fact-shuffle + vocabulary broadcasts)",
+        "ONE fact-sized explode→(source, word) map-side-combined "
+        "aggregate; word totals, source totals, and the grand total "
+        "are vocabulary-/source-sized BroadcastExchanges joined back; "
+        "the top-5 window is PARTITIONED by source (no partition-less "
+        "WindowExec).",
+        final_plan(reg["dunning_keyness"](spark, SF)),
+    ))
+
+    sections.append((
+        "holt_model_selection (TS83, array-accumulator sequential folds)",
+        "three forecasters scored in ONE zero-exchange map pass: the "
+        "SES struct fold, the Holt ARRAY-accumulator fold (DuckDB "
+        "struct-field visibility proved expression-dependent — lists "
+        "evaluate purely in both engines), and the int64 naive "
+        "transition folds, all scan-side aggregate() HOFs.",
+        final_plan(reg["holt_model_selection"](spark, SF)),
+    ))
+
     pdf_big = paa_series_df(spark, 500, length=64).persist()
     pdf_big.count()
     sections.append((
