@@ -53,6 +53,7 @@ def _registry():
         dieboldmariano_q,
         encoding_q,
         ewmachart_q,
+        fdr_q,
         fisherg_q,
         flagship,
         friedman_q,
