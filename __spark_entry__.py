@@ -114,6 +114,7 @@ def _registry():
         tempsample_q,
         text_q,
         tfidf_q,
+        theta_q,
         tokenstats_q,
         tpch4_q,
         tpch8_q,
