@@ -108,6 +108,7 @@ def _registry():
         snippets_q,
         specdiag_q,
         streaming_q,
+        streamses_q,
         streamsketch_q,
         synth_q,
         tailvr_q,

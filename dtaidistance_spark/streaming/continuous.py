@@ -765,7 +765,6 @@ def stream_uddq_sketch(
             sk = dict(zip(idxs, cnts))
         else:
             sk = {}
-        last_ms = 0
         for pdf in pdfs:
             for v in pdf["cents"]:
                 i = _idx(int(v))
@@ -972,7 +971,6 @@ def stream_kmv(
             return
         (kept,) = (state.get if state.exists else ([],))
         s = set(int(h) for h in kept)
-        last_ms = 0
         for pdf in pdfs:
             s.update(int(h) for h in pdf["hv"])
             if len(pdf):
@@ -994,6 +992,111 @@ def stream_kmv(
             " kmv_estimate double"
         ),
         stateStructType="kept array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_ses_level(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 10th): per-key simple-exponential-smoothing LEVEL monitoring on
+    event-value cents (α = 0.2; TS81's batch semantics) — the streaming
+    twin of the forecast family: what a live rollup pipeline runs to
+    keep a smoothed level + one-step error score per metric as events
+    arrive.
+
+    A SEQUENTIAL recursion is order-sensitive, so bit-exactness across
+    arbitrary micro-batching uses the R42 Page-Hinkley posture: state
+    BUFFERS the key's (ts, event_id, cents) triples (bounded by the
+    key's window, not the stream — declared), and the drain sorts by
+    (ts, event_id) and runs the exact fold, so the emitted doubles are
+    independent of how files were replayed.  The numpy fold mirrors the
+    batch SQL fold op-for-op (e = x − l; sse += e·e; l = 0.2·x + 0.8·l
+    — identical IEEE trees), so the drained rows hash-match the DuckDB
+    ordered-array re-derivation: fully oracled.
+
+    Emitted once per key on event-time timeout: n_events, the SES
+    one-step sse/sae and final level (floor-1e6), and the naive Σ|Δ|
+    benchmark with the MASE verdict."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.expr(
+            f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    f6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def fn(key, pdfs, state):
+        (kk,) = key
+        if state.hasTimedOut:
+            tus, eids, cs = state.get
+            state.remove()
+            order = sorted(range(len(tus)), key=lambda i: (tus[i], eids[i]))
+            x = np.asarray([cs[i] for i in order], dtype=np.int64)
+            n = len(x)
+            if n >= 3:
+                l = float(x[0])
+                sse = sae = 0.0
+                for t in range(1, n):
+                    y = float(x[t])
+                    e = y - l
+                    sse += e * e
+                    sae += abs(e)
+                    l = 0.2 * y + 0.8 * l
+                sad = int(np.abs(np.diff(x).astype(object)).sum())
+                yield pd.DataFrame(
+                    {
+                        "event_type": [kk],
+                        "n_events": [n],
+                        "sad": [sad],
+                        "ses_sse": [f6(sse)],
+                        "ses_sae": [f6(sae)],
+                        "final_level": [f6(l)],
+                        "mase": [f6(sae / sad) if sad > 0 else None],
+                    }
+                )
+            return
+        tus, eids, cs = (state.get if state.exists else ([], [], []))
+        tus, eids, cs = list(tus), list(eids), list(cs)
+        for pdf in pdfs:
+            tus.extend(int(v) for v in pdf["tu"])
+            eids.extend(int(v) for v in pdf["eid"])
+            cs.extend(int(v) for v in pdf["cents"])
+        state.update((tus, eids, cs))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, n_events long, sad long, ses_sse double,"
+            " ses_sae double, final_level double, mase double"
+        ),
+        stateStructType=(
+            "tus array<long>, eids array<long>, cs array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
