@@ -85,6 +85,7 @@ def _registry():
         multimodal_q,
         nbclassifier_q,
         neweywest_q,
+        novelty_q,
         olstrend_q,
         pacf_q,
         pagerank_q,
