@@ -26,6 +26,7 @@ def _registry():
         archlm_q,
         ann_q,
         benford_q,
+        bartlett_q,
         bleu_q,
         bpe_q,
         burstiness_q,
