@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _registry():
     # importing the operator modules populates the registry
     from dtaidistance_spark.operators import (  # noqa: F401
+        aligncheck_q,
         alignment_q,
         allanvar_q,
         anova_q,
