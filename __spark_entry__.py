@@ -40,6 +40,7 @@ def _registry():
         conformal_q,
         containment_q,
         continuous_q,
+        contrast_q,
         corpusops_q,
         cramersv_q,
         croston_q,
