@@ -36,6 +36,7 @@ def _registry():
         chow_q,
         clustering_q,
         cochranq_q,
+        coherence_q,
         cointegration_q,
         conformal_q,
         containment_q,
