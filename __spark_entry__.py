@@ -66,6 +66,7 @@ def _registry():
         groupsets_q,
         higuchi_q,
         holt_q,
+        holtwinters_q,
         hpfilter_q,
         hubness_q,
         intenc_q,
