@@ -65,6 +65,7 @@ def _registry():
         granger_q,
         groupsets_q,
         higuchi_q,
+        hjorth_q,
         holt_q,
         holtwinters_q,
         hpfilter_q,
