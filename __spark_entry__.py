@@ -104,6 +104,7 @@ def _registry():
         procrustes_q,
         queries,
         rqa_q,
+        runstest_q,
         sampling_q,
         saxindex,
         seasonalmk_q,
