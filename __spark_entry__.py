@@ -103,6 +103,7 @@ def _registry():
         pettitt_q,
         procrustes_q,
         queries,
+        richness_q,
         rqa_q,
         runstest_q,
         sampling_q,
