@@ -71,6 +71,7 @@ def _registry():
         hpfilter_q,
         hubness_q,
         intenc_q,
+        intrinsicdim_q,
         isotonic_q,
         itemset_q,
         jarquebera_q,
