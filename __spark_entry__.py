@@ -132,6 +132,7 @@ def _registry():
         tpch_q,
         tpchmore_q,
         tpchpred_q,
+        trev_q,
         tsanalytics_q,
         tscomplexity_q,
         tsfeatures_q,
