@@ -765,6 +765,7 @@ def stream_uddq_sketch(
             sk = dict(zip(idxs, cnts))
         else:
             sk = {}
+        last_ms = 0
         for pdf in pdfs:
             for v in pdf["cents"]:
                 i = _idx(int(v))
@@ -971,6 +972,7 @@ def stream_kmv(
             return
         (kept,) = (state.get if state.exists else ([],))
         s = set(int(h) for h in kept)
+        last_ms = 0
         for pdf in pdfs:
             s.update(int(h) for h in pdf["hv"])
             if len(pdf):
