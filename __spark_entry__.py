@@ -84,6 +84,7 @@ def _registry():
         knlm_q,
         kstest_q,
         layout_q,
+        lombscargle_q,
         lz76_q,
         mannwhitney_q,
         mcnemar_q,
