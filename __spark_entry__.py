@@ -48,6 +48,7 @@ def _registry():
         csvio_q,
         custdist_q,
         dbscan_q,
+        dcca_q,
         dedup_q,
         editdist_q,
         elastic_q,
