@@ -115,6 +115,7 @@ def _registry():
         seasonstrength_q,
         ses_q,
         silhouette_q,
+        symbolicmi_q,
         sketch_q,
         stationarity_q,
         snippets_q,
