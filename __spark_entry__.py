@@ -135,6 +135,7 @@ def _registry():
         tpch_q,
         tpchmore_q,
         tpchpred_q,
+        transferentropy_q,
         trev_q,
         tsanalytics_q,
         tscomplexity_q,
