@@ -144,6 +144,7 @@ def _registry():
         tsrobust_q,
         tswin_q,
         tsops_q,
+        vendi_q,
         vonneumann_q,
         wavelet_q,
         wasserstein_q,
