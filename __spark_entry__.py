@@ -90,6 +90,7 @@ def _registry():
         mannwhitney_q,
         mcnemar_q,
         motif_q,
+        mtld_q,
         mpdist_q,
         multimodal_q,
         nbclassifier_q,
