@@ -56,6 +56,7 @@ def _registry():
         dfa_q,
         diag_q,
         dieboldmariano_q,
+        dispersion_q,
         encoding_q,
         ewmachart_q,
         fdr_q,
