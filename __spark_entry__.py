@@ -79,6 +79,7 @@ def _registry():
         jarquebera_q,
         jl_q,
         jsonl_q,
+        kaplanmeier_q,
         kappa_q,
         kcenter_q,
         keyness_q,
