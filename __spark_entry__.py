@@ -108,6 +108,7 @@ def _registry():
         permentropy_q,
         pettitt_q,
         procrustes_q,
+        psi_q,
         queries,
         richness_q,
         rqa_q,
