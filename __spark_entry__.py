@@ -90,6 +90,7 @@ def _registry():
         lombscargle_q,
         lz76_q,
         mannwhitney_q,
+        markov_q,
         mcnemar_q,
         motif_q,
         mtld_q,
