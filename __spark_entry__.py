@@ -108,6 +108,7 @@ def _registry():
         pelt_q,
         permentropy_q,
         pettitt_q,
+        pii_q,
         procrustes_q,
         psi_q,
         queries,
