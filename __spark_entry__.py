@@ -25,6 +25,7 @@ def _registry():
         allanvar_q,
         anova_q,
         archlm_q,
+        auc_q,
         ann_q,
         benford_q,
         bartlett_q,
