@@ -122,6 +122,7 @@ def _registry():
         seasonalmk_q,
         seasonstrength_q,
         ses_q,
+        shesd_q,
         silhouette_q,
         symbolicmi_q,
         sketch_q,
