@@ -146,6 +146,7 @@ def _registry():
         tpchpred_q,
         transferentropy_q,
         trev_q,
+        turningpoints_q,
         tsanalytics_q,
         tscomplexity_q,
         tsfeatures_q,
