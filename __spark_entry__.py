@@ -94,6 +94,7 @@ def _registry():
         mannwhitney_q,
         markov_q,
         mcnemar_q,
+        mmd_q,
         motif_q,
         mtld_q,
         mpdist_q,
