@@ -89,6 +89,7 @@ def _registry():
         knlm_q,
         kstest_q,
         layout_q,
+        logrank_q,
         lombscargle_q,
         lz76_q,
         mannwhitney_q,
