@@ -65,6 +65,7 @@ def _registry():
         fisherg_q,
         flagship,
         friedman_q,
+        gini_q,
         goodturing_q,
         granger_q,
         groupsets_q,
