@@ -117,6 +117,7 @@ def _registry():
         procrustes_q,
         psi_q,
         queries,
+        rayleigh_q,
         richness_q,
         rqa_q,
         runstest_q,
