@@ -31,6 +31,7 @@ def _registry():
         bartlett_q,
         bleu_q,
         bpe_q,
+        brownforsythe_q,
         burrows_q,
         burstiness_q,
         cdc_q,
