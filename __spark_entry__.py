@@ -119,6 +119,7 @@ def _registry():
         psi_q,
         queries,
         rayleigh_q,
+        records_q,
         richness_q,
         rqa_q,
         runstest_q,
