@@ -93,6 +93,7 @@ def _registry():
         layout_q,
         logrank_q,
         lombscargle_q,
+        longestrun_q,
         lz76_q,
         mannwhitney_q,
         markov_q,
