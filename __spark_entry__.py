@@ -71,6 +71,7 @@ def _registry():
         granger_q,
         groupsets_q,
         higuchi_q,
+        hill_q,
         hjorth_q,
         holt_q,
         holtwinters_q,
