@@ -11,8 +11,8 @@ x^{−α}:
 Hill-plot triple, because the estimator's one real failure mode is
 k-sensitivity and reporting one k hides it.  α < 2 means infinite
 variance (plan capacity differently), α < 1 infinite mean; a
-finite-endpoint distribution drives α̂ UP with k — the signature
-read live below.
+non-Pareto distribution shows itself as k-DRIFT of α̂ across the
+triple — the signature read live below.
 
 Exactness: values in exact cents; per-k sums are pinned-order ln
 folds over the DESC-sorted array (Σ ln x_(i) − k·ln x_(k+1) —
