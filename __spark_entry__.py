@@ -35,6 +35,7 @@ def _registry():
         burrows_q,
         burstiness_q,
         cdc_q,
+        chatterjee_q,
         chisq_q,
         chow_q,
         clustering_q,
