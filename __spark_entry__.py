@@ -93,6 +93,7 @@ def _registry():
         knlm_q,
         kstest_q,
         layout_q,
+        lmoments_q,
         logrank_q,
         lombscargle_q,
         longestrun_q,
