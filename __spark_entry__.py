@@ -69,6 +69,7 @@ def _registry():
         friedman_q,
         gini_q,
         goodturing_q,
+        gpdtail_q,
         granger_q,
         groupsets_q,
         higuchi_q,
