@@ -108,6 +108,7 @@ def _registry():
         mpdist_q,
         multimodal_q,
         nbclassifier_q,
+        nelsonaalen_q,
         neweywest_q,
         novelty_q,
         olstrend_q,
