@@ -24,6 +24,7 @@ def _registry():
         alignment_q,
         allanvar_q,
         anova_q,
+        ansari_q,
         archlm_q,
         auc_q,
         ann_q,
