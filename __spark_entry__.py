@@ -86,6 +86,7 @@ def _registry():
         itemset_q,
         jarquebera_q,
         jl_q,
+        jonckheere_q,
         jsonl_q,
         kaplanmeier_q,
         kappa_q,
