@@ -93,6 +93,7 @@ def _registry():
         kcenter_q,
         keyness_q,
         kendall_q,
+        kendallw_q,
         knlm_q,
         kstest_q,
         layout_q,
