@@ -98,6 +98,7 @@ def _registry():
         kstest_q,
         layout_q,
         lmoments_q,
+        lof_q,
         logrank_q,
         lombscargle_q,
         longestrun_q,
@@ -161,6 +162,7 @@ def _registry():
         tpchpred_q,
         transferentropy_q,
         trev_q,
+        triangles_q,
         turningpoints_q,
         tsanalytics_q,
         tscomplexity_q,
