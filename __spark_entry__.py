@@ -125,6 +125,7 @@ def _registry():
         permentropy_q,
         pettitt_q,
         pii_q,
+        phillipsperron_q,
         procrustes_q,
         psi_q,
         queries,
