@@ -43,6 +43,7 @@ def _registry():
         cochranq_q,
         coherence_q,
         cointegration_q,
+        compressq_q,
         conformal_q,
         containment_q,
         continuous_q,
@@ -130,6 +131,7 @@ def _registry():
         psi_q,
         queries,
         rayleigh_q,
+        readability_q,
         records_q,
         richness_q,
         rqa_q,
