@@ -74,6 +74,7 @@ def _registry():
         gpdtail_q,
         granger_q,
         groupsets_q,
+        hetero_q,
         higuchi_q,
         hill_q,
         hjorth_q,
