@@ -97,6 +97,7 @@ def _registry():
         kendall_q,
         kendallw_q,
         knlm_q,
+        knnloo_q,
         kstest_q,
         layout_q,
         lmoments_q,
