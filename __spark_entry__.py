@@ -98,6 +98,7 @@ def _registry():
         kendallw_q,
         knlm_q,
         knnloo_q,
+        kuiper_q,
         kstest_q,
         layout_q,
         lmoments_q,
