@@ -26,6 +26,7 @@ def _registry():
         anova_q,
         ansari_q,
         archlm_q,
+        arforecast_q,
         auc_q,
         ann_q,
         benford_q,
