@@ -77,6 +77,7 @@ def _registry():
         groupsets_q,
         hetero_q,
         higuchi_q,
+        hoeffding_q,
         hill_q,
         hjorth_q,
         holt_q,
