@@ -161,6 +161,7 @@ def _registry():
         tempsample_q,
         text_q,
         tfidf_q,
+        theilu_q,
         theta_q,
         tokenstats_q,
         tpch4_q,
