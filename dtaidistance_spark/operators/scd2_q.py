@@ -130,3 +130,97 @@ def scd2_user_tiers(spark, sf_dir):
             " AS BIGINT) AS is_current",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R56 — the streaming twin: live SCD2 maintenance, same oracle
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+    WITH wk AS (
+      SELECT user_id,
+             CAST((day(ts) - 1) // 7 AS BIGINT) AS week,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id, (day(ts) - 1) // 7
+    ),
+    tiers AS (
+      SELECT user_id, week,
+             CASE WHEN n_ev < {_LO} THEN 'LOW'
+                  WHEN n_ev < {_HI} THEN 'MID'
+                  ELSE 'HIGH' END AS tier
+      FROM wk
+    ),
+    isl AS (
+      SELECT user_id, week, tier,
+             week - row_number() OVER (PARTITION BY user_id, tier
+                                       ORDER BY week) AS island
+      FROM tiers
+    )
+    SELECT user_id, tier,
+           CAST(min(week) AS BIGINT) AS eff_from,
+           CAST(max(week) AS BIGINT) AS eff_to,
+           CAST(max(week) - min(week) + 1 AS BIGINT) AS n_weeks
+    FROM isl GROUP BY user_id, tier, island
+"""
+
+
+@register("stream_scd2_tiers", oracle=_SCD2_ORACLE)
+def stream_scd2_tiers_q(spark, sf_dir):
+    """R56: STREAMING SCD Type-2 dimension maintenance (the 11th
+    applyInPandasWithState operator; ``streaming/continuous.
+    stream_scd2_tiers``) — the live twin of R55, emitting one run
+    row per (user, tier-run) when the watermark closes the user.
+    The week-count merge is commutative across micro-batches, every
+    derived quantity is INT64, so the streamed dimension is
+    BIT-IDENTICAL to the batch operator's — the oracle here is
+    R55's SQL verbatim (minus the is_current decoration, which
+    needs the global max week and belongs to the batch read).
+    Replayed file-by-file (maxFilesPerTrigger=1 → genuine
+    cross-batch state merges), closed by the far-future row."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark.operators.qutil import detach
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            S.stream_scd2_tiers(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+            " CAST(-1 AS BIGINT) AS user_id"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .select("user_id", "tier", "eff_from", "eff_to", "n_weeks")
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

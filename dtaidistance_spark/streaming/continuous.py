@@ -1102,3 +1102,98 @@ def stream_ses_level(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_scd2_tiers(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    lo: int = 12,
+    hi: int = 18,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    live SCD Type-2 dimension maintenance — the streaming twin of
+    R55's batch ``scd2_user_tiers``.  State per user is the map of
+    calendar week → event count (bounded by the observation window:
+    ≤ 5 entries per key); the event-time timeout fires once the
+    watermark passes the user's last event, at which point the runs
+    are derived with EXACTLY the batch semantics (absence breaks a
+    run; tier thresholds lo/hi on the weekly count) and emitted once
+    (append mode).  Every derived quantity is integer, so the
+    streaming rows are bit-identical to the batch operator's — the
+    registry query's oracle IS the R55 oracle.
+
+    The week-count merge is commutative and associative across
+    micro-batches, so the emitted dimension is independent of file
+    replay order — gated by the maxFilesPerTrigger=1 replay."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr("CAST((day(ts) - 1) DIV 7 AS BIGINT)").alias("week"),
+        F.col("ts").cast("timestamp").alias("_ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+    ).withWatermark("_ts", watermark)
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            weeks, cnts = state.get
+            state.remove()
+            per = dict(zip([int(w) for w in weeks], [int(c) for c in cnts]))
+            rows = []
+            run = None  # [tier, eff_from, eff_to]
+            prev_w = None
+            for w in sorted(per):
+                n_ev = per[w]
+                tier = "LOW" if n_ev < lo else ("MID" if n_ev < hi else "HIGH")
+                if run is None or tier != run[0] or w != prev_w + 1:
+                    if run:
+                        rows.append(run)
+                    run = [tier, w, w]
+                else:
+                    run[2] = w
+                prev_w = w
+            if run:
+                rows.append(run)
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)] * len(rows),
+                        "tier": [r[0] for r in rows],
+                        "eff_from": [r[1] for r in rows],
+                        "eff_to": [r[2] for r in rows],
+                        "n_weeks": [r[2] - r[1] + 1 for r in rows],
+                    }
+                )
+            return
+        if state.exists:
+            weeks, cnts = state.get
+            per = dict(zip([int(w) for w in weeks], [int(c) for c in cnts]))
+        else:
+            per = {}
+        tu_max = 0
+        for pdf in pdfs:
+            tu_max = max(tu_max, int(pdf["tu"].max()))
+            for w in pdf["week"]:
+                per[int(w)] = per.get(int(w), 0) + 1
+        weeks = sorted(per)
+        state.update(([int(w) for w in weeks], [per[w] for w in weeks]))
+        end_ms = tu_max // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, tier string, eff_from long, eff_to long,"
+            " n_weeks long"
+        ),
+        stateStructType="weeks array<long>, cnts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

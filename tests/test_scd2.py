@@ -112,3 +112,26 @@ def test_honest_churn_pin(spark):
     assert int(out.is_current.sum()) == 149  # one user absent at end
     # all three tiers genuinely populated
     assert set(out.tier.unique()) == {"LOW", "MID", "HIGH"}
+
+
+def test_streaming_twin_bit_identical(spark, sf_dir):
+    """R56: the streamed dimension equals the batch dimension
+    row-for-row (modulo the batch-only is_current decoration) —
+    cross-batch state merges exercised by the file-by-file replay."""
+    from dtaidistance_spark.operators.scd2_q import stream_scd2_tiers_q
+
+    batch = (
+        scd2_user_tiers(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "eff_from"])
+        .reset_index(drop=True)
+    )
+    streamed = (
+        stream_scd2_tiers_q(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "eff_from"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    for col in ("user_id", "tier", "eff_from", "eff_to", "n_weeks"):
+        assert (streamed[col].values == batch[col].values).all(), col
