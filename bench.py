@@ -370,6 +370,54 @@ def main() -> None:
         fc_sec = dt if fc_sec is None else min(fc_sec, dt)
     timings["forecast_battery_bench"] = round(fc_sec, 3)
 
+    # --- unit-root/AR/SPC-battery throughput (TS115/TS118/TS120/TS123
+    # shape, round-3 continuation) — Phillips-Perron residual
+    # autocovariance folds + the AR(4) Levinson-Durbin stage chain +
+    # the Inclan-Tiao cleared integer scan, all zero-exchange per-row
+    # work over every bench series in ONE pass
+    from dtaidistance_spark.operators import arforecast_q as AR
+    from dtaidistance_spark.operators import inclantiao_q as IT
+    from dtaidistance_spark.operators import phillipsperron_q as PP
+    from dtaidistance_spark.operators import stationarity_q as ST
+
+    ur_sec = None
+    for r in (0, -1):
+        sub = seq.where(F_expr(f"n_tok > {r}")).selectExpr(
+            "doc_id",
+            "CAST(n_tok AS BIGINT) AS n",
+            "CAST(n_tok - 1 AS BIGINT) AS m",
+            "CAST(floor(0.8 * n_tok) AS BIGINT) AS m0",
+            "transform(tokens, y -> CAST(y AS BIGINT)) AS v",
+        )
+        d = sub
+        for k, x in ST._df_folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        for k, x in ST._DF_ABC.items():
+            d = d.withColumn(k, F_expr(f"CAST({x} AS BIGINT)"))
+        d = d.withColumn("rho", F_expr(PP._RHO)).withColumn(
+            "alpha", F_expr(PP._ALPHA)
+        )
+        for k, x in PP._gamma_folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        d = d.withColumn(
+            "mu", F_expr(AR._train_folds("spark")["sy"])
+        ).withColumn("mu", F_expr("CAST(mu AS DOUBLE) / CAST(m0 AS DOUBLE)"))
+        for k, x in AR._cov_folds("spark").items():
+            d = d.withColumn(k, F_expr(x))
+        d = d.withColumn("qm", F_expr(IT._qm_fold("spark")))
+        chk = d.selectExpr(
+            f"sum(CASE WHEN {PP._ZPP} < -2.86 THEN 1 ELSE 0 END)"
+            " AS pp_rejects",
+            "sum(CASE WHEN r1 / r0 < 0 THEN 1 ELSE 0 END)"
+            " AS antipersistent",
+            "sum(qm) AS qm_total",
+        )
+        t0 = time.perf_counter()
+        chk.collect()
+        dt = time.perf_counter() - t0
+        ur_sec = dt if ur_sec is None else min(ur_sec, dt)
+    timings["unitroot_battery_bench"] = round(ur_sec, 3)
+
     seq.unpersist()
 
     # --- distance-matrix workload (M1): LB-cascade pair join ------------
