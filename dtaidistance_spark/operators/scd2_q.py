@@ -224,3 +224,95 @@ def stream_scd2_tiers_q(spark, sf_dir):
         return detach(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# R57 — the point-in-time join the dimension exists FOR
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_tier_pit",
+    oracle=f"""
+    WITH wk AS (
+      SELECT user_id,
+             CAST((day(ts) - 1) // 7 AS BIGINT) AS week,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id, (day(ts) - 1) // 7
+    ),
+    tiers AS (
+      SELECT user_id, week,
+             CASE WHEN n_ev < {_LO} THEN 'LOW'
+                  WHEN n_ev < {_HI} THEN 'MID'
+                  ELSE 'HIGH' END AS tier
+      FROM wk
+    ),
+    isl AS (
+      SELECT user_id, week, tier,
+             week - row_number() OVER (PARTITION BY user_id, tier
+                                       ORDER BY week) AS island
+      FROM tiers
+    ),
+    runs2 AS (
+      SELECT user_id, tier,
+             CAST(min(week) AS BIGINT) AS eff_from,
+             CAST(max(week) AS BIGINT) AS eff_to
+      FROM isl GROUP BY user_id, tier, island
+    ),
+    purch AS (
+      SELECT user_id,
+             CAST((day(ts) - 1) // 7 AS BIGINT) AS week,
+             CAST(floor(100.0 * value + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT r.tier,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM purch p
+    JOIN runs2 r
+      ON r.user_id = p.user_id
+     AND p.week BETWEEN r.eff_from AND r.eff_to
+    GROUP BY r.tier
+    """,
+)
+def revenue_by_tier_pit(spark, sf_dir):
+    """R57: point-in-time revenue by activity tier — the
+    fact-to-SCD2 range join the Type-2 dimension exists for
+    ("what tier was this buyer in DURING the purchase week?").
+    The join key is (user_id equality + week BETWEEN eff_from AND
+    eff_to); because runs tile each user's observed weeks
+    disjointly (the R55 invariant, gated there), every purchase
+    matches EXACTLY one run — asserted by the exact INT64 count
+    and revenue sums hash-matching the oracle.  All integers, no
+    floats anywhere.
+
+    Scale shape: the dimension side is orders of magnitude smaller
+    than the fact side, so Spark broadcasts it and the range
+    predicate evaluates as a broadcast-join residual — the fact
+    table never shuffles; revenue aggregation is one map-side-
+    combined exchange on tier."""
+    runs = scd2_user_tiers(spark, sf_dir).select(
+        F.col("user_id").alias("r_uid"),
+        "tier",
+        "eff_from",
+        "eff_to",
+    )
+    purch = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "CAST((day(ts) - 1) DIV 7 AS BIGINT) AS week",
+            "CAST(floor(100.0 * value + 0.5) AS BIGINT) AS cents",
+        )
+    )
+    joined = purch.join(
+        F.broadcast(runs),
+        (F.col("user_id") == F.col("r_uid"))
+        & (F.col("week") >= F.col("eff_from"))
+        & (F.col("week") <= F.col("eff_to")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -135,3 +135,20 @@ def test_streaming_twin_bit_identical(spark, sf_dir):
     assert len(streamed) == len(batch)
     for col in ("user_id", "tier", "eff_from", "eff_to", "n_weeks"):
         assert (streamed[col].values == batch[col].values).all(), col
+
+
+def test_pit_join_totals_and_uniqueness(spark, sf_dir):
+    """R57: the point-in-time join matches every purchase to EXACTLY
+    one run (the R55 tiling invariant in action) — totals conserve."""
+    import numpy as np
+
+    from dtaidistance_spark.operators.scd2_q import revenue_by_tier_pit
+
+    out = revenue_by_tier_pit(spark, sf_dir).toPandas()
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet")
+    purch = raw[raw.event_type == "purchase"]
+    cents = np.floor(100.0 * purch.value + 0.5).astype(np.int64)
+    # conservation: every purchase lands in exactly one tier bucket
+    assert int(out.n_purchases.sum()) == len(purch)
+    assert int(out.revenue_cents.sum()) == int(cents.sum())
+    assert set(out.tier) <= {"LOW", "MID", "HIGH"}
