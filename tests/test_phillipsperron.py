@@ -29,7 +29,9 @@ def _pp_ref(y, q=_Q):
     Qv = np.sum((x - x.mean()) ** 2)
     se = math.sqrt(s2 / Qv)
     t = beta[1] / se
-    g = [float(u[j:] @ u[: m - j]) / m for j in range(q + 1)]
+    # mirror the engine's 1e-4 residual pin (the FMA-drift fix)
+    u6 = np.floor(u * 1e4 + 0.5) / 1e4
+    g = [float(u6[j:] @ u6[: m - j]) / m for j in range(q + 1)]
     lam2 = g[0] + 2 * sum(
         (1 - j / (q + 1)) * g[j] for j in range(1, q + 1)
     )
