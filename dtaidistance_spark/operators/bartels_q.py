@@ -29,16 +29,13 @@ scatters ranks (anti-persistence).  Ranks see the step SIZE where
 signs see only the step DIRECTION — the two tests are
 complementary instruments, not substitutes, and the bifurcation
 (median z = +3.5, range [−44.4, +22.7], RVN median 2.255) is the
-corpus's increment-size distribution made visible.  Gates: exact
-n = 3 hand case; planted iid null ≈ 5%; planted alternation
-(z ≫ 0) and planted slow walk (z ≪ 0); the Bartels variance
-formula against an LCG permutation-null sd (within 10%); numpy
-recompute per doc; the two-sided-split corpus pins.  Gates: the exact two-permutation hand case
-(n = 3: RVN of (1,3,2)); planted iid-null calibration ≈ 5%;
-planted alternation (z ≫ 0) and monotone ramp (z ≪ 0, RVN → 6/n
-side... → below 2); the variance formula vs an LCG permutation
-null (sd within 10%); numpy recompute per doc; the corpus
-495-reject + ordinal-confirmation pins.
+corpus's increment-size distribution made visible.  Gates: the
+exact n = 3 hand case (RVN of (1,3,2) = 2.5); planted iid null
+≤ 12%; planted alternation (z > 10) and planted slow walk
+(z < −10); the Bartels variance formula against an LCG
+permutation-null sd (within 25%); numpy recompute per sampled
+doc; the 477/512-reject two-sided-split corpus pins
+(276 anti-persistent / 201 persistent, RVN median 2.255).
 
 Scale shape: explode → ONE hash exchange on doc (rank/tie/lag
 windows share it) → one map-side-combinable aggregate.

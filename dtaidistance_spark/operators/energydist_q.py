@@ -36,9 +36,10 @@ of E (orthogonal map of both samples leaves it exactly unchanged);
 the E ≥ 0 V-statistic property; numpy recompute; the corpus
 null-band + sign pins.
 
-Scale shape: the E13 250k-pair verification tier — one broadcast
-self-join, one aggregate; production subsamples or uses the
-random-feature lane.
+Scale shape: the E13 250k-pair VERIFICATION tier — one broadcast
+self-join, one aggregate; the registry scale path is
+``energy_distance_sampled`` (embedsample_q), the identical
+machinery over the deterministic md5 quarter-sample.
 """
 
 from __future__ import annotations

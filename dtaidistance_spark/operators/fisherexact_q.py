@@ -128,14 +128,23 @@ def _fisher_cols(eng: str) -> list[str]:
         + _F6.format(x=f"({_D('a')} * {_D('d')} / ({_D('b')} * {_D('c')}))")
         + " ELSE CAST(NULL AS DOUBLE) END"
     )
+    # Degenerate-table guard (zero margin — a lang/source absent at a
+    # tiny scale factor): chi2's denominator is a product of all four
+    # margins, so an empty row/column divides by zero and emits
+    # NaN/Inf even though chi2_valid reads 0.  NULL both chi2 and the
+    # verdict when any margin is empty (identical text both engines,
+    # so the hash contract is unchanged on non-degenerate tables).
+    margins_ok = f"({r1} > 0 AND {r2} > 0 AND {c1} > 0 AND (b + d) > 0)"
     return [
         _F6.format(x=f"least({psum}, CAST(1 AS DOUBLE))")
         + " AS p_fisher",
         f"{orx} AS odds_ratio",
-        _F6.format(x=chi2) + " AS chi2",
+        f"CASE WHEN {margins_ok} THEN " + _F6.format(x=chi2)
+        + " ELSE CAST(NULL AS DOUBLE) END AS chi2",
         f"CAST(CASE WHEN {e_min} >= 5.0 THEN 1 ELSE 0 END"
         " AS BIGINT) AS chi2_valid",
-        f"CAST(CASE WHEN {psum} < 0.05 THEN 1 ELSE 0 END"
+        f"CAST(CASE WHEN NOT {margins_ok} THEN NULL"
+        f" WHEN {psum} < 0.05 THEN 1 ELSE 0 END"
         " AS BIGINT) AS reject_independence",
     ]
 

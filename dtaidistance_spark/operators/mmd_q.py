@@ -36,9 +36,11 @@ MMD² ≫ the 95th permutation percentile, a variance-inflated half
 likewise, and the permutation null on the real halves brackets
 the emitted value.
 
-Scale shape: one 250k-pair self-join with pinned folds (the
-declared n² verification tier — at corpus scale MMD runs on
-samples or random features); two aggregates (median, then sums)
+Scale shape: one 250k-pair self-join with pinned folds — this is
+the VERIFICATION tier; the registry scale path is ``mmd_sampled``
+(embedsample_q), which runs the identical machinery over a
+deterministic md5 quarter-sample (~16× fewer pairs, modulus the
+declared 100 TB tuning knob).  Two aggregates (median, then sums)
 over the same pair stream.
 """
 

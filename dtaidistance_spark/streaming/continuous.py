@@ -1139,7 +1139,7 @@ def stream_scd2_tiers(
     def fn(key, pdfs, state):
         (uid,) = key
         if state.hasTimedOut:
-            weeks, cnts = state.get
+            weeks, cnts, _tu_max = state.get
             state.remove()
             per = dict(zip([int(w) for w in weeks], [int(c) for c in cnts]))
             rows = []
@@ -1169,17 +1169,26 @@ def stream_scd2_tiers(
                 )
             return
         if state.exists:
-            weeks, cnts = state.get
+            weeks, cnts, tu_max = state.get
             per = dict(zip([int(w) for w in weeks], [int(c) for c in cnts]))
+            tu_max = int(tu_max)
         else:
             per = {}
-        tu_max = 0
+            tu_max = 0
+        # tu_max is the ACCUMULATED max observed event time (carried in
+        # state, like stream_rate_cusum's max(tus)) — deriving it from
+        # only the current micro-batch would let an out-of-order replay
+        # degrade the timeout to watermark+1 and close a user's run
+        # while in-slack events are still queued, fragmenting the
+        # emitted dimension.
         for pdf in pdfs:
             tu_max = max(tu_max, int(pdf["tu"].max()))
             for w in pdf["week"]:
                 per[int(w)] = per.get(int(w), 0) + 1
         weeks = sorted(per)
-        state.update(([int(w) for w in weeks], [per[w] for w in weeks]))
+        state.update(
+            ([int(w) for w in weeks], [per[w] for w in weeks], int(tu_max))
+        )
         end_ms = tu_max // 1000 + 1
         state.setTimeoutTimestamp(
             max(end_ms, state.getCurrentWatermarkMs() + 1)
@@ -1193,7 +1202,9 @@ def stream_scd2_tiers(
             "user_id long, tier string, eff_from long, eff_to long,"
             " n_weeks long"
         ),
-        stateStructType="weeks array<long>, cnts array<long>",
+        stateStructType=(
+            "weeks array<long>, cnts array<long>, tu_max long"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
