@@ -112,20 +112,25 @@ _OUT = [
 ]
 
 
-@register(
-    "intrinsic_dim_mle",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    scored AS (
+_BRUTE_SCORED_CTE = """scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
              list_inner_product(q.e, c.e)
                / (sqrt(list_inner_product(q.e, q.e))
                   * sqrt(list_inner_product(c.e, c.e))) AS cos,
              q.e AS qe, c.e AS ce
       FROM v q JOIN v c ON q.vec_id != c.vec_id
+    )"""
+
+
+def _oracle(scored_cte: str) -> str:
+    """Full MLE oracle from a ``scored`` CTE producing
+    ``(query_id, nn_id, cos, qe, ce)`` — parameterized so the
+    ANN-graph tier (anngraph_q) swaps only the pair enumeration."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
+    {scored_cte},
     ranked AS (
       SELECT query_id, nn_id, qe, ce,
              row_number() OVER (PARTITION BY query_id
@@ -148,8 +153,10 @@ _OUT = [
     SELECT vec_id, CAST({_K} AS BIGINT) AS k,
            {", ".join(_OUT)}
     FROM agg
-    """,
-)
+    """
+
+
+@register("intrinsic_dim_mle", oracle=_oracle(_BRUTE_SCORED_CTE))
 def intrinsic_dim_mle(spark, sf_dir):
     """E11: Levina–Bickel intrinsic-dimension MLE per point (module
     header) — certified brute top-k neighbors, order-pinned d² folds
@@ -158,6 +165,13 @@ def intrinsic_dim_mle(spark, sf_dir):
     topk = A.brute_cosine_topk(emb, emb, k=_K).select(
         "query_id", "nn_id", "rank"
     )
+    return mle_from_topk(emb, topk)
+
+
+def mle_from_topk(emb, topk):
+    """The Levina–Bickel algebra from a ranked neighbor stream
+    ``(query_id, nn_id, rank)`` onward — shared by the brute tier
+    above and the ANN-graph composition (anngraph_q)."""
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -60,7 +60,10 @@ _EUC_DUCK = (
 )
 
 
-def _oracle() -> str:
+def _oracle(pairs_cte: str = "") -> str:
+    """Full LOO oracle; ``pairs_cte`` overrides the brute pair
+    enumeration (the ANN-graph tier in anngraph_q passes a
+    candidate-restricted one) — everything downstream is shared."""
     per_k = []
     for k in _KS:
         per_k.append(
@@ -99,6 +102,14 @@ def _oracle() -> str:
         FROM acc_{k}, base"""
         for k in _KS
     )
+    if not pairs_cte:
+        pairs_cte = f"""pairs AS (
+      SELECT a.vec_id, a.label AS true_label,
+             b.label AS nn_label, b.vec_id AS nn_id,
+             {_EUC_DUCK.replace("a_emb", "a.emb")
+                       .replace("b_emb", "b.emb")} AS d
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )"""
     return f"""
     WITH e AS (
       SELECT vec_id, label,
@@ -109,13 +120,7 @@ def _oracle() -> str:
       SELECT CAST(max(c) AS BIGINT) AS n_maj
       FROM (SELECT count(*) AS c FROM e GROUP BY label)
     ),
-    pairs AS (
-      SELECT a.vec_id, a.label AS true_label,
-             b.label AS nn_label, b.vec_id AS nn_id,
-             {_EUC_DUCK.replace("a_emb", "a.emb")
-                       .replace("b_emb", "b.emb")} AS d
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    ),
+    {pairs_cte},
     knn AS (
       SELECT * FROM (
         SELECT vec_id, true_label, nn_label, d,
@@ -167,6 +172,14 @@ def knn_loo_classifier(spark, sf_dir):
         "nn_id",
         F.expr(_EUC_SPARK).alias("d"),
     )
+    return loo_from_pairs(pairs, base)
+
+
+def loo_from_pairs(pairs, base):
+    """The vote/accuracy algebra from a labeled scored pair stream
+    ``(vec_id, true_label, nn_label, nn_id, d)`` onward — shared by
+    the brute tier above and the ANN-graph composition
+    (anngraph_q.knn_loo_ann)."""
     w = Window.partitionBy("vec_id").orderBy("d", "nn_id")
     knn = (
         pairs.withColumn("rank", F.row_number().over(w))

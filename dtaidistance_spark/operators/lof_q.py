@@ -76,18 +76,16 @@ _EUC_DUCK = (
 )
 
 
-@register(
-    "lof_embeddings",
-    oracle=f"""
+def _oracle(pairs_cte: str) -> str:
+    """Full LOF oracle from a ``pairs`` CTE producing
+    ``(vec_id, nn_id, d)`` — parameterized so the ANN-graph tier
+    (anngraph_q) swaps ONLY the pair enumeration."""
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       FROM embeddings WHERE vec_id < {_NV}
     ),
-    pairs AS (
-      SELECT a.vec_id, b.vec_id AS nn_id, {_EUC_DUCK.replace(
-          "a_emb", "a.emb").replace("b_emb", "b.emb")} AS d
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    ),
+    {pairs_cte},
     knn AS (
       SELECT * FROM (
         SELECT vec_id, nn_id, d,
@@ -133,8 +131,17 @@ _EUC_DUCK = (
     FROM lof
     JOIN kd ON kd.vec_id = lof.vec_id
     JOIN lrd ON lrd.vec_id = lof.vec_id
-    """,
-)
+    """
+
+
+_BRUTE_PAIRS_CTE = f"""pairs AS (
+      SELECT a.vec_id, b.vec_id AS nn_id, {_EUC_DUCK.replace(
+          "a_emb", "a.emb").replace("b_emb", "b.emb")} AS d
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )"""
+
+
+@register("lof_embeddings", oracle=_oracle(_BRUTE_PAIRS_CTE))
 def lof_embeddings(spark, sf_dir):
     """E14: LOF(k=10) over the first 200 embeddings (module header)
     — pinned euclidean folds, exact-k pinned-tie-break
@@ -154,6 +161,14 @@ def lof_embeddings(spark, sf_dir):
     pairs = a.join(
         F.broadcast(b), F.col("vec_id") != F.col("nn_id")
     ).select("vec_id", "nn_id", F.expr(_EUC_SPARK).alias("d"))
+    return lof_from_pairs(pairs)
+
+
+def lof_from_pairs(pairs):
+    """The LOF algebra from a scored pair stream ``(vec_id, nn_id,
+    d)`` onward — shared by the brute verification tier above and the
+    ANN-graph composition (anngraph_q.lof_ann), which differ ONLY in
+    how the pair stream is enumerated."""
     w = Window.partitionBy("vec_id").orderBy("d", "nn_id")
     knn = (
         pairs.withColumn("rank", F.row_number().over(w))
