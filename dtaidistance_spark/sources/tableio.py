@@ -1038,6 +1038,13 @@ class TableIO:
             "verified": True,
         }
 
+    def snapshot_ids(self, spark: SparkSession | None = None) -> list:
+        """Snapshot ids, oldest first — the backend-agnostic face of
+        :meth:`snapshots` (IcebergTableIO exposes the same method, so
+        the contract test drives either backend identically; the
+        unused ``spark`` keeps the signatures aligned)."""
+        return [s["id"] for s in self.snapshots()]
+
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.entries())
 
@@ -1263,3 +1270,74 @@ class IcebergTableIO:
         """Snapshot history (the `.snapshots` metadata table)."""
         self._require(spark)
         return spark.sql(f"SELECT * FROM {self.identifier}.snapshots")
+
+    def snapshot_ids(self, spark: SparkSession) -> list:
+        """Snapshot ids, oldest first — the backend-agnostic face of
+        :meth:`snapshots` (mirrors ``TableIO.snapshot_ids``)."""
+        rows = (
+            self.snapshots(spark)
+            .orderBy("committed_at")
+            .select("snapshot_id")
+            .collect()
+        )
+        return [r.snapshot_id for r in rows]
+
+    def exists(self, spark: SparkSession) -> bool:
+        self._require(spark)
+        return spark.catalog.tableExists(self.identifier)
+
+
+def open_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    partition_by: list[str] | None = None,
+    backend: str = "auto",
+    catalog: str | None = None,
+    namespace: str = "default",
+    **tableio_kwargs,
+):
+    """The SURVEY §1.4 backend switch: one constructor for the engine's
+    table layer that delegates to a REAL Iceberg catalog when one is
+    configured and the runtime jar is present, and to :class:`TableIO`
+    (the Iceberg-contract parquet + manifest layer) otherwise — nothing
+    above this call changes between the sandbox and a production
+    cluster.
+
+    ``backend='auto'`` activates Iceberg iff ALL of: a catalog name is
+    given (argument, or the ``spark.dtaidistance.catalog`` conf), that
+    catalog has a ``spark.sql.catalog.<name>`` implementation
+    configured, and ``iceberg_available(spark)`` (the runtime jar is on
+    the classpath).  ``backend='iceberg'`` forces the real catalog and
+    fails fast with guidance when the jar is absent;
+    ``backend='parquet'`` forces the contract layer.
+    """
+    assert backend in ("auto", "iceberg", "parquet")
+    if backend == "auto":
+        cat = catalog
+        if cat is None:
+            try:
+                cat = spark.conf.get("spark.dtaidistance.catalog", None)
+            except Exception:
+                cat = None
+        impl = None
+        if cat is not None:
+            try:
+                impl = spark.conf.get(f"spark.sql.catalog.{cat}", None)
+            except Exception:
+                impl = None
+        if cat and impl and iceberg_available(spark):
+            backend, catalog = "iceberg", cat
+        else:
+            backend = "parquet"
+    if backend == "iceberg":
+        if catalog is None:
+            raise ValueError("backend='iceberg' requires a catalog name")
+        io = IcebergTableIO(
+            catalog, namespace, table, partition_by=partition_by
+        )
+        io._require(spark)  # fail fast with guidance when jar absent
+        return io
+    return TableIO(
+        root, table, partition_by=partition_by, **tableio_kwargs
+    )
