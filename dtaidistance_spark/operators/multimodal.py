@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, plus Arrow-batched feature kernels.
 
-The container has no media libraries, so the *decode* step is stubbed
-(:func:`decode_image` raises ``NotImplementedError`` unless PIL is
-importable) — but everything Spark-side is real and tested: the binary
-column schema, the metadata struct, the ``mapInPandas`` batch shape,
-and a deterministic feature extractor (byte histogram) that exercises
-the exact same plumbing a real decoder would.
+The container has no media libraries, but the image lane is REAL end
+to end for the uncompressed formats: :func:`decode_image` dispatches
+on magic bytes to dependency-free numpy parsers for binary PPM
+(P5/P6) and 8-bit BMP, feeding the area and bilinear resizers — the
+``image_decode_resize_check`` registry query oracles every output
+pixel against DuckDB's own byte algebra.  Only compressed formats
+(JPEG/PNG) keep the honest PIL import guard.  Everything Spark-side
+is likewise real and tested: the binary column schema, the metadata
+struct, the ``mapInPandas`` batch shape, and the byte-histogram
+feature extractor.
 
 Assets are synthesized deterministically from the documents table
 (md5-derived bytes), so every run and both engines agree on payloads.
@@ -49,14 +53,114 @@ def make_assets(docs: DataFrame, repeats: int = 8) -> DataFrame:
     )
 
 
+def encode_ppm(gray: np.ndarray) -> bytes:
+    """Binary PPM (P5, maxval 255) bytes for a 2-D uint8 grid."""
+    h, w = gray.shape
+    return f"P5\n{w} {h}\n255\n".encode() + gray.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Dependency-free binary-PPM decode (P5 grayscale / P6 RGB→luma
+    by integer mean): parse the ASCII header (magic, width, height,
+    maxval, tolerating comment lines), then read the raster."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM payload")
+    magic = payload[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace + comment lines, then read one ASCII token
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        tok = b""
+        while not payload[pos : pos + 1].isspace():
+            tok += payload[pos : pos + 1]
+            pos += 1
+        fields.append(int(tok))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    if magic == b"P5":
+        arr = np.frombuffer(payload, dtype=np.uint8, count=h * w, offset=pos)
+        return arr.reshape(h, w).astype(np.float64)
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    rgb = arr.reshape(h, w, 3).astype(np.int64)
+    return (rgb.sum(axis=2) // 3).astype(np.float64)
+
+
+def encode_bmp8(gray: np.ndarray) -> bytes:
+    """Minimal 8-bit-palette BMP bytes (BITMAPINFOHEADER, grayscale
+    palette, 4-byte-aligned bottom-up rows) for a 2-D uint8 grid."""
+    h, w = gray.shape
+    stride = (w + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    size = offset + stride * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (256).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = gray[y].astype(np.uint8).tobytes()
+        rows.append(row + b"\x00" * (stride - w))
+    return header + palette + b"".join(rows)
+
+
+def decode_bmp8(payload: bytes) -> np.ndarray:
+    """Dependency-free decode of the 8-bit uncompressed BMP subset
+    (the synthetic-asset format): BITMAPINFOHEADER, bottom-up rows,
+    4-byte stride, palette index = gray level."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little")
+    h = int.from_bytes(payload[22:26], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 8 or comp != 0:
+        raise ValueError("only 8-bit uncompressed BMP supported")
+    stride = (w + 3) & ~3
+    out = np.empty((h, w), dtype=np.float64)
+    for y in range(h):
+        start = offset + (h - 1 - y) * stride
+        out[y] = np.frombuffer(
+            payload, dtype=np.uint8, count=w, offset=start
+        )
+    return out
+
+
 def decode_image(payload: bytes):
-    """Real image decode — requires a media library not present in this
-    container; the Spark plumbing around it is fully tested with the
-    byte-histogram kernel instead."""
+    """Image decode with a REAL dependency-free path for the synthetic
+    asset formats (binary PPM P5/P6 and 8-bit BMP, parsed in numpy);
+    compressed formats (JPEG/PNG) still require PIL and keep the
+    honest import guard."""
+    head = bytes(payload[:2])
+    if head in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp8(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL/pillow, not available in this "
-            "container; use byte_histogram_features for the tested path"
+            "JPEG/PNG decode requires PIL/pillow, not available in this "
+            "container; PPM/BMP decode is dependency-free, or use "
+            "byte_histogram_features for the opaque-bytes path"
         )
     import io
 
@@ -182,6 +286,76 @@ def block_mean_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
             out[i, j] = (area_rows[x1] - area_rows[x0]) / ((y1 - y0) * (x1 - x0))
     return out
+
+
+def bilinear_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resample (align-corners=False, the
+    OpenCV/PIL convention): dst (i, j) samples the source at
+    ((i+0.5)·h/out_h − 0.5, (j+0.5)·w/out_w − 0.5), edge-clamped.
+    At integer downscale factors the sample point lands exactly
+    between two rows/columns, so each output is a closed-form mean of
+    4 source pixels — the property the full-value oracle uses."""
+    h, w = gray.shape
+    sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    tl = gray[np.ix_(y0, x0)]
+    tr = gray[np.ix_(y0, x1)]
+    bl = gray[np.ix_(y1, x0)]
+    br = gray[np.ix_(y1, x1)]
+    return (
+        tl * (1 - fy) * (1 - fx)
+        + tr * (1 - fy) * fx
+        + bl * fy * (1 - fx)
+        + br * fy * fx
+    )
+
+
+def image_decode_resize(
+    assets: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """The END-TO-END image lane: payloads are REAL image files (PPM/
+    BMP), decoded by the dependency-free parsers via
+    :func:`decode_image`'s format dispatch, then resized BOTH ways
+    (area block-mean + bilinear). Output: one row per asset with
+    row-major pixel arrays, round(6)."""
+    schema = (
+        "asset_id long, out_h int, out_w int,"
+        " mean_pixels array<double>, bilinear_pixels array<double>"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, mp, bp = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                gray = decode_image(bytes(p))
+                ids.append(aid)
+                mp.append(
+                    np.round(
+                        block_mean_resize(gray, out_w, out_h), 6
+                    ).ravel().tolist()
+                )
+                bp.append(
+                    np.round(
+                        bilinear_resize(gray, out_w, out_h), 6
+                    ).ravel().tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "out_h": [out_h] * len(ids),
+                    "out_w": [out_w] * len(ids),
+                    "mean_pixels": mp,
+                    "bilinear_pixels": bp,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(kernel, schema)
 
 
 def image_resize(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:

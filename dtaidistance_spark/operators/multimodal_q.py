@@ -205,3 +205,83 @@ def image_resize_check(spark, sf_dir):
             "aggregate(pixels, true, (acc, x) -> acc AND x >= 0.0 AND x <= 255.0)"
         ).alias("range_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T18b — END-TO-END image lane, FULL-VALUE oracled (round-3 verdict
+# item #6): payloads are REAL binary-PPM files built in-engine (header
+# + 8 rows of md5-derived bytes, VARYING per row unlike make_assets'
+# repeated payload), decoded by the dependency-free numpy PPM parser
+# through decode_image's format dispatch, then resized BOTH ways —
+# area block-mean and bilinear (align-corners=False).  At this exact
+# 16x8 -> 4x4 scale each bilinear sample lands exactly between two
+# rows/columns, so every output pixel is a closed-form mean of 4 (or
+# 8, for the area path) source bytes — integer sums over md5 hex that
+# DuckDB re-derives byte by byte, making all 32 pixels per asset
+# hash-exact (dyadic /8 and /4 values, round-6 a no-op).  The image
+# lane thereby gets the audio lane's full-value treatment: decode +
+# resize + Arrow batch shape all on the oracled path.
+# ---------------------------------------------------------------------------
+
+
+def _b_duck(y_expr: str, x_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(text || '|' || CAST({y_expr} AS VARCHAR)),"
+        f" ({x_expr}) * 2 + 1, 2))::BIGINT)"
+    )
+
+
+_MEAN_SUM = " + ".join(
+    _b_duck(f"2 * i + {dy}", f"4 * j + {dx}")
+    for dy in (0, 1)
+    for dx in range(4)
+)
+_BILI_SUM = " + ".join(
+    _b_duck(f"2 * i + {dy}", f"4 * j + {dx}")
+    for dy in (0, 1)
+    for dx in (1, 2)
+)
+
+
+@register(
+    "image_decode_resize_check",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round(({_MEAN_SUM}) / 8.0, 6) AS mean_px,
+           round(({_BILI_SUM}) / 4.0, 6) AS bilinear_px
+    FROM documents, range(0, 4) g1(i), range(0, 4) g2(j)
+    """,
+)
+def image_decode_resize_check(spark, sf_dir):
+    """T18b: real PPM decode + area/bilinear resize, every pixel
+    value oracled (module comment above) — the kernel runs
+    decode_image's dispatch on genuine PPM bytes built in-engine."""
+    docs = T(spark, sf_dir, "documents")
+    header = b"P5\n16 8\n255\n"
+    raster = F.unhex(
+        F.concat_ws(
+            "",
+            *[
+                F.md5(F.concat(F.col("text"), F.lit(f"|{r}")))
+                for r in range(8)
+            ],
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(header), raster).alias("payload"),
+    )
+    out = M.image_decode_resize(assets, out_w=4, out_h=4)
+    return out.select(
+        "asset_id",
+        F.posexplode(
+            F.arrays_zip("mean_pixels", "bilinear_pixels")
+        ).alias("p", "z"),
+    ).selectExpr(
+        "asset_id",
+        "CAST(p DIV 4 AS BIGINT) AS i",
+        "CAST(p % 4 AS BIGINT) AS j",
+        "z.mean_pixels AS mean_px",
+        "z.bilinear_pixels AS bilinear_px",
+    )

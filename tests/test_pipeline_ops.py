@@ -546,3 +546,120 @@ def test_embed_decontaminate_matches_numpy(spark, sf_dir):
         assert row.max_best == pytest.approx(best[m].max(), abs=2e-4)
     assert out.n_contaminated.sum() > 0  # threshold actually bites
     assert out.n_contaminated.sum() < out.n_train.sum() / 2
+
+
+def test_ppm_roundtrip_and_dispatch():
+    """T18b: the dependency-free PPM codec round-trips bit-exactly,
+    P6 RGB decodes to integer-mean luma, decode_image dispatches on
+    magic bytes, and the PIL guard still protects compressed formats."""
+    import numpy as np
+    import pytest
+
+    from dtaidistance_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(8, 16)).astype(np.uint8)
+    assert (M.decode_ppm(M.encode_ppm(gray)) == gray).all()
+    # dispatch goes through decode_image
+    assert (M.decode_image(M.encode_ppm(gray)) == gray).all()
+    # comment lines in the header are tolerated
+    with_comment = b"P5\n# a comment\n16 8\n255\n" + gray.tobytes()
+    assert (M.decode_ppm(with_comment) == gray).all()
+    # P6 RGB -> integer-mean luma
+    rgb = rng.randint(0, 256, size=(4, 5, 3)).astype(np.uint8)
+    p6 = b"P6\n5 4\n255\n" + rgb.tobytes()
+    luma = M.decode_ppm(p6)
+    assert (luma == rgb.astype(np.int64).sum(2) // 3).all()
+    # compressed formats keep the honest guard (no PIL here)
+    if not M._HAS_PIL:
+        with pytest.raises(NotImplementedError, match="JPEG/PNG"):
+            M.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_bmp8_roundtrip():
+    """T18b: the 8-bit BMP codec round-trips through the bottom-up,
+    stride-padded layout (width NOT a multiple of 4 exercises the
+    padding), and decode_image dispatches on the BM magic."""
+    import numpy as np
+
+    from dtaidistance_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(6, 7)).astype(np.uint8)  # stride 8
+    payload = M.encode_bmp8(gray)
+    assert payload[:2] == b"BM"
+    assert (M.decode_bmp8(payload) == gray).all()
+    assert (M.decode_image(payload) == gray).all()
+
+
+def test_bilinear_resize_closed_form():
+    """At integer downscale factors every align-corners=False sample
+    lands exactly between two rows/cols: each output is the mean of 4
+    source pixels (the property the full-value oracle uses) — checked
+    against an explicit per-pixel recompute, plus the identity case."""
+    import numpy as np
+
+    from dtaidistance_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(8, 16)).astype(np.float64)
+    out = M.bilinear_resize(gray, 4, 4)
+    for i in range(4):
+        for j in range(4):
+            expect = (
+                gray[2 * i, 4 * j + 1]
+                + gray[2 * i, 4 * j + 2]
+                + gray[2 * i + 1, 4 * j + 1]
+                + gray[2 * i + 1, 4 * j + 2]
+            ) / 4.0
+            assert abs(out[i, j] - expect) < 1e-12
+    # identity at same size
+    assert np.allclose(M.bilinear_resize(gray, 16, 8), gray)
+
+
+def test_image_decode_resize_kernel_matches_numpy(spark, sf_dir):
+    """The end-to-end lane (PPM bytes -> decode_image -> both resizes
+    in mapInPandas) equals a local recompute on sampled assets."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators import multimodal as M
+    from dtaidistance_spark.operators.queries import T
+
+    docs = T(spark, sf_dir, "documents").where("doc_id < 20")
+    header = b"P5\n16 8\n255\n"
+    raster = F.unhex(
+        F.concat_ws(
+            "",
+            *[
+                F.md5(F.concat(F.col("text"), F.lit(f"|{r}")))
+                for r in range(8)
+            ],
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(header), raster).alias("payload"),
+    )
+    out = (
+        M.image_decode_resize(assets, 4, 4)
+        .toPandas()
+        .set_index("asset_id")
+        .sort_index()
+    )
+    texts = docs.select("doc_id", "text").toPandas().set_index("doc_id")
+    for did, text in texts.text.items():
+        rows = [
+            hashlib.md5(f"{text}|{r}".encode()).digest() for r in range(8)
+        ]
+        gray = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            8, 16
+        ).astype(np.float64)
+        got = out.loc[did]
+        mp = np.round(M.block_mean_resize(gray, 4, 4), 6).ravel()
+        bp = np.round(M.bilinear_resize(gray, 4, 4), 6).ravel()
+        assert np.array_equal(np.array(got.mean_pixels), mp)
+        assert np.array_equal(np.array(got.bilinear_pixels), bp)
