@@ -139,6 +139,45 @@ def hierarchical_clusters(
     )
 
 
+def hierarchical_clusters_scaled(
+    pairs: DataFrame, all_ids: DataFrame, max_dist: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed single-linkage FLAT clustering at threshold — the
+    100 TB tier that lifts :func:`hierarchical_clusters`' 100k-pair
+    driver cap (round-3 verdict item #7).
+
+    The algebraic identity this rides on: single-linkage clusters at
+    threshold τ are EXACTLY the connected components of the graph of
+    pairs with dist ≤ τ (Kruskal only ever unions within that edge
+    set, and unions everything it connects).  So the scale path is the
+    repo's large-star/small-star contraction (``dedup.cc_star`` —
+    O(log d) shuffle rounds, one fixed-point aggregate per round, NO
+    driver collect, NO pair cap), with the canonical min-id root
+    matching ``single_linkage``'s min-string-id convention bit for
+    bit.  The driver-side Kruskal stays as the verification twin and
+    the dendrogram/merge-hook tier (merge ORDER needs the sorted edge
+    stream; the flat cut does not)."""
+    from dtaidistance_spark.operators.dedup import cc_star
+
+    relevant = pairs.where(F.col("dist") <= max_dist).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    comp = cc_star(relevant).select(
+        F.col("doc_id").alias(id_col),
+        F.col("component_id").alias("cluster"),
+    )
+    return (
+        all_ids.select(F.col(id_col).cast("string").alias(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
 def kmedoids(pairs_rows, ids, k: int = 3, max_it: int = 10,
              max_pairs: int = 100_000):
     """Full PAM iterate (SURVEY C4,

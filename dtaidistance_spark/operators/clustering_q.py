@@ -236,3 +236,50 @@ def local_concurrences_check(spark, sf_dir):
             & (F.min("score") >= 0)
         ).alias("bounds_ok"),
     )
+
+
+@register("hierarchical_dtw_scaled")
+def hierarchical_dtw_scaled(spark, sf_dir):
+    """C2-scale (round-3 verdict item #7): the SAME single-linkage
+    flat clustering as ``hierarchical_dtw``, computed by large-star/
+    small-star contraction over the thresholded pair graph instead of
+    a driver-side Kruskal — single-linkage components at threshold τ
+    ARE the connected components of the dist ≤ τ graph, so the scale
+    tier is exact, capless, and collect-free (O(log d) shuffle
+    rounds); gated row-for-row equal to the Kruskal twin."""
+    df = _series(spark, 120)
+    prs = P.dtw_pairs(df, threshold=6000.0, window=8)
+    out = H.hierarchical_clusters_scaled(
+        prs, df.select("doc_id"), max_dist=6000.0
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
+    "hierarchical_scaled_check",
+    oracle="""
+    SELECT 120 AS n_ids, 120 AS n_match, true AS all_match
+    """,
+)
+def hierarchical_scaled_check(spark, sf_dir):
+    """The C2-scale equality contract as a driver-artifact row: the
+    star-contraction clustering agrees with the driver-side Kruskal
+    on every id (the canonical min-id roots coincide by the
+    components identity)."""
+    a = hierarchical_dtw(spark, sf_dir).withColumnRenamed(
+        "cluster", "c_kruskal"
+    )
+    b = hierarchical_dtw_scaled(spark, sf_dir).withColumnRenamed(
+        "cluster", "c_star"
+    )
+    j = a.join(b, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("int").alias("n_ids"),
+        F.sum((F.col("c_kruskal") == F.col("c_star")).cast("int"))
+        .cast("int")
+        .alias("n_match"),
+        (
+            F.sum((F.col("c_kruskal") != F.col("c_star")).cast("int"))
+            == 0
+        ).alias("all_match"),
+    )

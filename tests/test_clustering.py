@@ -245,3 +245,61 @@ def test_kmedoids_driver_cap_guard():
     ]
     with pytest.raises(ValueError, match="small-N driver cap"):
         H.kmedoids(rows, [str(i) for i in range(20)], k=2, max_pairs=50)
+
+
+def test_hierarchical_scaled_equals_kruskal(spark, sf_dir):
+    """C2-scale: star-contraction flat clustering == driver Kruskal,
+    row for row, on the corpus pair graph."""
+    from dtaidistance_spark.operators.clustering_q import (
+        hierarchical_dtw,
+        hierarchical_dtw_scaled,
+    )
+
+    a = hierarchical_dtw(spark, sf_dir).toPandas()
+    b = hierarchical_dtw_scaled(spark, sf_dir).toPandas()
+    assert a.equals(b)
+
+
+def test_hierarchical_scaled_deep_chain_and_no_cap(spark):
+    """The two properties the scale tier exists for: (a) a 300-node
+    PATH graph (component diameter 300 — label propagation would need
+    300 rounds; star contraction converges in O(log d)) clusters to
+    ONE component with the min-id root; (b) more than 100k merge-
+    relevant pairs — where hierarchical_clusters fails loudly by
+    design — processes fine with the capless tier."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.clustering.hierarchical import (
+        hierarchical_clusters,
+        hierarchical_clusters_scaled,
+    )
+
+    # (a) deep chain
+    chain = spark.range(299).selectExpr(
+        "format_string('n%03d', CAST(id AS INT)) AS id_a",
+        "format_string('n%03d', CAST(id + 1 AS INT)) AS id_b",
+        "CAST(1.0 AS DOUBLE) AS dist",
+    )
+    ids = spark.range(300).selectExpr(
+        "format_string('n%03d', CAST(id AS INT)) AS doc_id"
+    )
+    out = hierarchical_clusters_scaled(chain, ids, max_dist=2.0).toPandas()
+    assert (out.cluster == "n000").all()
+
+    # (b) capless: ~125k pairs (500 ids x 500 sampled partners)
+    big = (
+        spark.range(500)
+        .selectExpr("CAST(id AS STRING) AS id_a")
+        .crossJoin(
+            spark.range(500).selectExpr("CAST(id AS STRING) AS id_b")
+        )
+        .where("id_a < id_b")
+        .withColumn("dist", F.lit(1.0))
+    )
+    assert big.count() > 100_000
+    ids2 = spark.range(500).selectExpr("CAST(id AS STRING) AS doc_id")
+    with pytest.raises(ValueError, match="more than 100000"):
+        hierarchical_clusters(big, ids2, max_dist=2.0)
+    out2 = hierarchical_clusters_scaled(big, ids2, max_dist=2.0)
+    assert out2.where("cluster != '0'").count() == 0  # one component
