@@ -589,3 +589,207 @@ def test_stream_page_hinkley_matches_numpy(spark, sf_dir):
     gap = m - np.minimum.accumulate(m)
     assert gap.max() > n * 25000
     assert int(np.nonzero(gap > n * 25000)[0][0]) + 1 > 20
+
+
+def _time_quartiles(ev):
+    """Split into four EVENT-TIME-ordered files: the watermark
+    advances per micro-batch, so the file replay must be roughly
+    time-ordered (the contract every green replay test follows) — a
+    hash split would mark everything after the first file late."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", *[c for c in ev.columns if c != "ts"][:1])
+    q = ev.withColumn(
+        "_q", ((F.row_number().over(w) - 1) * 4 / F.lit(ev.count())).cast("int")
+    )
+    return [q.where(F.col("_q") == i).drop("_q") for i in range(4)]
+
+
+def _kill_restart_harness(spark, tmp_path, name, schema_ddl, parts,
+                          closer_sql, build, post, kill):
+    """True kill-and-restart (round-3 verdict item #8): a 4-file
+    event-time-ordered replay (maxFilesPerTrigger=1 → one file per
+    micro-batch), with a mid-stream stop() after ≥1 committed
+    micro-batch followed by a NEW query over the SAME checkpoint
+    (``kill=True``), or the clean per-file drains (``kill=False``).
+
+    The tests call this with a watermark LONGER than the data span so
+    every state survives to the far-future closer and the output must
+    be BIT-IDENTICAL to the batch build — isolating exactly the
+    restart claim.  (Measured while building this gate, worth knowing:
+    with a short watermark a kill never loses or duplicates an event
+    — per-key totals conserve exactly — but it CAN coalesce two
+    watermark-close boundaries into one, because a timeout that was
+    due in the abandoned empty batch fires together with the next
+    data batch after recovery; run boundaries of event-time-timeout
+    emissions are therefore not stable under restart, only their
+    contents' union is.)"""
+    import time as _t
+
+    root = str(tmp_path / name)
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    half = len(parts) // 2
+
+    def start(trigger_kw):
+        stream = (
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kw)
+            .start()
+        )
+
+    # every batch must be a SINGLE file in both twins: with one-file
+    # batches in a fixed file order, the checkpointed watermark when
+    # file k is processed equals max(file k-1) - delay REGARDLESS of
+    # where query lifetimes begin and end — which is exactly why a
+    # kill must not change any emission
+    def drain_one(df):
+        df.write.mode("append").parquet(src)
+        q = start({"availableNow": True})
+        q.awaitTermination()
+
+    if kill:
+        for df in parts[:half]:
+            df.write.mode("append").parquet(src)
+        q = start({"processingTime": "1 second"})
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            done = [p for p in q.recentProgress if p is not None]
+            if sum(p["numInputRows"] > 0 for p in done) >= half:
+                break
+            _t.sleep(0.5)
+        assert (
+            sum(
+                p["numInputRows"] > 0
+                for p in q.recentProgress
+                if p is not None
+            )
+            >= 1
+        )
+        q.stop()  # the kill — any in-flight batch is abandoned
+    else:
+        for df in parts[:half]:
+            drain_one(df)
+    for df in parts[half:]:
+        drain_one(df)
+    # the production closer protocol: append the far-future row only
+    # after the data files are drained (a closer batched before a
+    # data file would mark that file's rows late)
+    spark.sql(closer_sql).write.mode("append").parquet(src)
+    q3 = start({"availableNow": True})
+    q3.awaitTermination()
+    return post(spark.read.parquet(sink))
+
+
+def test_stream_ses_level_kill_and_restart(spark, sf_dir, tmp_path):
+    """R51 restart gate: the sequential-state SES op, killed
+    mid-stream and resumed on the same checkpoint, emits exactly the
+    clean-run rows (no loss, no duplicates, per-type uniqueness)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators.queries import T
+    from dtaidistance_spark.streaming import continuous as S
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    parts = _time_quartiles(ev)
+    cols = ["event_type", "n_events", "sad", "ses_sse", "ses_sae",
+            "final_level", "mase"]
+
+    killed = (
+        _kill_restart_harness(
+            spark, tmp_path, "ses_killed",
+            "ts timestamp, event_id long, event_type string,"
+            " value double",
+            parts,
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+            " CAST(0 AS BIGINT) AS event_id,"
+            " '__closer__' AS event_type, CAST(1.0 AS DOUBLE) AS value",
+            lambda stream: S.stream_ses_level(
+                stream, watermark="90 days"  # > data span: no
+                # mid-stream closes, every state crosses the kill
+            ),
+            lambda df: df.where("event_type != '__closer__'"),
+            True,
+        )
+        .toPandas()[cols]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # exactly-once vs the batch build: one full-history row per type,
+    # bit-equal to the (oracled) registry query's drained output
+    from dtaidistance_spark.operators.streamses_q import (
+        stream_ses_level as registry_query,
+    )
+
+    clean = (
+        registry_query(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert killed.event_type.is_unique
+    assert killed.equals(clean)
+
+
+def test_stream_scd2_kill_and_restart(spark, sf_dir, tmp_path):
+    """R56 restart gate: the SCD2 dimension builder, killed mid-stream
+    and resumed on the same checkpoint, emits the batch-identical
+    dimension exactly once ((user, eff_from) unique, equal to the
+    clean run)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators.queries import T
+    from dtaidistance_spark.streaming import continuous as S
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    parts = _time_quartiles(ev)
+    cols = ["user_id", "tier", "eff_from", "eff_to", "n_weeks"]
+
+    killed = (
+        _kill_restart_harness(
+            spark, tmp_path, "scd2_killed",
+            "ts timestamp, user_id long",
+            parts,
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+            " CAST(-1 AS BIGINT) AS user_id",
+            lambda stream: S.stream_scd2_tiers(
+                stream, watermark="90 days"  # > data span: every
+                # user's full history crosses the kill in state
+            ),
+            lambda df: df.where("user_id >= 0"),
+            True,
+        )
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    # exactly-once vs the batch build: the killed-and-restarted
+    # dimension is BIT-IDENTICAL to the (oracled) registry build
+    from dtaidistance_spark.operators.scd2_q import stream_scd2_tiers_q
+
+    clean = (
+        stream_scd2_tiers_q(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert not killed.duplicated(["user_id", "eff_from"]).any()
+    assert len(killed) >= 50  # sf0.001: 51 dimension rows
+    assert killed.equals(clean)
