@@ -458,6 +458,25 @@ def main() -> None:
     timings["dtw_knn_bench"] = round(knn_sec, 3)
     pairs_df.unpersist()
 
+    # --- document chunking throughput (T95, round 4): overlap windows
+    # + boundary snapping over the documents table — one explode onto
+    # the chunk grid, codegen substring + md5 algebra end to end
+    from dtaidistance_spark.operators.chunking_q import doc_chunking
+
+    doc_chars = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("CAST(sum(n_chars) AS BIGINT) AS c")
+        .collect()[0]["c"]
+    )
+    doc_chunking(spark, SF_DIR).count()  # warm
+    ck_sec, n_chunks = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_chunks = doc_chunking(spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        ck_sec = dt if ck_sec is None else min(ck_sec, dt)
+    timings["doc_chunking_bench"] = round(ck_sec, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline query wall time (sf bench suite)",
@@ -503,6 +522,8 @@ def main() -> None:
         "ts_features_tokens_per_sec": round(
             stats["n_points"] / feat_sec, 1
         ),
+        "chunking_chars_per_sec": round(doc_chars / ck_sec, 1),
+        "chunking_chunks": int(n_chunks),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
