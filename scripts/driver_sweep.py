@@ -67,7 +67,13 @@ def _hash_rows(cols: list[str], rows) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # usage: driver_sweep.py [sf_dir] [--json OUT.json]
+    args = [a for a in sys.argv[1:] if a != "--json" and not a.endswith(".json")]
+    json_out = None
+    if "--json" in sys.argv:
+        ix = sys.argv.index("--json")
+        json_out = sys.argv[ix + 1] if ix + 1 < len(sys.argv) else "SWEEP.json"
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
 
@@ -92,6 +98,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    records: dict[str, dict] = {}
     t_start = time.time()
 
     # entry() smoke check
@@ -119,10 +126,13 @@ def main() -> int:
             print(f"{name}: FAIL (spark) {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
             n_fail += 1
+            records[name] = {"status": "FAIL_SPARK", "err": str(e)[:200]}
             continue
         if name not in oracles:
             n_rows_only += 1
             print(f"{name}: rows-only OK rows={len(rows)} ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "ROWS_ONLY_OK", "rows": len(rows),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -132,6 +142,7 @@ def main() -> int:
             print(f"{name}: FAIL (duckdb) {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
             n_fail += 1
+            records[name] = {"status": "FAIL_DUCKDB", "err": str(e)[:200]}
             continue
         problems = []
         if len(rows) != len(orows):
@@ -147,9 +158,13 @@ def main() -> int:
             print(f"{name}: FAIL {'; '.join(problems)}")
             failures.append(name)
             n_fail += 1
+            records[name] = {"status": "FAIL_COMPARE",
+                             "err": "; ".join(problems)}
         else:
             n_pass += 1
             print(f"{name}: oracle OK rows={len(rows)} ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "ORACLE_OK", "rows": len(rows),
+                             "secs": round(time.time() - t0, 1)}
 
     total = len(reg)
     print(
@@ -158,6 +173,24 @@ def main() -> int:
     )
     if failures:
         print("failures:", ", ".join(failures))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": total,
+                    "oracle_pass": n_pass,
+                    "rows_only": n_rows_only,
+                    "fail": n_fail,
+                    "wall_secs": round(time.time() - t_start, 0),
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
