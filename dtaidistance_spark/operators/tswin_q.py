@@ -52,9 +52,7 @@ _HALF = 5  # centered window: 5 preceding + current + 5 following
 _K_SIGMA = "CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE)"
 
 
-@register(
-    "hampel_filter",
-    oracle=f"""
+_HAMPEL_ORACLE = f"""
     WITH s AS (
       SELECT event_id, user_id, epoch_us(ts) AS tu, value
       FROM events WHERE event_type = 'click'
@@ -86,8 +84,10 @@ _K_SIGMA = "CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE)"
            (abs(value - med) > {_K_SIGMA} * devs[(len(devs) + 1) // 2])
              AS is_spike
     FROM d
-    """,
-)
+    """
+
+
+@register("hampel_filter", oracle=_HAMPEL_ORACLE)
 def hampel_filter(spark, sf_dir):
     """TS22: Hampel despike filter over each user's 'click' series —
     rolling lower-median and lower-median absolute deviation over a
@@ -858,3 +858,84 @@ def paa_fidelity(spark, sf_dir):
         "sse_num", "sxx", "sx",
         F.expr(_RATIO_SHARED).alias("var_retained"),
     )
+
+
+@register("stream_hampel_despike", oracle=_HAMPEL_ORACLE)
+def stream_hampel_despike_q(spark, sf_dir):
+    """R59: STREAMING Hampel despike (the 12th applyInPandasWithState
+    operator; ``streaming/continuous.stream_hampel_despike``) — the
+    live twin of TS22's batch ``hampel_filter``: per-user centered
+    11-frame positional median/MAD despiking of the 'click' value
+    stream, state buffering the user's triples and the event-time
+    timeout draining the exact frame algebra in numpy.  Positional
+    picks and single-op float expressions only, so the drained rows
+    are BIT-IDENTICAL to the batch operator and THIS QUERY SHARES THE
+    BATCH ORACLE VERBATIM — the stream_ses/stream_scd2 pattern:
+    fully oracled stateful streaming.  Replayed file-by-file
+    (maxFilesPerTrigger=1), closed by the far-future row."""
+    import shutil
+    import tempfile
+
+    from dtaidistance_spark.operators.qutil import detach
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stream_hampel_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+
+    def drain():
+        from dtaidistance_spark.streaming import continuous as S
+
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id long, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            S.stream_hampel_despike(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.write.parquet(src)
+        drain()
+        spark.sql(
+            "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+            " CAST(-1 AS BIGINT) AS event_id,"
+            " CAST(-1 AS BIGINT) AS user_id, CAST(0.0 AS DOUBLE) AS value"
+        ).write.mode("append").parquet(src)
+        drain()
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .select(
+                "event_id",
+                "user_id",
+                "tu",
+                "value",
+                "frame_n",
+                "med",
+                "mad",
+                "dev",
+                "is_spike",
+            )
+        )
+        return detach(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1208,3 +1208,106 @@ def stream_scd2_tiers(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_hampel_despike(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    half: int = 5,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    the 12th): per-user Hampel despiking of the value stream — TS22's
+    batch semantics (centered 11-row frame under the (tu, value,
+    event_id) total order, positional LOWER median and two-pass MAD,
+    spike at |x − med| > 3·1.4826·MAD) maintained live.
+
+    A centered-window filter is order-sensitive on BOTH sides of each
+    point, so the R42/R51 buffered-sort posture applies: state buffers
+    the user's (tu, event_id, value) triples (bounded by the user's
+    window, not the stream — declared), and the event-time-timeout
+    drain sorts and runs the exact frame algebra in numpy — positional
+    picks and single-op float expressions only, so the drained rows
+    are BIT-IDENTICAL to the batch ``hampel_filter`` operator and the
+    same DuckDB oracle covers both (fully oracled, the stream_ses
+    pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+        F.col("ts").cast("timestamp").alias("_ts"),
+    ).withWatermark("_ts", watermark)
+
+    k_sigma = 3.0 * 1.4826  # the batch operator's literal product
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.hasTimedOut:
+            tus, eids, vals = state.get
+            state.remove()
+            rows = sorted(zip(tus, eids, vals), key=lambda r: (r[0], r[2], r[1]))
+            n = len(rows)
+            tu_a = [r[0] for r in rows]
+            eid_a = [r[1] for r in rows]
+            v = [float(r[2]) for r in rows]
+            meds, frame_ns = [], []
+            for i in range(n):
+                fr = sorted(v[max(0, i - half) : min(n, i + half + 1)])
+                frame_ns.append(len(fr))
+                meds.append(fr[(len(fr) + 1) // 2 - 1])
+            mads, devs_out = [], []
+            for i in range(n):
+                dv = sorted(
+                    abs(v[j] - meds[j])
+                    for j in range(max(0, i - half), min(n, i + half + 1))
+                )
+                mads.append(dv[(len(dv) + 1) // 2 - 1])
+                devs_out.append(abs(v[i] - meds[i]))
+            yield pd.DataFrame(
+                {
+                    "event_id": eid_a,
+                    "user_id": [int(uid)] * n,
+                    "tu": tu_a,
+                    "value": v,
+                    "frame_n": frame_ns,
+                    "med": meds,
+                    "mad": mads,
+                    "dev": devs_out,
+                    "is_spike": [
+                        devs_out[i] > k_sigma * mads[i] for i in range(n)
+                    ],
+                }
+            )
+            return
+        tus, eids, vals = (state.get if state.exists else ([], [], []))
+        tus, eids, vals = list(tus), list(eids), list(vals)
+        for pdf in pdfs:
+            tus.extend(int(x) for x in pdf["tu"])
+            eids.extend(int(x) for x in pdf["eid"])
+            vals.extend(float(x) for x in pdf["val"])
+        state.update((tus, eids, vals))
+        end_ms = max(tus) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — keep fn a generator on every path
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_id long, user_id long, tu long, value double,"
+            " frame_n int, med double, mad double, dev double,"
+            " is_spike boolean"
+        ),
+        stateStructType=(
+            "tus array<long>, eids array<long>, vals array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -793,3 +793,32 @@ def test_stream_scd2_kill_and_restart(spark, sf_dir, tmp_path):
     assert not killed.duplicated(["user_id", "eff_from"]).any()
     assert len(killed) >= 50  # sf0.001: 51 dimension rows
     assert killed.equals(clean)
+
+
+def test_stream_hampel_equals_batch(spark, sf_dir):
+    """R59 (12th stateful op): the streamed Hampel despike rows are
+    BIT-IDENTICAL to TS22's batch hampel_filter — positional medians,
+    MADs, deviations and spike flags all equal row-for-row, and at
+    least one genuine spike exists so the flag path is exercised."""
+    from dtaidistance_spark.operators.tswin_q import (
+        hampel_filter,
+        stream_hampel_despike_q,
+    )
+
+    cols = ["event_id", "user_id", "tu", "value", "frame_n", "med",
+            "mad", "dev", "is_spike"]
+    a = (
+        stream_hampel_despike_q(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(["user_id", "tu", "event_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        hampel_filter(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(["user_id", "tu", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+    assert int(a.is_spike.sum()) > 0
