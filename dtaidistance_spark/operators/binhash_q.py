@@ -203,17 +203,18 @@ def embed_b1_topk(spark, sf_dir):
       WHERE e.rank <= 10
       GROUP BY e.query_id
     ),
-    per_q AS (
-      SELECT query_id,
-             CAST(coalesce(h, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
-               AS recall
-      FROM (SELECT DISTINCT query_id FROM exact_ranked) q
-      LEFT JOIN hits USING (query_id)
+    tot AS (
+      SELECT CAST(coalesce(sum(h), 0) AS BIGINT) AS total_h,
+             (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+              FROM exact_ranked) AS n_q
+      FROM hits
     )
-    SELECT 'b1' AS tier, round(avg(recall), 4) AS recall_at_k,
+    SELECT 'b1' AS tier,
+           round(CAST(total_h AS DOUBLE)
+                 / CAST(10 * n_q AS DOUBLE), 4) AS recall_at_k,
            CAST(0.25 AS DOUBLE) AS floor,
-           avg(recall) >= CAST(0.25 AS DOUBLE) AS met
-    FROM per_q
+           (4 * total_h) >= (10 * n_q) AS met
+    FROM tot
     """,
 )
 def embed_b1_recall_check(spark, sf_dir):
@@ -221,17 +222,28 @@ def embed_b1_recall_check(spark, sf_dir):
     exact cosine tier, fully oracled (module header) — the 0.25
     floor is the honest worst-case-corpus expectation, the
     storage-recall frontier point below SQ8's 0.9 and LSH-mp's
-    0.8."""
+    0.8.  The ``met`` verdict is INTEGER-cleared (4·Σhits ≥ 10·n_q)
+    because at sf0.001 the measured recall lands EXACTLY on the
+    floor and a float avg of non-dyadic h/10 terms is
+    sum-order-dependent — the two engines disagreed in the last ulp
+    and flipped the boundary comparison (found by the strict %.6f
+    gate in round 4; the %.6g sweep was blind to it)."""
     emb = T(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < _NQ)
     approx = embed_b1_topk(spark, sf_dir)
     exact = A.brute_cosine_topk(emb, qs, k=10)
-    rec = A.recall_at_k(approx, exact, k=10)
-    return rec.select(
-        F.lit("b1").alias("tier"),
-        F.col("recall_at_k"),
-        F.expr("CAST(0.25 AS DOUBLE)").alias("floor"),
-        (
-            F.col("recall_at_k") >= F.expr("CAST(0.25 AS DOUBLE)")
-        ).alias("met"),
+    a = approx.where(F.col("rank") <= 10).select("query_id", "nn_id")
+    e = exact.where(F.col("rank") <= 10).select("query_id", "nn_id")
+    tot = a.join(e, ["query_id", "nn_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_h")
+    )
+    nq = e.agg(
+        F.countDistinct("query_id").cast("long").alias("n_q")
+    )
+    return tot.crossJoin(F.broadcast(nq)).selectExpr(
+        "'b1' AS tier",
+        "round(CAST(total_h AS DOUBLE)"
+        " / CAST(10 * n_q AS DOUBLE), 4) AS recall_at_k",
+        "CAST(0.25 AS DOUBLE) AS floor",
+        "(4 * total_h) >= (10 * n_q) AS met",
     )
