@@ -79,7 +79,12 @@ def _damped_fold(eng: str, phi: str) -> str:
         y = "CAST(element_at(v, j) AS DOUBLE)"
         a = lambda i: f"element_at(a, {i})"  # noqa: E731
         return (
-            "aggregate(sequence(3, CAST(n AS INT)),"
+            # empty-guarded: Spark sequence(3, 2) would be the
+            # DESCENDING [3, 2] (DuckDB range(3, 3) is empty), so for
+            # n < 3 slice the iteration list to zero elements and the
+            # fold returns its init state in both engines
+            "aggregate(slice(sequence(3, CAST(greatest(n, 3) AS INT)),"
+            " 1, CAST(greatest(n - 2, 0) AS INT)),"
             " array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),"
             " CAST(element_at(v, 2) - element_at(v, 1) AS DOUBLE),"
             f" CAST(element_at(v, 2) AS DOUBLE) + {ph}"

@@ -63,7 +63,13 @@ def _exprs(eng: str) -> dict[str, str]:
     )
     if sp:
         tail = f"slice(tokens, CAST(greatest(1, n - {_W} + 1) AS INT), {_W})"
-        seq = lambda lo, hi: f"sequence({lo}, {hi})"  # noqa: E731
+        # empty-guarded: Spark sequence(lo, lo-1) is the DESCENDING
+        # [lo, lo-1] where DuckDB range is empty — slice to the exact
+        # non-negative count so a 1-token window yields [] not [1, 0]
+        seq = lambda lo, hi: (  # noqa: E731
+            f"slice(sequence({lo}, greatest({hi}, {lo})),"
+            f" 1, CAST(greatest(({hi}) - ({lo}) + 1, 0) AS INT))"
+        )
         tr, fil, siz = "transform", "filter", "size"
         pos = lambda arr, x: f"array_position({arr}, {x})"  # noqa: E731
         amin = lambda arr: f"array_min({arr})"  # noqa: E731
@@ -80,7 +86,8 @@ def _exprs(eng: str) -> dict[str, str]:
     if sp:
         inj = (
             "CASE WHEN CAST(substr(doc_id, 4, 12) AS INT) % 50 = 0 THEN"
-            " transform(sequence(0, size(w) - 1),"
+            " transform(slice(sequence(0, greatest(size(w) - 1, 0)),"
+            " 1, size(w)),"
             " i -> element_at(w, pmod(i, 3) + 1)) ELSE w END"
         )
     else:

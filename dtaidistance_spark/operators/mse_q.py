@@ -68,9 +68,15 @@ def _cg(eng: str, tau: int) -> str:
         return "v"
     inner = " + ".join(el("v", f"k * {tau} + {t}") for t in range(1, tau + 1))
     if sp:
+        # Guarded: Spark sequence(0, -1) is the DESCENDING [0, -1]
+        # (DuckDB range(0, 0) is empty) — for size(v) < tau emit a
+        # typed empty array instead so the engines cannot diverge if
+        # the cap/corpus ever admits ultra-short docs.
         return (
-            f"transform(sequence(0, CAST(size(v) DIV {tau} AS INT) - 1),"
+            f"CASE WHEN size(v) >= {tau} THEN"
+            f" transform(sequence(0, CAST(size(v) DIV {tau} AS INT) - 1),"
             f" k -> {inner})"
+            f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
         )
     return (
         f"list_transform(range(0, CAST(len(v) // {tau} AS BIGINT)),"

@@ -66,19 +66,26 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if payload[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PPM payload")
     magic = payload[:2]
-    pos, fields = 2, []
+    pos, fields, end = 2, [], len(payload)
     while len(fields) < 3:
-        # skip whitespace + comment lines, then read one ASCII token
-        while payload[pos : pos + 1].isspace():
+        # skip whitespace + comment lines, then read one ASCII token;
+        # every scan is bounded by len(payload) so a truncated header
+        # raises instead of spinning past the buffer (b'' is neither
+        # isspace() nor consumed — an unbounded loop would hang).
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         if payload[pos : pos + 1] == b"#":
-            while payload[pos : pos + 1] not in (b"\n", b""):
+            while pos < end and payload[pos : pos + 1] != b"\n":
                 pos += 1
             continue
         tok = b""
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             tok += payload[pos : pos + 1]
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         fields.append(int(tok))
     pos += 1  # single whitespace after maxval, then the raster
     w, h, maxval = fields

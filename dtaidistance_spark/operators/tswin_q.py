@@ -913,7 +913,13 @@ def stream_hampel_despike_q(spark, sf_dir):
         q.awaitTermination()
 
     try:
-        ev.write.parquet(src)
+        # Event-time-ordered single part file: with maxFilesPerTrigger=1
+        # the watermark advances per micro-batch, so a hash-partitioned
+        # multi-file write would let the watermark jump past later files'
+        # rows and silently drop them as late (the replay contract
+        # documented in tests/test_streaming.py). One sorted file keeps
+        # the contract regardless of ev's input partitioning.
+        ev.repartition(1).sortWithinPartitions("ts").write.parquet(src)
         drain()
         spark.sql(
             "SELECT timestamp'2030-01-01 00:00:00' AS ts,"

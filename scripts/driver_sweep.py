@@ -68,11 +68,15 @@ def _hash_rows(cols: list[str], rows) -> str:
 
 def main() -> int:
     # usage: driver_sweep.py [sf_dir] [--json OUT.json]
-    args = [a for a in sys.argv[1:] if a != "--json" and not a.endswith(".json")]
+    # positional parse: only the token immediately following --json is
+    # the output path, so a '.json'-suffixed sf_dir is never swallowed
+    args = list(sys.argv[1:])
     json_out = None
-    if "--json" in sys.argv:
-        ix = sys.argv.index("--json")
-        json_out = sys.argv[ix + 1] if ix + 1 < len(sys.argv) else "SWEEP.json"
+    if "--json" in args:
+        ix = args.index("--json")
+        rest = args[ix + 1 : ix + 2]
+        json_out = rest[0] if rest else "SWEEP.json"
+        del args[ix : ix + 1 + len(rest)]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb

@@ -574,6 +574,13 @@ def test_ppm_roundtrip_and_dispatch():
     if not M._HAS_PIL:
         with pytest.raises(NotImplementedError, match="JPEG/PNG"):
             M.decode_image(b"\x89PNG\r\n\x1a\n....")
+    # truncated headers raise instead of hanging (the header scans are
+    # bounded: b'' at end-of-bytes is neither whitespace nor consumed,
+    # so an unbounded loop would spin forever)
+    for bad in (b"P5", b"P5\n", b"P5\n# only a comment", b"P5\n16",
+                b"P5\n16 8", b"P6\n16 8"):
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            M.decode_ppm(bad)
 
 
 def test_bmp8_roundtrip():
