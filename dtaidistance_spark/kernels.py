@@ -579,6 +579,68 @@ def dba_update_batch(center, batch, window=None):
     return sums / cnts
 
 
+def dba_update_batch_weighted(center, batch, weights, window=None):
+    """One WEIGHTED DBA iteration: row b contributes ``weights[b] *
+    value`` to the aligned position sums and ``weights[b]`` to the
+    counts — the re-merge rule for salted partial barycenters (each
+    partial stands for ``weights[b]`` original members).  With all
+    weights 1.0 the multiplications are exact no-ops, so this is
+    bit-identical to :func:`dba_update_batch` (gated).  Weight w vs
+    physically duplicating the member w times is the SAME real number
+    but not the same float: the duplicate's repeated adds round once
+    per add while the weighted form rounds once per node —
+    fl(s+x+x) ≠ fl(s+2x) in the last ulp (double rounding; a member's
+    path revisiting a position triggers it even for a lone member) —
+    so the duplication law is gated at ≤ 1e-9, not bit-equality
+    (measured 7.3e-12 on the 50 257 scale)."""
+    center = np.asarray(center, dtype=np.float64)
+    batch = np.asarray(batch, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    r = len(center)
+    B, c = batch.shape
+    steps, ilo_k = _dba_paths_batch(center, batch, window=window)
+    sums = np.zeros(r)
+    cnts = np.zeros(r)
+    i = np.full(B, r, dtype=np.int64)
+    j = np.full(B, c, dtype=np.int64)
+    brange = np.arange(B)
+    active = (i > 0) & (j > 0)
+    while active.any():
+        ia, ja, ba = i[active], j[active], brange[active]
+        np.add.at(sums, ia - 1, weights[ba] * batch[ba, ja - 1])
+        np.add.at(cnts, ia - 1, weights[ba])
+        kk = ia + ja
+        code = steps[kk, ia - ilo_k[kk], ba]
+        i[active] = ia - (code != 2)
+        j[active] = ja - (code != 1)
+        active = (i > 0) & (j > 0)
+    cnts[cnts == 0] = 1.0
+    return sums / cnts
+
+
+def dba_batch_weighted(
+    members, weights, center=None, max_it=10, thr=1e-5, window=None
+):
+    """Weighted DBA loop (salted-rollup re-merge).  Deterministic
+    center init: the member with the LARGEST weight, first by stable
+    order on ties (np.argmax) — the partial from the biggest salt
+    subgroup anchors the merge."""
+    members = np.asarray(members, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if center is None:
+        center = members[int(np.argmax(weights))]
+    center = np.asarray(center, dtype=np.float64).copy()
+    for _ in range(max_it):
+        new_center = dba_update_batch_weighted(
+            center, members, weights, window=window
+        )
+        delta = float(np.max(np.abs(new_center - center)))
+        center = new_center
+        if delta <= thr:
+            break
+    return center
+
+
 def dba_batch(members, center=None, max_it=10, thr=1e-5, window=None):
     """DBA loop over a (B, L) uniform-length member matrix — the rollup
     hot path. Same center-init rule as :func:`dba` (median length == the

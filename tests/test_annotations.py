@@ -93,6 +93,10 @@ TWINS: dict[str, tuple[str | None, str | None]] = {
     "pca_power_topcomp": ("embed_gram_check", "tests/test_embedlinalg.py"),
     "pelt_changepoints": (None, "tests/test_pelt.py"),
     "procrustes_align": (None, "tests/test_procrustes.py"),
+    "rollup_dba_salted": (
+        "rollup_salted_identity",
+        "tests/test_rollup_salted.py",
+    ),
     "sdt_downsample": ("sdt_check", "tests/test_tsanalytics.py"),
     "semdedup": ("semdedup_check", "tests/test_pipeline_ops.py"),
     "seq_cascade_1d": ("rollup_diag_identity", "tests/test_rollup_e2e.py"),
