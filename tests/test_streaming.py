@@ -822,3 +822,132 @@ def test_stream_hampel_equals_batch(spark, sf_dir):
     assert len(a) == len(b) > 0
     assert a.equals(b)
     assert int(a.is_spike.sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 verdict item #5: the restart matrix — EVERY stateful op gets a
+# true kill-and-restart gate, not just SES/SCD2.  Uniform contract: the
+# killed-and-resumed run's emissions are BIT-IDENTICAL to the clean
+# per-file replay of the same harness (kill=True vs kill=False on one
+# shared 4-file event-time-ordered source, watermark longer than the
+# data span so every key's state crosses the kill).  The batch-equality
+# of the clean run is already gated per-op above / in the registry
+# oracles; this matrix isolates exactly the restart claim for the
+# remaining ten operators.
+# ---------------------------------------------------------------------------
+
+_EV_DDL = (
+    "ts timestamp, event_id long, user_id long, event_type string,"
+    " value double"
+)
+_EV_CLOSER = (
+    "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+    " CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,"
+    " '__closer__' AS event_type, CAST(0.0 AS DOUBLE) AS value"
+)
+
+
+def _ev_post(df):
+    return df.where(
+        " AND ".join(
+            f"{c} >= 0" if c == "user_id" else f"{c} != '__closer__'"
+            for c in df.columns
+            if c in ("user_id", "event_type")
+        )
+    )
+
+
+def _restart_specs():
+    from dtaidistance_spark.streaming import continuous as S
+
+    wm = {"watermark": "90 days"}  # > the ~30-day event span
+    return {
+        "gapfill_locf": lambda st: S.stream_gapfill_locf(st, **wm),
+        "gapfill_linear": lambda st: S.stream_gapfill_locf(
+            st, mode="linear", **wm
+        ),
+        "rate_cusum": lambda st: S.stream_rate_cusum(st, **wm),
+        "counter_agg": lambda st: S.stream_counter_agg(st, **wm),
+        "sdt": lambda st: S.stream_sdt(st, **wm),
+        "uddq_sketch": lambda st: S.stream_uddq_sketch(st, **wm),
+        "page_hinkley": lambda st: S.stream_page_hinkley(st, **wm),
+        "kmv": lambda st: S.stream_kmv(st, **wm),
+        "hampel_despike": lambda st: S.stream_hampel_despike(st, **wm),
+    }
+
+
+@pytest.mark.parametrize("op", sorted(_restart_specs()))
+def test_stream_restart_matrix(spark, sf_dir, tmp_path, op):
+    """Kill-and-restart == clean replay, bit-identical, for every
+    events-keyed stateful operator (see block comment above)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.operators.queries import T
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    parts = _time_quartiles(ev)
+    build = _restart_specs()[op]
+
+    def run(kill):
+        out = _kill_restart_harness(
+            spark, tmp_path, f"{op}_{'killed' if kill else 'clean'}",
+            _EV_DDL, parts, _EV_CLOSER, build, _ev_post, kill,
+        ).toPandas()
+        cols = list(out.columns)
+        return out.sort_values(cols).reset_index(drop=True)
+
+    killed = run(True)
+    clean = run(False)
+    assert len(killed) == len(clean) > 0
+    assert killed.equals(clean)
+
+
+def test_stream_dba_rollup_kill_and_restart(spark, tmp_path):
+    """The flagship stateful op's restart gate: the DBA tier rollup,
+    killed mid-stream and resumed on the same checkpoint, emits the
+    clean replay's barycenters bit-for-bit (synthetic sequence source
+    — 64 series over ~64 s, 1-minute windows, watermark > span)."""
+    from pyspark.sql import functions as F
+
+    from dtaidistance_spark.streaming import continuous as S
+
+    seq = synth.sequences_df(spark, 64).select(
+        "ts", "doc_id", "tokens", "source"
+    )
+    parts = _time_quartiles(seq)
+    ddl = "ts timestamp, doc_id string, tokens array<int>, source string"
+    closer = (
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts,"
+        " '__closer__' AS doc_id,"
+        " CAST(array(1, 2, 3) AS ARRAY<INT>) AS tokens,"
+        " '__closer__' AS source"
+    )
+
+    def run(kill):
+        out = _kill_restart_harness(
+            spark, tmp_path, f"dba_{'killed' if kill else 'clean'}",
+            ddl, parts, closer,
+            lambda st: S.stream_dba_rollup(
+                st, tier="1 minute", watermark="90 days"
+            ),
+            lambda df: df.where("key != '__closer__'"),
+            kill,
+        ).toPandas()
+        out["barycenter"] = out["barycenter"].map(
+            lambda a: tuple(float(x) for x in a)
+        )
+        cols = list(out.columns)
+        return out.sort_values(["key", "window_start"]).reset_index(
+            drop=True
+        )[cols]
+
+    killed = run(True)
+    clean = run(False)
+    assert len(killed) == len(clean) > 0
+    assert killed.equals(clean)
