@@ -137,11 +137,21 @@ def assign_step(
     df: DataFrame, centers: np.ndarray, length: int, window: int,
     id_col: str = "doc_id", value_col: str = "tokens",
 ) -> DataFrame:
-    """(doc_id, cluster, dist): argmin over k batched DTW evaluations."""
+    """(doc_id, cluster, dist): argmin over k batched DTW evaluations.
+
+    Centers ride an EXPLICIT Spark broadcast (round-5 hygiene): closure
+    capture pickles the (k, length) matrix into every serialized task,
+    while a broadcast ships it once per executor — the difference is
+    noise at k=3 but real at k=1000×1024 floats.  The kernel copies
+    out of the broadcast buffer once per task (numpy views over the
+    pickled buffer are read-only)."""
     k = len(centers)
-    bc = centers.copy()
+    bcast = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(centers)
+    )
 
     def kernel(batches):
+        bc = np.array(bcast.value, dtype=np.float64, copy=True)
         # cascading LB-pruned assignment (SURVEY C1): center 0 seeds the
         # running best; every later center first bounds each member with
         # LB_Keogh vs the CENTER's envelope (one envelope per center per

@@ -367,3 +367,51 @@ def test_hof_battery_compiles_and_sustains_at_8192_cap(spark):
         assert ndoc * nt / best >= 0.3e6, f"{ndoc * nt / best:.0f} tok/s"
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_kmeans_assign_step_plan(spark):
+    """Round-4 verdict item #6 (C1 iteration hygiene, plan side): the
+    per-iteration assignment is ONE Arrow-batched map over the
+    persisted corpus — zero exchanges (centers ride an explicit Spark
+    broadcast, not a join; the LB-pruned argmin happens inside the
+    kernel), zero row-wise Python."""
+    import numpy as np
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.clustering import kmeans as KM
+
+    df = synth.sequences_df(spark, 16).select("doc_id", "tokens")
+    centers = np.zeros((3, 32))
+    plan = _plan(KM.assign_step(df, centers, length=32, window=4))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_kmeans_flat_plan_depth_20_iterations(spark):
+    """Round-4 verdict item #6 (the cc_star lesson applied to C1): a
+    20-iteration k-means run completes with a FLAT logical plan —
+    each iteration's centers are collected to the driver, so iteration
+    20's assignment plan is the same shape (and same explain depth) as
+    iteration 1's, never a 20-deep lineage that OOMs AQE rendering."""
+    import re
+
+    from dtaidistance_spark import synth
+    from dtaidistance_spark.clustering import kmeans as KM
+
+    df = synth.sequences_df(spark, 24).select("doc_id", "tokens")
+
+    def depth(max_it):
+        assigned, centers = KM.dtw_kmeans(
+            df, k=2, max_it=max_it, length=32, window=4
+        )
+        plan = _plan(assigned)
+        # strip node ids so the comparison is structural
+        return len(
+            [ln for ln in plan.splitlines() if ln.strip()]
+        ), re.sub(r"#\d+", "#x", plan.split("\n\n")[0])
+
+    d1, p1 = depth(1)
+    d20, p20 = depth(20)
+    assert d20 == d1, (d1, d20)
+    assert p20 == p1
