@@ -148,8 +148,23 @@ def main():
     mins = {c: min(v) for c, v in runs.items()}
     if ceiling is None or reps:
         ceiling = machine_ceiling()
+    # measurement-round stamp (round-4 verdict: the r3 block was
+    # committed unchanged into r4 while the rollup path had moved —
+    # every report now says WHAT code produced it)
+    try:
+        rev = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
     report = {
         "job": "1-minute DBA rollup of synthetic token table",
+        "measured": {
+            "git_rev": rev,
+            "date": time.strftime("%Y-%m-%d"),
+            "fresh": "--fresh" in sys.argv,
+        },
         "sequences": sequences,
         "points": points,
         "levels": {
