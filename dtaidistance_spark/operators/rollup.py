@@ -193,6 +193,47 @@ def dba_rollup(
     )
 
 
+def _project_frame(df, tier, key_col, value_col, ts_col, id_col):
+    """Pre-PAA projection shared by both tiers: degenerate-row drop +
+    column shaping (pure JVM — safe to scan twice for routing)."""
+    # degenerate-row policy: null/empty payloads carry no signal for a
+    # barycenter and would poison the kernel — drop them JVM-side
+    # (size(NULL) = -1, so one predicate covers both); the local parity
+    # twin applies the identical filter. When PAA stays kernel-side,
+    # int32 token arrays cross shuffle+Arrow in their NATIVE 4-byte type
+    # (kernel casts to float64; int32 -> float64 is exact).
+    return df.where(F.size(F.col(value_col)) > 0).select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.window(F.col(ts_col), tier)["start"].alias("_w"),
+        F.col(value_col).alias("_value"),
+        F.col(id_col).cast("string").alias("_sort_id"),
+        F.size(F.col(value_col)).cast("long").alias("_sz"),
+    )
+
+
+def _apply_paa(prepared, barycenter_len):
+    """The map-side Arrow PAA stage (resample ``_value`` onto the
+    barycenter grid before the shuffle)."""
+    _blen = barycenter_len
+
+    def _paa_stage(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.assign(
+                    _value=[
+                        K.paa(np.asarray(v, dtype=np.float64), _blen)
+                        for v in pdf["_value"]
+                    ]
+                )
+            yield pdf
+
+    return prepared.mapInPandas(
+        _paa_stage,
+        "_key string, _w timestamp, _value array<double>, "
+        "_sort_id string, _sz long",
+    )
+
+
 def _prepared_frame(
     df, tier, key_col, value_col, ts_col, id_col, barycenter_len,
     paa_map_side,
@@ -200,38 +241,9 @@ def _prepared_frame(
     """The shared pre-shuffle stage of :func:`dba_rollup` and
     :func:`dba_rollup_salted`: degenerate-row drop + column shaping +
     optional map-side PAA."""
-    # degenerate-row policy: null/empty payloads carry no signal for a
-    # barycenter and would poison the kernel — drop them JVM-side
-    # (size(NULL) = -1, so one predicate covers both); the local parity
-    # twin applies the identical filter. When PAA stays kernel-side,
-    # int32 token arrays cross shuffle+Arrow in their NATIVE 4-byte type
-    # (kernel casts to float64; int32 -> float64 is exact).
-    prepared = df.where(F.size(F.col(value_col)) > 0).select(
-        F.col(key_col).cast("string").alias("_key"),
-        F.window(F.col(ts_col), tier)["start"].alias("_w"),
-        F.col(value_col).alias("_value"),
-        F.col(id_col).cast("string").alias("_sort_id"),
-        F.size(F.col(value_col)).cast("long").alias("_sz"),
-    )
+    prepared = _project_frame(df, tier, key_col, value_col, ts_col, id_col)
     if paa_map_side:
-        _blen = barycenter_len
-
-        def _paa_stage(batches):
-            for pdf in batches:
-                if len(pdf):
-                    pdf = pdf.assign(
-                        _value=[
-                            K.paa(np.asarray(v, dtype=np.float64), _blen)
-                            for v in pdf["_value"]
-                        ]
-                    )
-                yield pdf
-
-        prepared = prepared.mapInPandas(
-            _paa_stage,
-            "_key string, _w timestamp, _value array<double>, "
-            "_sort_id string, _sz long",
-        )
+        prepared = _apply_paa(prepared, barycenter_len)
     return prepared
 
 
@@ -371,15 +383,23 @@ def dba_rollup_salted(
     one key owning 10^9 members: threshold 4096, S=64 turns one 10^9-row
     sort into 64 × 1.6·10^7-row sorts while every other group is
     untouched and bit-identical."""
-    prepared = _prepared_frame(
-        df, tier, key_col, value_col, ts_col, id_col,
-        barycenter_len, paa_map_side,
-    )
-    counts = prepared.groupBy("_key", "_w").agg(
+    # Route BEFORE the PAA stage: filters cannot push through an
+    # opaque MapInPandas, so a post-PAA split would resample the FULL
+    # stream once per branch (the plan audit caught exactly that).
+    # Routing order here: counts come from the pure-JVM projection
+    # (Catalyst prunes the payload — no Python anywhere in that scan),
+    # the split happens pre-PAA, and each disjoint branch pays the
+    # Arrow resample exactly once.  Net: two JVM scans of the source
+    # (routing + data) — the right trade at 100 TB, where caching the
+    # stream is impossible and the projection scan is column-pruned.
+    p0 = _project_frame(df, tier, key_col, value_col, ts_col, id_col)
+    counts = p0.groupBy("_key", "_w").agg(
         F.count(F.lit(1)).alias("_gn")
     )
-    routed = prepared.join(F.broadcast(counts), ["_key", "_w"])
+    routed = p0.join(F.broadcast(counts), ["_key", "_w"])
     small = routed.where(F.col("_gn") <= salt_threshold).drop("_gn")
+    if paa_map_side:
+        small = _apply_paa(small, barycenter_len)
     out_small = _exact_rollup(
         small, max_members, dba_window, dba_max_it, barycenter_len
     )
@@ -400,6 +420,8 @@ def dba_rollup_salted(
             "_sz",
         )
     )
+    if paa_map_side:
+        big = _apply_paa(big, barycenter_len)
     partials = _exact_rollup(
         big, max_members, dba_window, dba_max_it, barycenter_len
     ).select(

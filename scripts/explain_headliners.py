@@ -46,6 +46,31 @@ def main() -> None:
         final_plan(R.dba_rollup(seq, tier="1 minute")),
     ))
 
+    from pyspark.sql import functions as F
+
+    hot = seq.select(
+        "doc_id", "tokens", F.lit("hot").alias("source"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:30")).alias("ts"),
+    )
+    sections.append((
+        "dba_rollup_salted (round 5 — the giant-group scale tier, "
+        "forced onto one hot key)",
+        "Routing = a map-side-combinable counts aggregate over the "
+        "pure-JVM projection (payload pruned — no Python in the routing "
+        "scan) + BROADCAST join, never a skewed sort; the split happens "
+        "BEFORE the Arrow PAA stage (filters cannot push through an "
+        "opaque MapInPandas — caught in this audit), so each disjoint "
+        "branch resamples its own rows exactly once; the big path's "
+        "window-rank sort is per (key, window, SALT) — the hot key's "
+        "single task becomes S tasks of 1/S the size; partials re-merge "
+        "in an applyInPandas group of at most S rows "
+        "(FlatMapGroupsInPandas); the small path is the exact tier "
+        "verbatim. All Python stages Arrow.",
+        final_plan(R.dba_rollup_salted(
+            hot, tier="1 minute", salt_threshold=64, salt_buckets=8,
+        )),
+    ))
+
     pdf = paa_series_df(spark, 500, length=64).persist()
     pdf.count()
     sections.append((
